@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place for session config so tests, bench, and ad-hoc use agree:
+- AQE on (runtime re-planning, skew-join handling, shuffle coalescing) —
+  essential at 100 TB where static plans misestimate.
+- UTC session timezone so timestamp round-trips are tz-invariant (testdata
+  parquet timestamps are naive; SURVEY.md §7.3.2).
+- Arrow-enabled pandas interchange for the few mapInPandas operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dsmr-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core; on a real cluster this
+        # would be sized to ~128-200 MB per post-shuffle partition and AQE
+        # coalesces the rest.
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,96 @@
+"""Sources & sinks.
+
+The MapReduce model's I/O surface is "input splits of files in, part files
+out" (OSDI'04 §3.1). Spark-native equivalent: format readers that hand
+Catalyst a pruned, filtered columnar scan, and partitioned writers.
+
+Scale notes (100 TB):
+- ``load`` goes through ``spark.read.parquet`` so column pruning and
+  predicate pushdown reach the scan (verified in tests/test_plans.py).
+- ``write_*`` helpers accept ``partition_by`` so downstream reads get
+  partition pruning; at cluster scale output would also be bucketed on the
+  dominant join key (bucketing needs a metastore table — documented here,
+  exercised where the local FS allows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at ANY scale factor (region and
+#: nation are fixed-size; part/supplier/customer grow with SF and must NOT be
+#: assumed broadcastable at 100 TB — AQE decides for those).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    default. We read it as raw nanos (``nanosAsLong``) and rebuild a
+    microsecond TimestampType via integer division — the identical floor
+    truncation DuckDB applies when it reads the same file as TIMESTAMP (µs),
+    so both sides of the oracle see the same values (SURVEY.md §7.3.2).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-line input — the MapReduce-native input format."""
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

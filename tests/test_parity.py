@@ -1,0 +1,42 @@
+"""Local replica of the driver's t2 correctness gate (SURVEY.md §5.2.1).
+
+Every query with an oracle is hash-compared against DuckDB at sf0.01;
+rows-only queries are smoke-run (executes, sane schema, deterministic count).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import distributed_system_mapreduce_spark  # noqa: F401
+from distributed_system_mapreduce_spark.registry import ORACLES, QUERIES
+from distributed_system_mapreduce_spark.testing import run_parity
+
+from conftest import SF_DIR
+
+
+def _oracle_names():
+    return sorted(ORACLES)
+
+
+def _rows_only_names():
+    return sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_parity(name, spark, duck):
+    problems = run_parity(name, spark, duck, SF_DIR)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_smoke(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
