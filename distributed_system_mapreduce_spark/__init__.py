@@ -10,7 +10,12 @@ Importing this package registers every query into ``registry.QUERIES`` /
 from . import registry  # noqa: F401
 from .operators import (  # noqa: F401
     aggregations,
+    joins,
     relational,
+    setops,
+    sorts,
+    timewin,
+    windows,
 )
 
 __all__ = ["registry"]

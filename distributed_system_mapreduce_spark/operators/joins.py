@@ -1,0 +1,189 @@
+"""Joins (SURVEY.md §2.5).
+
+MapReduce parity: the model implements joins by hand — reduce-side join
+(tag-by-source + co-group on key) and map-side join (replicate the small
+table to every mapper) are the standard Hadoop patterns; the reference
+snapshot is empty (SURVEY.md §0) so these published patterns are the target.
+Spark expresses all of them through one ``join`` API and picks the physical
+strategy (sort-merge / shuffled-hash / broadcast-hash) via Catalyst + AQE.
+
+Scale notes (100 TB):
+- ``join_map_side`` pins ``broadcast()`` explicitly: part-like dimensions
+  bounded in size get a broadcast-hash join with ZERO shuffle of the fact
+  table. At 100 TB that is the difference between moving megabytes and
+  moving the whole fact table.
+- ``join_reduce_side`` / ``join_multiway`` leave strategy to AQE: at sf0.01
+  everything broadcasts, at 100 TB the orders⋈customer pair becomes a
+  sort-merge join on the shuffled key with AQE skew-splitting — same logical
+  plan, right physical plan at each scale.
+- ``join_theta_range`` keeps the equi-key (user_id) in the join condition so
+  Spark co-partitions on it and evaluates only the range predicate within
+  each key group — never a cartesian product.
+- Semi/anti joins ship only the join key of the probe side (no payload
+  duplication), the Spark-native form of the co-group emit-once/emit-if-empty
+  MapReduce patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+
+@register(
+    "join_reduce_side",
+    oracle="""
+    select o_orderkey, o_totalprice, c_custkey, c_name
+    from orders join customer on o_custkey = c_custkey
+    """,
+)
+def join_reduce_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders ⋈ customer (reduce-side join shape)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_map_side",
+    oracle="""
+    select l_orderkey, l_linenumber, p_brand, l_extendedprice
+    from lineitem join part on l_partkey = p_partkey
+    """,
+)
+def join_map_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side (broadcast) join: fact table never shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_brand", "l_extendedprice"
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+    select n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           count(*) as n_lines
+    from region
+    join nation   on n_regionkey = r_regionkey
+    join customer on c_nationkey = n_nationkey
+    join orders   on o_custkey   = c_custkey
+    join lineitem on l_orderkey  = o_orderkey
+    where r_name = 'ASIA'
+      and o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate <  timestamp '1997-01-01'
+    group by n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (TPC-H Q5 shape): revenue by nation for one region/year.
+
+    region/nation are fixed-size → explicit broadcast; the rest is left to
+    Catalyst join reordering + AQE so the same code picks sort-merge at scale.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    select c_custkey, count(o_orderkey) as n_orders
+    from customer left join orders on o_custkey = c_custkey
+    group by c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: orders per customer including zero-order customers
+    (count of a nullable column counts only matches)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    j = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("n_orders"))
+
+
+@register(
+    "join_semi",
+    oracle="""
+    select c_custkey, c_name from customer
+    where exists (select 1 from orders where o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join = EXISTS (co-group emit-once pattern)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    select c_custkey, c_name from customer
+    where not exists (select 1 from orders where o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join = NOT EXISTS (co-group emit-if-empty pattern)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    select a.user_id as user_id, count(*) as n_pairs
+    from events a join events b
+      on a.user_id = b.user_id
+     and b.ts > a.ts
+     and b.ts <= a.ts + interval 1 hour
+    group by a.user_id
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/as-of-shaped self-join: same-user event pairs within 1 hour.
+
+    The equi-key (user_id) stays in the join condition so execution is a
+    co-partitioned join with a residual range filter — not a cross product.
+    """
+    ev = load(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("interval 1 hour"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,149 @@
+"""Event-time windowing, batch form (SURVEY.md §2.9).
+
+MapReduce is strictly batch (OSDI'04) — the reference model has no streams,
+watermarks, or windows. These queries compute tumbling / sliding / session
+windows over the batch ``events`` table; the ``streaming`` package holds the
+Structured-Streaming equivalents (same aggregations over ``readStream`` with
+``withWatermark``), which are exercised in unit tests, not in the t2 surface
+(the DuckDB oracle is batch-only).
+
+Scale notes (100 TB):
+- Tumbling/sliding use Spark's native ``window()`` expression: bucket
+  assignment is map-side arithmetic; the only shuffle is the final group-by,
+  carrying one partial aggregate per (bucket, key).
+- Sliding windows multiply data ×(window/slide) — here ×4; this is inherent
+  to the semantics, not the implementation.
+- Sessionization is lag + running-sum over one per-user shuffle — the same
+  answer Structured Streaming's ``session_window`` gives, expressed as batch.
+- Window starts are output as strings (date_format) so results are
+  timezone-proof on both engines (SURVEY.md §7.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "window_tumbling",
+    oracle=f"""
+    select strftime(date_trunc('hour', ts), '{_FMT_DUCK}') as hour_start,
+           event_type,
+           count(*) as cnt,
+           round(sum(value), 2) as sum_value
+    from events
+    group by hour_start, event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts + value sums per event type."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("hour_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle=f"""
+    select strftime(win_start, '{_FMT_DUCK}') as win_start,
+           count(*) as cnt,
+           round(sum(value), 2) as sum_value
+    from (
+      select to_timestamp(floor(epoch(ts) / 900) * 900 - off) as win_start, value
+      from events, (select unnest([0, 900, 1800, 2700]) as off)
+    )
+    group by win_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes.
+
+    Each event lands in exactly 4 windows (60/15); the oracle reproduces
+    Spark's epoch-aligned window starts by truncating to the 15-min slide
+    grid and stepping back 0/15/30/45 minutes.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("win_start"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    with flagged as (
+      select user_id, event_id, ts, value,
+             case when lag(ts) over w is null
+                       or epoch_us(ts) - epoch_us(lag(ts) over w) > 1800000000
+                  then 1 else 0 end as new_session
+      from events
+      window w as (partition by user_id order by ts, event_id)
+    ), sessions as (
+      select user_id, ts, value,
+             sum(new_session) over (partition by user_id order by ts, event_id
+                                    rows between unbounded preceding
+                                             and current row) as session_id
+      from flagged
+    )
+    select user_id, cast(session_id as bigint) as session_id,
+           count(*) as n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) as duration_us,
+           round(sum(value), 2) as sum_value
+    from sessions
+    group by user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap.
+
+    Classic batch sessionization (lag → gap flag → running sum = session id)
+    — identical answers to Structured Streaming's session_window, see
+    streaming/windows.py for the streaming twin.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wsum).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
