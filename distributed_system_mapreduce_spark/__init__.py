@@ -8,8 +8,14 @@ Importing this package registers every query into ``registry.QUERIES`` /
 """
 
 from . import registry  # noqa: F401
+from .functions import (  # noqa: F401
+    jsonops,
+    text,
+    vectors,
+)
 from .operators import (  # noqa: F401
     aggregations,
+    dedup,
     joins,
     relational,
     setops,

@@ -1,0 +1,288 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.8).
+
+Driver-mandated extensions beyond the MapReduce reference surface
+(BASELINE.json: "add the LLM-data-pipeline operators ... text analysis"):
+token statistics, tf-idf, n-grams, language ID, quality scoring, regex
+tokenization, document fingerprinting.
+
+Scale notes (100 TB):
+- Everything is built-in JVM expressions / higher-order functions — no
+  Python UDFs in any hot path, so whole-stage codegen covers the token
+  pipelines end-to-end.
+- Tokenization happens map-side; shuffles carry (key, partial aggregate)
+  pairs sized by vocabulary, not corpus.
+- tf-idf is two aggregations + one broadcast-joined scalar (corpus size) —
+  no driver-side collect.
+- Ranking happens on ROUNDED scores (6 dp) with unique-key tiebreaks so
+  top-k membership is stable across engines and runs (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+from ..operators.relational import tokens
+
+#: deterministic per-language marker words (shared 31-word synthetic vocab —
+#: see FIXTURES.md; the heuristic is degenerate on purpose-built data but the
+#: operator shape is the real n-gram/marker language-ID pipeline).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("scan", "group", "window"),
+    "en": ("the", "fast", "query"),
+    "es": ("data", "table", "row"),
+    "fr": ("join", "merge", "sort"),
+    "zh": ("spark", "stream", "vector"),
+}
+
+STOPWORDS = ("the", "a", "data")
+
+
+@register(
+    "text_tokens_stats",
+    oracle="""
+    with base as (
+      select lang, count(*) as n_docs,
+             cast(sum(len(string_split(text, ' '))) as bigint) as total_tokens,
+             round(avg(n_chars), 2) as avg_chars
+      from documents group by lang),
+    vocab as (
+      select lang, count(distinct word) as vocab
+      from (select lang, unnest(string_split(text, ' ')) as word from documents)
+      where word <> '' group by lang)
+    select base.lang as lang, n_docs, total_tokens, avg_chars, vocab
+    from base join vocab on base.lang = vocab.lang
+    """,
+)
+def text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts, token totals, avg length, distinct vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        docs.withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+    vocab = tokens(docs).groupBy("lang").agg(F.countDistinct("word").alias("vocab"))
+    return base.join(vocab, "lang")
+
+
+@register(
+    "text_tfidf_top",
+    oracle="""
+    with tok as (
+      select doc_id, source, word
+      from (select doc_id, source, unnest(string_split(text, ' ')) as word from documents)
+      where word <> ''),
+    tf as (select doc_id, source, word, count(*) as tf from tok group by all),
+    dfreq as (select word, count(distinct doc_id) as df from tok group by word),
+    total as (select count(*) as n from documents),
+    scored as (
+      select source, word,
+             round(sum(tf * ln(n / df)), 6) as score
+      from tf join dfreq using (word), total
+      group by source, word)
+    select source, word, score, rn from (
+      select *, row_number() over (partition by source
+                                   order by score desc, word) as rn
+      from scored)
+    where rn <= 10
+    """,
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per source by summed tf-idf.
+
+    Scores are rounded to 6 dp BEFORE ranking so float summation-order noise
+    cannot flip top-10 membership between engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs).select("doc_id", "source", "word")
+    tf = tok.groupBy("doc_id", "source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source", "word")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n") / F.col("df"))), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("word"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    select bigram, count(*) as cnt
+    from (
+      select unnest(list_transform(
+               list_zip(t[1:len(t)-1], t[2:len(t)]),
+               x -> x[1] || ' ' || x[2])) as bigram
+      from (select string_split(text, ' ') as t from documents)
+      where len(t) >= 2)
+    group by bigram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram counts over the corpus (higher-order functions, no UDF)."""
+    docs = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        """
+        transform(sequence(1, size(split(text, ' ')) - 1),
+                  i -> concat_ws(' ',
+                                 element_at(split(text, ' '), i),
+                                 element_at(split(text, ' '), i + 1)))
+        """
+    )
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _markers_sql_values() -> str:
+    rows = [
+        f"('{lang}', '{w}')"
+        for lang, ws in sorted(LANG_MARKERS.items())
+        for w in ws
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    with markers(pred_lang, word) as (values {_markers_sql_values()}),
+    tok as (
+      select doc_id, lang, word
+      from (select doc_id, lang, unnest(string_split(text, ' ')) as word from documents)
+      where word <> ''),
+    hits as (
+      select tok.doc_id, tok.lang, markers.pred_lang, count(*) as n_hits
+      from tok join markers on tok.word = markers.word
+      group by all),
+    best as (
+      select doc_id, lang, pred_lang from (
+        select *, row_number() over (partition by doc_id
+                                     order by n_hits desc, pred_lang) as rn
+        from hits) where rn = 1)
+    select d.lang as lang,
+           coalesce(best.pred_lang, 'unknown') as pred_lang,
+           count(*) as n_docs
+    from documents d left join best on d.doc_id = best.doc_id
+    group by all
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID → confusion matrix (lang, pred_lang, n_docs).
+
+    Production shape: tokens ⋈ broadcast(marker table) → per-doc argmax.
+    The synthetic corpus shares one vocabulary across languages (FIXTURES.md)
+    so accuracy is chance — the pipeline, not the classifier, is the operator
+    under test. Deterministic: argmax ties break lexicographically.
+    """
+    docs = load(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(LANG_MARKERS.items()) for w in ws],
+        "pred_lang string, word string",
+    )
+    tok = tokens(docs).select("doc_id", "lang", "word")
+    hits = (
+        tok.join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("pred_lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.join(best.select("doc_id", "pred_lang"), "doc_id", "left")
+        .select("lang", F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    select doc_id,
+           cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+           round((n_chars - len(string_split(text, ' ')) + 1)
+                 / len(string_split(text, ' ')), 4) as avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 x -> x in {STOPWORDS!r}))
+                 / len(string_split(text, ' ')), 4) as stop_ratio,
+           round((1 - len(list_filter(string_split(text, ' '),
+                                      x -> x in {STOPWORDS!r}))
+                      / len(string_split(text, ' ')))
+                 * ln(1 + len(string_split(text, ' '))), 4) as quality
+    from documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: token count, avg token length,
+    stopword ratio, and a combined quality score — the standard pre-training
+    corpus filter signals, all JVM-side expressions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x in ({stop_list})))")
+    stop_ratio = n_stop / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round((F.col("n_chars") - n_tok + 1) / n_tok, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round((F.lit(1) - stop_ratio) * F.log(F.lit(1) + n_tok), 4).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    select doc_id,
+           cast(len(regexp_extract_all(text, '[a-z]+')) as bigint) as n_tokens,
+           cast(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) as bigint)
+             as n_distinct_tokens
+    from documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish pre-tokenizer) token counting per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[a-z]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    select doc_id, md5(text) as fp, cast(n_chars % 1024 as bigint) as len_bucket
+    from documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 digest + a length bucket per document —
+    the exact-dedup key at corpus scale (hash once map-side, group by digest)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        (F.col("n_chars") % 1024).cast("bigint").alias("len_bucket"),
+    )

@@ -1,0 +1,273 @@
+"""Vector / embedding similarity operators (SURVEY.md §2.8).
+
+Driver-mandated extensions: similarity search over an ``array<float>``
+embedding column — brute-force cosine top-k as the exactness baseline, an
+LSH-bucketed approximate variant as the scale path, kNN classification, and
+multimodal vector hygiene (norm validation).
+
+Embeddings are unit-L2-normalized (FIXTURES.md) so cosine ≡ dot product.
+
+Scale notes (100 TB):
+- Dot products run as built-in higher-order functions (``zip_with`` +
+  ``aggregate``) on ``array<double>`` — JVM-side, no Python, no UDF.
+- ``sim_topk_query`` broadcasts the single query vector; the scan side never
+  shuffles; top-k compiles to TakeOrderedAndProject (per-partition heaps).
+- ``sim_topk_pairs`` is O(n²) BY DESIGN as the exact baseline and guarded by
+  ``ALL_PAIRS_LIMIT``; above it the code refuses and points at the LSH path
+  (``sim_ann_lsh`` buckets / functions.lsh for banded joins) — the same
+  candidate-pruning strategy as the distributed top-k literature (PAPERS.md).
+- Scores are rounded to 4 dp BEFORE ranking with vec_id tiebreaks so top-k
+  membership is engine- and run-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+#: refuse brute-force all-pairs above this many vectors — callers must use
+#: the LSH-bucketed path instead (100 TB mandate, SURVEY.md §7.3.8).
+ALL_PAIRS_LIMIT = 100_000
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double.
+
+    Elements are cast to double BEFORE multiplying so both engines run the
+    identical sequential double pipeline (float32 inputs are exactly
+    representable as doubles).
+    """
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a.cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _guard_all_pairs(df: DataFrame) -> None:
+    """Fail fast if a brute-force all-pairs join would explode at scale.
+
+    Uses a cheap count (metadata-only for parquet) — not collect() of data.
+    """
+    n = df.count()
+    if n > ALL_PAIRS_LIMIT:
+        raise ValueError(
+            f"brute-force all-pairs over {n} vectors exceeds ALL_PAIRS_LIMIT="
+            f"{ALL_PAIRS_LIMIT}; use the LSH-bucketed candidate path "
+            "(sim_ann_lsh / functions.lsh) instead"
+        )
+
+
+@register(
+    "sim_topk_query",
+    oracle="""
+    with q as (select embedding::DOUBLE[] as q_emb from embeddings where vec_id = 0)
+    select vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q_emb), 4) as score
+    from embeddings, q
+    where vec_id <> 0
+    order by score desc, vec_id
+    limit 10
+    """,
+)
+def sim_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector (vec_id = 0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_topk_pairs",
+    oracle="""
+    select a.vec_id as a_id, b.vec_id as b_id,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+             as score
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    order by score desc, a_id, b_id
+    limit 50
+    """,
+)
+def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar vector pairs — exact all-pairs baseline.
+
+    Guarded: refuses above ALL_PAIRS_LIMIT vectors; at scale the candidate
+    set comes from LSH banding instead (same verify step).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    _guard_all_pairs(emb)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(dot(F.col("a.embedding"), F.col("b.embedding")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("a_id"), F.asc("b_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "knn_label_vote",
+    oracle="""
+    with scored as (
+      select q.vec_id as q_id, v.vec_id as v_id, v.label,
+             round(list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 4)
+               as score
+      from embeddings q join embeddings v on q.vec_id <> v.vec_id
+      where q.vec_id < 20),
+    knn as (
+      select q_id, label from (
+        select *, row_number() over (partition by q_id
+                                     order by score desc, v_id) as rn
+        from scored) where rn <= 10),
+    votes as (select q_id, label, count(*) as cnt from knn group by q_id, label)
+    select q_id, cast(label as int) as pred_label, cnt as n_votes from (
+      select *, row_number() over (partition by q_id
+                                   order by cnt desc, label) as rm
+      from votes) where rm = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=10 nearest-neighbor majority label for the first 20 query vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            "label",
+            F.round(dot(F.col("q_emb"), F.col("embedding")), 4).alias("score"),
+        )
+    )
+    w_knn = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("v_id"))
+    knn = scored.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= 10)
+    votes = knn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    w_maj = Window.partitionBy("q_id").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        votes.withColumn("rm", F.row_number().over(w_maj))
+        .filter(F.col("rm") == 1)
+        .select("q_id", F.col("label").cast("int").alias("pred_label"), F.col("cnt").alias("n_votes"))
+    )
+
+
+@register(
+    "multimodal_vector_norm",
+    oracle="""
+    select label,
+           count(*) as n_vecs,
+           round(avg(norm_r), 4) as avg_norm,
+           min(norm_r) as min_norm,
+           max(norm_r) as max_norm
+    from (
+      select label,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+               as norm_r
+      from embeddings)
+    group by label
+    """,
+)
+def multimodal_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — validates the typed-array ('multimodal
+    column') plumbing; norms ≈ 1.0 by construction (FIXTURES.md).
+
+    Norms are rounded to 6 dp before min/max/avg so list-summation order
+    cannot produce ulp-level min/max disagreements between engines.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    norm_r = F.round(l2_norm(F.col("embedding")), 6)
+    return (
+        emb.select("label", norm_r.alias("norm_r"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm_r"), 4).alias("avg_norm"),
+            F.min("norm_r").alias("min_norm"),
+            F.max("norm_r").alias("max_norm"),
+        )
+    )
+
+
+def _bucket_expr_spark() -> Column:
+    """4-bit sign-projection LSH bucket over the first 4 dimensions."""
+    bits = [
+        (F.element_at("embedding", i) > 0).cast("int") * (2 ** (i - 1))
+        for i in range(1, 5)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+_BUCKET_SQL = " + ".join(
+    f"cast(embedding[{i}] > 0 as int) * {2 ** (i - 1)}" for i in range(1, 5)
+)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    with bucketed as (
+      select vec_id, embedding, ({_BUCKET_SQL}) as bucket from embeddings),
+    q as (select bucket as q_bucket, embedding::DOUBLE[] as q_emb
+          from bucketed where vec_id = 0)
+    select vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q_emb), 4) as score
+    from bucketed, q
+    where bucket = q_bucket and vec_id <> 0
+    order by score desc, vec_id
+    limit 5
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via sign-projection LSH buckets.
+
+    The scale path: bucket assignment is map-side arithmetic; the search
+    touches only the query's bucket (~1/16 of vectors here; more hyperplanes
+    at larger n), turning O(n) scans per query into O(n/buckets) — the
+    standard random-hyperplane LSH scheme, with fixed axis-aligned
+    hyperplanes so the DuckDB oracle reproduces bucket ids exactly.
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr_spark())
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("q_bucket"), F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )

@@ -1,0 +1,317 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.8).
+
+Driver-mandated extensions: exact dedup, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes (100 TB):
+- ``dedup_exact`` groups on the TEXT HASH shape (here the text itself at
+  small SF; ``text_fingerprint`` provides the md5 key for corpus scale) —
+  one shuffle keyed by content, survivor chosen deterministically (min
+  doc_id) instead of Spark's nondeterministic dropDuplicates.
+- ``dedup_near_minhash`` is the real scale path: shingle → k-permutation
+  MinHash signature (map-side, higher-order functions only) → banded LSH →
+  candidate pairs via EQUI-join on (band, band-hash) → exact-Jaccard verify
+  of candidates only. Shuffle volume is O(docs × bands), never O(docs²).
+- ``dedup_ngram_jaccard`` is the exact-verification primitive expressed as
+  an inverted-index self-join (pairs share a shingle → co-grouped) — the
+  posting-list join bounds pair generation to docs that actually share
+  content; a hot-shingle cap would be the skew guard at corpus scale.
+- ``dedup_simhash`` packs a 16-bit simhash from md5-derived token hashes —
+  deterministic across engines/runs; Hamming-ball pairing at scale uses the
+  standard bit-block LSH (4 blocks of 4 bits → candidates share a block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+#: (a, b) parameters for the k MinHash permutations h_j(x) = (a*x + b) mod P,
+#: fixed primes so signatures are deterministic across runs.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = tuple(
+    (2 * j + 3, 104729 + 7919 * j) for j in range(16)
+)
+MINHASH_PRIME = 2_147_483_647
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+
+
+def shingle_expr(n: int) -> Column:
+    """Word n-gram shingles of documents.text as an array column (JVM-side)."""
+    joined = ", ".join(
+        f"element_at(split(text, ' '), i + {k})" for k in range(n)
+    )
+    return F.expr(
+        f"""
+        case when size(split(text, ' ')) >= {n}
+             then transform(sequence(1, size(split(text, ' ')) - {n - 1}),
+                            i -> concat_ws(' ', {joined}))
+             else array()
+        end
+        """
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    select lang, count(*) as n_docs
+    from (
+      select lang from (
+        select lang, row_number() over (partition by text order by doc_id) as rn
+        from documents)
+      where rn = 1)
+    group by lang
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text, deterministic survivor (min doc_id), per-lang counts.
+
+    sf0.01 has zero exact duplicates (FIXTURES.md) — survivors == all docs;
+    the operator is still exercised end-to-end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    survivors = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    with sh as (
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(list_transform(
+                 list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+                 x -> x[1] || ' ' || x[2] || ' ' || x[3])) as shingle
+        from (select doc_id, string_split(text, ' ') as t from documents)
+        where len(t) >= 3)),
+    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    inter as (
+      select a.doc_id as a_id, b.doc_id as b_id, count(*) as i
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by all)
+    select a_id, b_id,
+           round(i / (sa.n + sb.n - i), 4) as jacc
+    from inter
+    join sizes sa on sa.doc_id = a_id
+    join sizes sb on sb.doc_id = b_id
+    order by jacc desc, a_id, b_id
+    limit 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by word-trigram Jaccard.
+
+    Pair generation via inverted-index self-join (only docs sharing a
+    shingle meet), then |A∩B| / (|A|+|B|-|A∩B|) exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(shingle_expr(3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
+            ).alias("jacc"),
+        )
+        .orderBy(F.desc("jacc"), F.asc("a_id"), F.asc("b_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle="""
+    select a.vec_id as a_id, b.vec_id as b_id,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+             as score
+    from embeddings a join embeddings b on a.vec_id < b.vec_id
+    where round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+          >= 0.35
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score ≥ 0.35).
+
+    Exact all-pairs at test SF (guarded upstream by vectors.ALL_PAIRS_LIMIT
+    semantics); at 100 TB candidates come from sign-projection LSH buckets
+    (vectors.sim_ann_lsh) with this same verify step.
+    """
+    from ..functions.vectors import dot
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    score = F.round(dot(F.col("a.embedding"), F.col("b.embedding")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.35)
+    )
+
+
+@register("dedup_near_minhash")  # rows-only: hash-permutation-dependent
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded-LSH near-duplicate detection — the 100 TB dedup path.
+
+    Pipeline (all higher-order functions, map-side until the band join):
+      1. word-trigram shingles per doc;
+      2. 16-permutation MinHash signature: sig_j = min over shingles of
+         (a_j * xxhash64(shingle) + b_j) mod P;
+      3. 4 bands × 4 rows: band key = hash of the band's signature slice;
+      4. candidate pairs = equi-join on (band_id, band_key)  — O(docs×bands)
+         shuffle, never O(docs²);
+      5. exact trigram-Jaccard verify of candidates, threshold 0.5.
+
+    Output: one summary row (n_docs, n_candidate_pairs, n_duplicate_pairs) —
+    deterministic for a fixed corpus. Declared rows-only: DuckDB cannot
+    reproduce Spark's xxhash64 (SURVEY.md §7.3.7).
+    """
+    docs = load(spark, sf_dir, "documents")
+    with_sh = docs.select(
+        "doc_id", F.array_distinct(shingle_expr(3)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    hashed = with_sh.withColumn(
+        "hs", F.transform("shingles", lambda s: F.xxhash64(s))
+    )
+    def _perm(a: int, b: int):
+        # reduce the 64-bit hash mod P first so a*h stays within long range
+        # (ANSI overflow checking is on in Spark 4)
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(MINHASH_PRIME)) * F.lit(a) + F.lit(b),
+            F.lit(MINHASH_PRIME),
+        )
+
+    sig_cols = [
+        F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = hashed.select("doc_id", "shingles", *sig_cols)
+
+    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    band_entries = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.hash(
+                *[F.col(f"sig{k * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for k in range(MINHASH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", "shingles", F.explode(F.array(*band_entries)).alias("band")
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
+        )
+        .distinct()
+    )
+    jacc = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    verified = candidates.withColumn("jacc", jacc)
+    summary = verified.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum((F.col("jacc") >= 0.5).cast("bigint")), F.lit(0)
+        ).alias("n_duplicate_pairs"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(summary)
+
+
+@register("dedup_simhash")  # rows-only: packed-bit arithmetic, no SQL twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup summary.
+
+    Per doc: token hash = first 4 hex digits of md5(token) (engine-portable);
+    simhash bit b = sign of Σ_tokens (±1 by bit b of the token hash). Pairs
+    within Hamming distance ≤ 3 are near-dup candidates. Output one summary
+    row (n_docs, n_close_pairs). At corpus scale candidates come from bit-
+    block LSH (4 blocks of 4 bits; dist ≤ 3 ⇒ one block equal) instead of
+    the all-pairs join used at test SF.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    tok = tok.withColumn("h", h)
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{bit}")
+            for bit in range(16)
+        ]
+    )
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                (F.col(f"s{bit}") > 0).cast("int") * (2**bit)
+                for bit in range(16)
+            ],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    a = simhash.alias("a")
+    b = simhash.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("bigint")
+    )
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        hamming.alias("d")
+    )
+    summary = pairs.agg(
+        F.coalesce(F.sum((F.col("d") <= 3).cast("bigint")), F.lit(0)).alias(
+            "n_close_pairs"
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(summary)
