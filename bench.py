@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, SURVEY.md §7.1 step 9).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": 0.1}.
+
+Each query is forced through the noop sink (full distributed materialization,
+no driver collect). Only the JSON line goes to stdout; Spark logs to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from distributed_system_mapreduce_spark.registry import QUERIES
+    from distributed_system_mapreduce_spark.session import get_spark
+
+    spark = get_spark("dsmr-bench", cpus=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once so per-query numbers measure the
+    # queries, not first-touch class loading
+    QUERIES["scan_lineitem"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "t2_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -135,16 +135,17 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram counts over the corpus (higher-order functions, no UDF)."""
     docs = load(spark, sf_dir, "documents")
+    # materialize the token array ONCE per row; an inline split inside the
+    # lambda would re-tokenize per element (O(tokens²) per doc)
     bigrams = F.expr(
         """
-        transform(sequence(1, size(split(text, ' ')) - 1),
-                  i -> concat_ws(' ',
-                                 element_at(split(text, ' '), i),
-                                 element_at(split(text, ' '), i + 1)))
+        transform(sequence(1, size(toks) - 1),
+                  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
         """
     )
     return (
-        docs.filter(F.size(F.split("text", " ")) >= 2)
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -193,9 +194,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test. Deterministic: argmax ties break lexicographically.
     """
     docs = load(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, ws in sorted(LANG_MARKERS.items()) for w in ws],
-        "pred_lang string, word string",
+    # inline VALUES instead of createDataFrame: stays JVM-side (no Python
+    # serialization round-trip, which costs seconds on first use per session)
+    markers = spark.sql(
+        "select * from values "
+        + _markers_sql_values()
+        + " as t(pred_lang, word)"
     )
     tok = tokens(docs).select("doc_id", "lang", "word")
     hits = (

@@ -33,6 +33,18 @@ from ..sources.io import load
 ALL_PAIRS_LIMIT = 100_000
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition the STREAMED side of a compute-bound join to full
+    parallelism.
+
+    Small parquet inputs arrive as one partition (one row group), which
+    serializes BroadcastNestedLoopJoin onto a single core. At 100 TB inputs
+    are already wide and this round-robin exchange is cheap relative to the
+    O(n·m) dot-product work it parallelizes.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float arrays, accumulated in double.
 
@@ -118,8 +130,11 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     _guard_all_pairs(emb)
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # pre-cast to double BEFORE the join: the exchange/broadcast then carry
+    # double arrays once, instead of casting per generated pair (O(n²) casts)
+    emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    a = spread(emb_d).alias("a")
+    b = emb_d.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -156,11 +171,14 @@ def sim_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=10 nearest-neighbor majority label for the first 20 query vectors."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20).select(
+    emb_d = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb_d.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        spread(emb_d).join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("v_id"),

@@ -38,15 +38,17 @@ MINHASH_PRIME = 2_147_483_647
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 
 
-def shingle_expr(n: int) -> Column:
-    """Word n-gram shingles of documents.text as an array column (JVM-side)."""
-    joined = ", ".join(
-        f"element_at(split(text, ' '), i + {k})" for k in range(n)
-    )
+def shingle_expr(n: int, tokens_col: str = "toks") -> Column:
+    """Word n-gram shingles from a PRE-SPLIT token-array column (JVM-side).
+
+    Callers must ``withColumn(tokens_col, F.split("text", " "))`` first so
+    tokenization happens once per row, not once per shingle.
+    """
+    joined = ", ".join(f"element_at({tokens_col}, i + {k})" for k in range(n))
     return F.expr(
         f"""
-        case when size(split(text, ' ')) >= {n}
-             then transform(sequence(1, size(split(text, ' ')) - {n - 1}),
+        case when size({tokens_col}) >= {n}
+             then transform(sequence(1, size({tokens_col}) - {n - 1}),
                             i -> concat_ws(' ', {joined}))
              else array()
         end
@@ -109,9 +111,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation via inverted-index self-join (only docs sharing a
     shingle meet), then |A∩B| / (|A|+|B|-|A∩B|) exactly.
     """
+    from ..functions.vectors import spread
+
     docs = load(spark, sf_dir, "documents")
     sh = (
-        docs.select("doc_id", F.explode(shingle_expr(3)).alias("shingle"))
+        spread(docs)
+        .withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(shingle_expr(3)).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -163,11 +169,15 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics); at 100 TB candidates come from sign-projection LSH buckets
     (vectors.sim_ann_lsh) with this same verify step.
     """
-    from ..functions.vectors import dot
+    from ..functions.vectors import dot, spread
 
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # pre-cast once; the pair join then multiplies double arrays directly
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = spread(emb_d).alias("a")
+    b = emb_d.alias("b")
     score = F.round(dot(F.col("a.embedding"), F.col("b.embedding")), 4)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -197,10 +207,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic for a fixed corpus. Declared rows-only: DuckDB cannot
     reproduce Spark's xxhash64 (SURVEY.md §7.3.7).
     """
+    from ..functions.vectors import spread
+
     docs = load(spark, sf_dir, "documents")
-    with_sh = docs.select(
-        "doc_id", F.array_distinct(shingle_expr(3)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # persisted: referenced by the band self-join (twice) and both verify
+    # joins — recomputing shingles 4x would dominate runtime; the cached
+    # footprint is O(docs x shingles) and evicts under LRU at scale
+    with_sh = (
+        spread(docs)
+        .withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.array_distinct(shingle_expr(3)).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
 
     hashed = with_sh.withColumn(
         "hs", F.transform("shingles", lambda s: F.xxhash64(s))
@@ -217,7 +236,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{j}")
         for j, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    sigs = hashed.select("doc_id", "shingles", *sig_cols)
+    sigs = hashed.select("doc_id", *sig_cols)
 
     rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
     band_entries = [
@@ -229,9 +248,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in range(MINHASH_BANDS)
     ]
+    # the band join carries ONLY (band, key, id) — shingle arrays rejoin
+    # after candidate dedup, so the shuffle stays O(docs x bands) ids
     banded = sigs.select(
-        "doc_id", "shingles", F.explode(F.array(*band_entries)).alias("band")
-    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+        "doc_id", F.explode(F.array(*band_entries)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -245,13 +266,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
         )
         .distinct()
     )
+    sa = with_sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = with_sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
     jacc = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
-    verified = candidates.withColumn("jacc", jacc)
+    verified = candidates.join(sa, "a_id").join(sb, "b_id").withColumn("jacc", jacc)
     summary = verified.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.coalesce(
@@ -273,8 +294,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     block LSH (4 blocks of 4 bits; dist ≤ 3 ⇒ one block equal) instead of
     the all-pairs join used at test SF.
     """
+    from ..functions.vectors import spread
+
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
+    tok = spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 4), 16, 10).cast(
@@ -300,7 +323,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("simhash"),
     )
-    a = simhash.alias("a")
+    from ..functions.vectors import spread as _spread
+
+    a = _spread(simhash).alias("a")
     b = simhash.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("bigint")
