@@ -1,0 +1,195 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md §2.8, driver
+mandate: "treat image/audio/video as opaque binary columns with typed
+metadata; decode / feature-extract / resize / frame-sample as Pandas UDFs
+over mapInPandas").
+
+The container ships no image/audio codecs, so the DECODE step is stubbed:
+``decode_bytes`` raises ``NotImplementedError`` unless a deterministic fake
+decoder is requested. Everything around it — the binary+metadata schema, the
+Arrow batch shape, the ``mapInPandas`` signatures, partition behavior — is
+real and unit-tested, so swapping in PIL/ffmpeg later touches exactly one
+function.
+
+Scale notes (100 TB):
+- Media bytes stay OPAQUE through the plan: no shuffle ever carries decoded
+  pixels, only the binary column (pruned away unless the stage needs it) and
+  small typed features.
+- ``mapInPandas`` streams Arrow record batches — decode happens once per
+  batch per executor, output is the feature schema only; batch size is
+  bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- Feature extraction is embarrassingly parallel per partition; partitioning
+  is inherited from the scan, so media stored partition-aligned (e.g. by
+  shard id) never reshuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: typed metadata carried alongside every media blob
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("data", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_bytes", LongType(), False),
+    ]
+)
+
+N_FEATURES = 10  # mean, std + 8-bin byte histogram
+
+
+def decode_bytes(data: bytes, media_type: str, *, fake: bool = False) -> np.ndarray:
+    """Decode a media blob to an array. REAL CODECS NOT AVAILABLE HERE.
+
+    With ``fake=True`` returns a deterministic pseudo-decode (md5-seeded
+    bytes) so the downstream plumbing is testable; otherwise raises, marking
+    exactly where PIL / soundfile / ffmpeg plug in.
+    """
+    if not fake:
+        raise NotImplementedError(
+            f"no {media_type} codec in this environment; pass fake=True for "
+            "the deterministic test decoder or plug a real codec in here"
+        )
+    seed = hashlib.md5(data).digest()
+    n = max(len(data), 16)
+    reps = -(-n // len(seed))  # ceil
+    buf = (seed * reps)[:n]
+    return np.frombuffer(buf, dtype=np.uint8)
+
+
+def _extract_features(arr: np.ndarray) -> list[float]:
+    hist = np.bincount(arr >> 5, minlength=8)[:8].astype(np.float64)
+    hist = hist / max(arr.size, 1)
+    return [float(arr.mean()), float(arr.std())] + [float(x) for x in hist]
+
+
+def media_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """decode → feature-extract as a mapInPandas pipeline over MEDIA_SCHEMA.
+
+    Output: FEATURE_SCHEMA (one row per media item; features length
+    ``N_FEATURES``). Arrow-batched: one Python crossing per record batch.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                decode_bytes(d, t, fake=fake_decode)
+                for d, t in zip(pdf["data"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["data"].map(len).astype("int64"),
+                    "features": [
+                        np.asarray(_extract_features(a), dtype=np.float32)
+                        for a in arrs
+                    ],
+                }
+            )
+
+    return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: updates typed metadata, leaves bytes opaque.
+
+    A real implementation decodes/resizes/re-encodes inside the same
+    mapInPandas shape as ``media_features``; metadata-only update keeps the
+    plumbing honest without a codec.
+    """
+    return df.withColumn("width", F.lit(width).cast("int")).withColumn(
+        "height", F.lit(height).cast("int")
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sample stub for video rows: emits one row per sampled frame
+    (1→N expansion through mapInPandas, the video analogue of posexplode).
+
+    Frame byte-ranges are derived deterministically from metadata; a real
+    demuxer replaces ``_frame_sizes`` only.
+    """
+
+    def _frame_sizes(n_bytes: int, n_frames: int) -> list[int]:
+        base = n_bytes // max(n_frames, 1)
+        return [base] * max(n_frames, 1)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_idx: list[int] = []
+            out_bytes: list[int] = []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "video":
+                    continue
+                n_frames = int(row["n_frames"] or 1)
+                sizes = _frame_sizes(len(row["data"]), n_frames)
+                for i in range(0, n_frames, every_n):
+                    out_ids.append(int(row["media_id"]))
+                    out_idx.append(i)
+                    out_bytes.append(sizes[i])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_index": pd.Series(out_idx, dtype="int32"),
+                    "frame_bytes": pd.Series(out_bytes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def fake_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from documents.text (test fixture):
+    text bytes become the blob; metadata derived from doc stats."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 48 + 12).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col("n_chars") % 8 + 1).cast("int").alias("n_frames"),
+        F.col("text").cast("binary").alias("data"),
+    )

@@ -1,0 +1,1 @@
+from .checks import assert_in_plan, assert_not_in_plan, explain_str  # noqa: F401

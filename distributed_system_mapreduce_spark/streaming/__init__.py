@@ -1,0 +1,7 @@
+from .windows import (  # noqa: F401
+    read_events_stream,
+    run_available_now,
+    session_counts_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)

@@ -1,0 +1,110 @@
+"""Structured Streaming twins of the batch event-time windows (SURVEY.md §2.9).
+
+The MapReduce reference model is strictly batch (OSDI 2004) — no watermarks,
+no windows, no late-data handling. These builders exist because the engine is
+Spark-native: the SAME aggregations as operators/timewin.py, expressed over an
+unbounded source with watermarking, so a user can lift the batch pipeline to a
+stream without rewriting logic. They are exercised by unit tests with
+``availableNow`` triggers (bounded replay of the parquet fixtures); they are
+NOT part of the t2 surface (the DuckDB oracle is batch-only).
+
+Scale notes:
+- Watermark = bound on state: with a 1-hour watermark Spark drops per-window
+  state older than max(event_time) - 1h, so state size is O(active windows ×
+  keys), independent of stream length.
+- ``session_window`` is Spark's native gap-based sessionization; state per
+  (user, open session) merges on arrival — the streaming dual of the batch
+  lag+cumsum sessionizer (identical output on bounded input).
+- Sinks: tests use the in-memory sink; production would use a parquet/Kafka
+  sink with checkpointing for exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import table_path
+
+# events.ts is parquet TIMESTAMP(NANOS); the streaming reader needs the same
+# nanos handling as sources.io.load (read as long, rebuild µs timestamps).
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the ns→µs rebuild."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a DIRECTORY; point it at the sf dir and
+    # glob-filter down to the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``window_tumbling``: hourly counts + sums with
+    late-data tolerance = ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``window_sliding``: 1h windows every 15 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "cnt", "sum_value")
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window`` (30-min gap) —
+    the stateful dual of the batch lag+cumsum sessionizer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a bounded stream into the in-memory sink and return the result
+    as a batch DataFrame (test/dev helper; production uses durable sinks)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

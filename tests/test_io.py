@@ -1,0 +1,44 @@
+"""Sources & sinks round-trips (§2.1 row 3: text/csv/json surface)."""
+
+from __future__ import annotations
+
+from distributed_system_mapreduce_spark.sources import io as sio
+from conftest import SF_SMOKE
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    ev = sio.load(spark, SF_SMOKE, "events").limit(200)
+    out = str(tmp_path / "ev_parquet")
+    sio.write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # partition pruning: reading one event_type touches one directory
+    one = back.filter("event_type = 'click'")
+    assert one.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = sio.load(spark, SF_SMOKE, "nation")
+    out = str(tmp_path / "nation_csv")
+    sio.write_csv(df, out)
+    back = sio.read_csv(spark, out)
+    assert back.count() == 25
+    assert set(back.columns) == set(df.columns)
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = sio.load(spark, SF_SMOKE, "region")
+    out = str(tmp_path / "region_json")
+    sio.write_json(df, out)
+    back = sio.read_json(spark, out)
+    assert {r["r_name"] for r in back.collect()} == {
+        r["r_name"] for r in df.collect()
+    }
+
+
+def test_text_input(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha beta\ngamma\n")
+    df = sio.read_text(spark, str(p))
+    assert df.count() == 2
+    assert df.columns == ["value"]

@@ -1,0 +1,74 @@
+"""Physical-plan regression guards (SURVEY.md §5.2.4).
+
+These pin the scale-critical plan properties: predicate pushdown, column
+pruning, broadcast joins, map-side partial aggregation, top-k short-circuit.
+"""
+
+from __future__ import annotations
+
+from distributed_system_mapreduce_spark.plans import assert_in_plan, explain_str
+from distributed_system_mapreduce_spark.registry import QUERIES
+
+from conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = explain_str(QUERIES["filter_predicate"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least the range predicates must be pushed
+    assert "GreaterThanOrEqual(l_shipdate" in plan or "IsNotNull(l_discount)" in plan, plan
+
+
+def test_column_pruning_reads_two_columns(spark):
+    plan = explain_str(QUERIES["scan_project_prune"](spark, SF_DIR))
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # none of the other 9 lineitem columns may be read
+    for col in ("l_extendedprice", "l_shipdate", "l_returnflag", "l_partkey"):
+        assert col not in read_schema, read_schema
+
+
+def test_map_side_join_broadcasts(spark):
+    assert_in_plan(QUERIES["join_map_side"](spark, SF_DIR), "BroadcastHashJoin")
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = explain_str(QUERIES["join_multiway"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in explain_str(QUERIES["join_semi"](spark, SF_DIR))
+    assert "LeftAnti" in explain_str(QUERIES["join_anti"](spark, SF_DIR))
+
+
+def test_partial_aggregation_present(spark):
+    # MapReduce combiner analogue: partial_ aggregate before the exchange
+    plan = explain_str(QUERIES["agg_pricing_summary"](spark, SF_DIR))
+    assert "partial_" in plan, plan
+    assert "Exchange" in plan
+
+
+def test_topk_short_circuits(spark):
+    assert_in_plan(QUERIES["topk_orders"](spark, SF_DIR), "TakeOrderedAndProject")
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    df = QUERIES["agg_pricing_summary"](spark, SF_DIR)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    plan = explain_str(df, mode="formatted")
+    assert "isFinalPlan=true" in plan
+    assert "codegen id" in plan, plan
+
+
+def test_tokenization_has_no_python_udf(spark):
+    for name in ("word_count", "text_tfidf_top", "sim_topk_query", "text_quality_score"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR), mode="simple")
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_sort_is_range_partitioned(spark):
+    plan = explain_str(QUERIES["sort_global"](spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower(), plan
