@@ -16,6 +16,7 @@ from .functions import (  # noqa: F401
 from .operators import (  # noqa: F401
     aggregations,
     dedup,
+    extended,
     joins,
     relational,
     setops,

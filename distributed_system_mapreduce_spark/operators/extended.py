@@ -1,0 +1,215 @@
+"""Extended relational surface (beyond the core SURVEY.md §2 checklist).
+
+Rounds out the operator inventory with the remaining widely-used batch
+shapes: pivot, exact percentiles, CUBE grouping, ntile bucketing,
+first/last-value windows, string scalar functions, date-part extraction,
+conditional (filtered) aggregation. Each stays a single declarative plan —
+one shuffle for the aggregates, zero for the scalar maps — and keeps the
+determinism rules (unique-key ordering, rounded doubles) used everywhere
+else in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    select cast(user_id % 16 as bigint) as user_bucket,
+           count(*) filter (where event_type = 'click')    as click,
+           count(*) filter (where event_type = 'error')    as error,
+           count(*) filter (where event_type = 'purchase') as purchase,
+           count(*) filter (where event_type = 'signup')   as signup,
+           count(*) filter (where event_type = 'view')     as view
+    from events
+    group by user_bucket
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into count columns per user bucket.
+
+    The explicit value list keeps the plan single-pass (no extra distinct
+    scan to discover pivot values) — required at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy((F.col("user_id") % 16).cast("bigint").alias("user_bucket"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.na.fill(0, subset=list(EVENT_TYPES))
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    select event_type,
+           round(quantile_cont(value, 0.5), 4) as p50,
+           round(quantile_cont(value, 0.9), 4) as p90,
+           round(quantile_cont(value, 0.99), 4) as p99
+    from events
+    group by event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type.
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation at rank (n-1)·p, so values agree (rounded for fp).
+    At 100 TB the sketch path is ``approx_percentile`` (t-digest, mergeable);
+    exact percentile requires a per-group sort and is kept for parity.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    select o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) as revenue,
+           count(*) as n_orders
+    from orders
+    group by cube(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one Expand pass."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    select o_orderkey, o_orderpriority,
+           ntile(4) over (partition by o_orderpriority
+                          order by o_totalprice, o_orderkey) as quartile
+    from orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing within each priority class (unique-key order)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    select distinct o_custkey,
+           first_value(o_orderkey) over w as first_order,
+           last_value(o_orderkey) over w as last_order
+    from orders
+    window w as (partition by o_custkey order by o_orderdate, o_orderkey
+                 rows between unbounded preceding and unbounded following)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last order per customer in date order (deterministic frame)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
+
+
+@register(
+    "map_string_funcs",
+    oracle="""
+    select p_partkey,
+           upper(p_name) as name_upper,
+           substr(p_type, 1, 4) as type_prefix,
+           concat_ws('-', p_brand, p_type) as brand_type,
+           cast(length(p_name) as bigint) as name_len,
+           lpad(cast(p_size as varchar), 4, '0') as size_padded
+    from part
+    """,
+)
+def map_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface: upper/substring/concat/length/lpad —
+    all codegen'd map-side, zero shuffle."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "date_parts_agg",
+    oracle="""
+    select cast(year(o_orderdate) as int) as o_year,
+           cast(month(o_orderdate) as int) as o_month,
+           cast(isodow(o_orderdate) as int) as o_isodow,
+           count(*) as n_orders
+    from orders
+    group by all
+    """,
+)
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extraction surface: orders per (year, month, ISO weekday).
+
+    Spark ``weekday()`` is 0=Monday; +1 matches DuckDB ``isodow`` (1=Monday).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            (F.weekday("o_orderdate") + 1).alias("o_isodow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    select event_type,
+           cast(count_if(value > 100) as bigint) as n_high,
+           round(sum(value) filter (where value > 100), 2) as sum_high,
+           round(avg(case when value > 100 then value end), 2) as avg_high
+    from events
+    group by event_type
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (count_if / FILTER / CASE-in-agg)."""
+    ev = load(spark, sf_dir, "events")
+    high = F.when(F.col("value") > 100, F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_high"),
+        F.round(F.sum(high), 2).alias("sum_high"),
+        F.round(F.avg(high), 2).alias("avg_high"),
+    )
