@@ -1,0 +1,56 @@
+"""Skew mitigation utilities (SURVEY.md §7.3.8: "salting for skew").
+
+At 100 TB a handful of hot keys (celebrity users, default-valued FKs) can
+put one shuffle partition hours behind the rest. Two mitigations ship here:
+
+1. AQE skew-join splitting — on by default in session.get_spark(); handles
+   skew detected at runtime with no code change. Prefer it.
+2. Explicit salting (this module) — for the cases AQE can't fix: skewed
+   aggregations, and joins where the skewed side must stay un-broadcast.
+
+``salted_join`` replicates the small side R times and scatters the large
+side's hot keys across R salt buckets, so a key's rows land on R partitions
+instead of one. Result-identical to a plain join (asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``large ⋈ small`` on ``key`` with the large side salted R ways.
+
+    The small side is exploded ×R (acceptable: it is small by contract);
+    the large side gets a random-but-deterministic salt from its own row
+    (hash of all columns mod R — no rand(), so the plan stays deterministic
+    and re-executable under task retry).
+    """
+    salt_values = F.array(*[F.lit(i) for i in range(n_salts)])
+    small_rep = small.withColumn(SALT_COL, F.explode(salt_values))
+    large_salted = large.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*large.columns), F.lit(n_salts)).cast("int")
+    )
+    joined = large_salted.join(small_rep, [key, SALT_COL], how)
+    return joined.drop(SALT_COL)
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Two-phase skew-proof count per key: pre-aggregate on (key, salt),
+    then final-aggregate on key — the manual form of what partial
+    aggregation already does for algebraic aggregates, useful as the
+    template for non-algebraic ones (e.g. exact distinct lists)."""
+    salted = df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+    )
+    partial = salted.groupBy(key, SALT_COL).agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy(key).agg(F.sum("c").alias("cnt"))

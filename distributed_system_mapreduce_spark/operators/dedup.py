@@ -210,19 +210,22 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import spread
 
     docs = load(spark, sf_dir, "documents")
-    # persisted: referenced by the band self-join (twice) and both verify
-    # joins — recomputing shingles 4x would dominate runtime; the cached
-    # footprint is O(docs x shingles) and evicts under LRU at scale
-    with_sh = (
+    # shingles are HASHED immediately (xxhash64) and the strings discarded:
+    # signatures, band keys, and the Jaccard verify all work on the 64-bit
+    # hashes, so the cached footprint and every downstream shuffle carry
+    # long arrays, never shingle text. persisted because the band self-join
+    # (x2) and both verify joins reference it.
+    hashed = (
         spread(docs)
         .withColumn("toks", F.split("text", " "))
-        .select("doc_id", F.array_distinct(shingle_expr(3)).alias("shingles"))
-        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingle_expr(3), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
         .persist()
-    )
-
-    hashed = with_sh.withColumn(
-        "hs", F.transform("shingles", lambda s: F.xxhash64(s))
     )
     def _perm(a: int, b: int):
         # reduce the 64-bit hash mod P first so a*h stays within long range
@@ -269,8 +272,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = with_sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
-    sb = with_sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    sa = hashed.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("sa"))
+    sb = hashed.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sb"))
     jacc = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     verified = candidates.join(sa, "a_id").join(sb, "b_id").withColumn("jacc", jacc)
     summary = verified.agg(

@@ -1,6 +1,7 @@
 from .windows import (  # noqa: F401
     read_events_stream,
     run_available_now,
+    running_user_totals_stream,
     session_counts_stream,
     sliding_counts_stream,
     tumbling_counts_stream,

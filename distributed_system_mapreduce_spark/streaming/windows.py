@@ -96,15 +96,57 @@ def session_counts_stream(
     )
 
 
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + value total across micro-batches.
+
+    This is the escape hatch for stateful logic Spark's built-in windows
+    can't express (per-key counters, ML feature state, CEP-ish patterns):
+    state is a typed tuple per key, persisted in the state store, updated
+    with Arrow-batched pandas — the streaming analogue of MapReduce's
+    ``reduce(k, iterator)`` with memory between batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n_events long, total_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain a bounded stream into the in-memory sink and return the result
     as a batch DataFrame (test/dev helper; production uses durable sinks)."""
+    mode = "update" if stream_df.isStreaming and _is_stateful_update(stream_df) else "complete"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def _is_stateful_update(stream_df: DataFrame) -> bool:
+    """applyInPandasWithState plans only support update/append output."""
+    return "FlatMapGroupsInPandasWithState" in stream_df._jdf.queryExecution().logical().toString()

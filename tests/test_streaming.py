@@ -7,6 +7,7 @@ from distributed_system_mapreduce_spark.registry import QUERIES
 from distributed_system_mapreduce_spark.streaming import (
     read_events_stream,
     run_available_now,
+    running_user_totals_stream,
     session_counts_stream,
     tumbling_counts_stream,
 )
@@ -45,3 +46,31 @@ def test_streaming_session_window_runs(spark):
     from distributed_system_mapreduce_spark.sources.io import load
 
     assert total == load(spark, SF_SMOKE, "events").count()
+
+
+def test_stateful_running_totals_match_batch(spark):
+    """applyInPandasWithState per-user totals == batch groupBy on bounded
+    replay (latest state row per user under update mode)."""
+    from pyspark.sql import functions as F
+    from distributed_system_mapreduce_spark.sources.io import load
+
+    stream = running_user_totals_stream(read_events_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, "t_state")
+    latest = {}
+    for r in got.collect():  # update mode may emit a row per micro-batch
+        prev = latest.get(r["user_id"])
+        if prev is None or r["n_events"] >= prev[0]:
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["cnt"], r["sv"])
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .collect()
+    }
+    assert {k: v[0] for k, v in latest.items()} == {k: v[0] for k, v in want.items()}
+    for k in want:
+        assert abs(latest[k][1] - want[k][1]) < 0.05
