@@ -215,8 +215,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashes, so the cached footprint and every downstream shuffle carry
     # long arrays, never shingle text. persisted because the band self-join
     # (x2) and both verify joins reference it.
+    # NOTE the filter is on the CHEAP token count, not on size(hs): a filter
+    # on hs would be pushed below the repartition exchange and re-run the
+    # whole shingle+hash pipeline serially on the pre-shuffle partition
     hashed = (
-        spread(docs)
+        spread(docs.filter(F.size(F.split("text", " ")) >= 3))
         .withColumn("toks", F.split("text", " "))
         .select(
             "doc_id",
@@ -224,7 +227,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(shingle_expr(3), lambda s: F.xxhash64(s))
             ).alias("hs"),
         )
-        .filter(F.size("hs") > 0)
         .persist()
     )
     def _perm(a: int, b: int):

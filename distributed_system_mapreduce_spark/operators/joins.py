@@ -158,6 +158,44 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+    select
+      coalesce(a.user_id, b.user_id) as user_id,
+      a.n_click as n_click,
+      b.n_purchase as n_purchase
+    from (select user_id, count(*) as n_click from events
+          where event_type = 'click' and value > 300 group by user_id) a
+    full outer join
+         (select user_id, count(*) as n_purchase from events
+          where event_type = 'purchase' and value > 300 group by user_id) b
+      on a.user_id = b.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse per-user aggregates (high-value clicks
+    vs purchases); null counts mark users present on only one side."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 300)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    a = clicks.alias("a")
+    b = purchases.alias("b")
+    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full").select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        "n_click",
+        "n_purchase",
+    )
+
+
+@register(
     "join_theta_range",
     oracle="""
     select a.user_id as user_id, count(*) as n_pairs

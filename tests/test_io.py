@@ -36,6 +36,15 @@ def test_json_roundtrip(spark, tmp_path):
     }
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    df = sio.load(spark, SF_SMOKE, "supplier")
+    out = str(tmp_path / "supplier_orc")
+    sio.write_orc(df, out)
+    back = sio.read_orc(spark, out)
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+
+
 def test_text_input(spark, tmp_path):
     p = tmp_path / "lines.txt"
     p.write_text("alpha beta\ngamma\n")
