@@ -275,6 +275,52 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_quality_filter",
+    oracle=f"""
+    with scored as (
+      select lang,
+             len(string_split(text, ' ')) as n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x in {STOPWORDS!r}))
+               / len(string_split(text, ' ')) as stop_ratio
+      from documents)
+    select lang,
+           count(*) as n_kept,
+           cast(sum(n_tokens) as bigint) as kept_tokens
+    from scored
+    where n_tokens between 20 and 120 and stop_ratio < 0.15
+    group by lang
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus filter: keep docs in a token-length band with low
+    stopword ratio, report survivors per language — the composed
+    quality-gate pipeline a pre-training data run applies before dedup.
+    Entirely map-side until the final per-lang aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), x -> x in ({stop_list})))"
+    ) / n_tok
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("stop_ratio", stop_ratio)
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 120)
+            & (F.col("stop_ratio") < 0.15)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     select doc_id, md5(text) as fp, cast(n_chars % 1024 as bigint) as len_bucket

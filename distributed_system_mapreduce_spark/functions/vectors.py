@@ -234,6 +234,78 @@ def multimodal_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_ivf",
+    oracle="""
+    with cents as (
+      select vec_id as cent_id, embedding::DOUBLE[] as cent_emb
+      from embeddings where vec_id < 16),
+    assign as (
+      select vec_id, embedding, cent_id from (
+        select e.vec_id, e.embedding, c.cent_id,
+               row_number() over (
+                 partition by e.vec_id
+                 order by round(list_dot_product(e.embedding::DOUBLE[], c.cent_emb), 4)
+                            desc,
+                          c.cent_id) as rn
+        from embeddings e, cents c)
+      where rn = 1),
+    q as (
+      select a.cent_id as q_cent, e.embedding::DOUBLE[] as q_emb
+      from assign a join embeddings e on e.vec_id = a.vec_id
+      where a.vec_id = 0)
+    select a.vec_id as vec_id,
+           round(list_dot_product(a.embedding::DOUBLE[], q.q_emb), 4) as score
+    from assign a, q
+    where a.cent_id = q.q_cent and a.vec_id <> 0
+    order by score desc, vec_id
+    limit 5
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate search: coarse-quantize every vector to its
+    nearest of 16 centroids (here: the first 16 vectors, deterministic),
+    then probe only the query's cell.
+
+    The inverted-file structure is the classic ANN index shape: assignment
+    is one broadcast join over the centroid table (map-side at any scale);
+    a probe scans ~n/16 of the data. More cells / multi-probe trade recall
+    for speed; the exactness baseline is sim_topk_query.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb_d.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = spread(emb_d).crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(dot(F.col("embedding"), F.col("cent_emb")), 4).alias("cscore"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") == 0).select(
+        F.col("cent_id").alias("q_cent"), F.col("embedding").alias("q_emb")
+    )
+    return (
+        assign.join(F.broadcast(q), F.col("cent_id") == F.col("q_cent"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 def _bucket_expr_spark() -> Column:
     """4-bit sign-projection LSH bucket over the first 4 dimensions."""
     bits = [
