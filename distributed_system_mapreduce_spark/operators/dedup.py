@@ -169,25 +169,13 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics); at 100 TB candidates come from sign-projection LSH buckets
     (vectors.sim_ann_lsh) with this same verify step.
     """
-    from ..functions.vectors import dot, spread
+    from ..functions.vectors import blocked_pair_scores
 
     emb = load(spark, sf_dir, "embeddings")
-    # pre-cast once; the pair join then multiplies double arrays directly
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    a = spread(emb_d).alias("a")
-    b = emb_d.alias("b")
-    score = F.round(dot(F.col("a.embedding"), F.col("b.embedding")), 4)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            score.alias("score"),
-        )
-        .filter(F.col("score") >= 0.35)
-    )
+    return blocked_pair_scores(emb_d).filter(F.col("score") >= 0.35)
 
 
 @register("dedup_near_minhash")  # rows-only: hash-permutation-dependent
