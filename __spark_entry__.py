@@ -11,11 +11,19 @@ self-register on import (one module per SURVEY.md §2 family).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import distributed_system_mapreduce_spark  # noqa: F401  (registers queries)
+# make the package importable even when this file is loaded by path from a
+# different working directory
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import distributed_system_mapreduce_spark  # noqa: F401,E402  (registers queries)
 from distributed_system_mapreduce_spark.registry import ORACLES, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -114,10 +114,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import spread
 
     docs = load(spark, sf_dir, "documents")
+    # shingles hashed to 64-bit before the self-join: the posting-list
+    # shuffle and join keys are longs, not trigram strings (counts are
+    # collision-exact for any realistic corpus; the oracle keeps strings)
     sh = (
         spread(docs)
         .withColumn("toks", F.split("text", " "))
-        .select("doc_id", F.explode(shingle_expr(3)).alias("shingle"))
+        .select("doc_id", F.explode(shingle_expr(3)).alias("sh_str"))
+        .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
