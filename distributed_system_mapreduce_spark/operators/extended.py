@@ -194,6 +194,74 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filter_above_avg",
+    oracle="""
+    select o_orderkey, o_totalprice
+    from orders
+    where o_totalprice > (select avg(o_totalprice) from orders)
+    """,
+)
+def filter_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the mean price.
+
+    The average is computed once and broadcast as a one-row join — the
+    Spark-native scalar subquery; no driver-side collect. Both engines
+    compare against their own double mean; the predicate only flips for a
+    row within one ulp of the mean, which cannot occur for these inputs
+    (prices are well separated from the mean's error bound).
+    """
+    orders = load(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "reduce_variance",
+    oracle="""
+    select l_returnflag,
+           round(stddev_samp(l_quantity), 2) as sd_qty,
+           round(var_samp(l_quantity), 2) as var_qty,
+           round(stddev_pop(l_quantity), 2) as sd_pop_qty
+    from lineitem
+    group by l_returnflag
+    """,
+)
+def reduce_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (sample/population stddev, variance)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 2).alias("sd_pop_qty"),
+    )
+
+
+@register(
+    "agg_correlation",
+    oracle="""
+    select l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) as corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) as covar_qty_price
+    from lineitem
+    group by l_returnflag
+    """,
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics: Pearson correlation + sample covariance."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
     "agg_conditional",
     oracle="""
     select event_type,
