@@ -194,6 +194,49 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_shipping_priority",
+    oracle="""
+    select l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           o_orderpriority
+    from customer
+    join orders   on c_custkey = o_custkey
+    join lineitem on l_orderkey = o_orderkey
+    where c_mktsegment = 'BUILDING'
+      and o_orderdate < timestamp '1998-01-01'
+      and l_shipdate  > timestamp '1998-01-01'
+    group by l_orderkey, o_orderpriority
+    order by revenue desc, l_orderkey
+    limit 10
+    """,
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape written through the SQL front-end (``spark.sql`` over
+    temp views) — witnesses that the engine's surface is reachable as ANSI
+    SQL, not only as the DataFrame API. Catalyst produces the identical
+    plan either way."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        select l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+               o_orderpriority
+        from v_customer
+        join v_orders   on c_custkey = o_custkey
+        join v_lineitem on l_orderkey = o_orderkey
+        where c_mktsegment = 'BUILDING'
+          and o_orderdate < timestamp '1998-01-01'
+          and l_shipdate  > timestamp '1998-01-01'
+        group by l_orderkey, o_orderpriority
+        order by revenue desc, l_orderkey
+        limit 10
+        """
+    )
+
+
+@register(
     "filter_above_avg",
     oracle="""
     select o_orderkey, o_totalprice
