@@ -280,60 +280,124 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_docs.crossJoin(summary)
 
 
+SIMHASH_BITS = 16
+SIMHASH_BLOCKS = 4  # 4 blocks x 4 bits; Hamming <= 3 => >= 1 block equal
+SIMHASH_MAX_DIST = 3
+
+
 @register("dedup_simhash")  # rows-only: packed-bit arithmetic, no SQL twin
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup summary.
+    """16-bit SimHash near-dup summary via bit-block LSH — no all-pairs join.
 
-    Per doc: token hash = first 4 hex digits of md5(token) (engine-portable);
+    Per doc: token hash = low 16 bits of xxhash64(token) (JVM-side, cheap,
+    run-deterministic — this query is rows-only so no cross-engine hash
+    parity is needed, cf. SURVEY.md §7.3.7);
     simhash bit b = sign of Σ_tokens (±1 by bit b of the token hash). Pairs
-    within Hamming distance ≤ 3 are near-dup candidates. Output one summary
-    row (n_docs, n_close_pairs). At corpus scale candidates come from bit-
-    block LSH (4 blocks of 4 bits; dist ≤ 3 ⇒ one block equal) instead of
-    the all-pairs join used at test SF.
+    within Hamming distance ≤ 3 count as near-dups. Output one summary row
+    (n_docs, n_close_pairs).
+
+    Scale plan (exact, never O(docs²)):
+      1. collapse docs → distinct (simhash, count) — the value space is
+         bounded by 2^16, so this map-side-combining agg shrinks any corpus
+         to ≤ 65 536 rows before any join;
+      2. within-value pairs = Σ C(c, 2)  (Hamming 0);
+      3. cross-value candidates by bit-block LSH: 4 blocks of 4 bits — by
+         pigeonhole, d ≤ 3 bit flips cannot touch all 4 blocks, so every
+         qualifying value pair shares ≥ 1 exact block key. Equi-join on
+         (block_id, block_value), dedup (u, v), verify bit_count(u^v) ≤ 3,
+         weight by c_u·c_v.
+    For a 64-bit simhash at corpus scale step 1 no longer collapses, but
+    step 3 is unchanged (17 blocks of ~4 bits for d ≤ 16, etc.).
     """
     from ..functions.vectors import spread
 
     docs = load(spark, sf_dir, "documents")
-    tok = spread(docs).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 4), 16, 10).cast(
-        "int"
+    # the whole signature is ONE nested higher-order expression: per-token
+    # md5 hash → per-bit ±1 sums → packed 16-bit code, evaluated map-side
+    # inside whole-stage codegen. No token explode, no per-doc shuffle —
+    # the only exchange in the query is the ≤ 2^16-row value aggregation.
+    simhash_sql = f"""
+    aggregate(
+      zip_with(
+        aggregate(
+          transform(filter(split(text, ' '), w -> w != ''),
+                    w -> cast(xxhash64(w) & {(1 << SIMHASH_BITS) - 1} as int)),
+          array_repeat(0, {SIMHASH_BITS}),
+          (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                               (a, bit) -> a + case when shiftright(h, bit) & 1 = 1
+                                                    then 1 else -1 end)),
+        sequence(0, {SIMHASH_BITS - 1}),
+        (s, bit) -> case when s > 0 then shiftleft(1, bit) else 0 end),
+      0, (acc, v) -> acc + v)
+    """
+    vals = (
+        spread(docs)
+        .filter(F.expr("size(filter(split(text, ' '), w -> w != '')) > 0"))
+        .select(F.expr(simhash_sql).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    tok = tok.withColumn("h", h)
-    bit_sums = tok.groupBy("doc_id").agg(
+
+    within = vals.agg(
+        F.coalesce(
+            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")), F.lit(0)
+        ).alias("p")
+    )
+
+    bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
+    block_entries = [
+        F.struct(
+            F.lit(k).alias("block_id"),
+            F.shiftright(F.col("simhash"), k * bits_per_block)
+            .bitwiseAND(F.lit((1 << bits_per_block) - 1))
+            .alias("block_val"),
+        )
+        for k in range(SIMHASH_BLOCKS)
+    ]
+    blocked = vals.select(
+        "simhash", "c", F.explode(F.array(*block_entries)).alias("b")
+    ).select("simhash", "c", "b.block_id", "b.block_val")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    # a value pair within distance ≤ 3 can agree on several blocks; instead
+    # of a distinct() (a shuffle over every candidate pair) each pair is
+    # counted only at its FIRST agreeing block — a map-side filter on the
+    # xor of the two codes, so the join output never re-shuffles.
+    xor = F.col("u").bitwiseXOR(F.col("v"))
+    first_zero_block = F.coalesce(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"s{bit}")
-            for bit in range(16)
+            F.when(
+                F.shiftright(xor, k * bits_per_block).bitwiseAND(
+                    F.lit((1 << bits_per_block) - 1)
+                )
+                == 0,
+                F.lit(k),
+            )
+            for k in range(SIMHASH_BLOCKS)
         ]
     )
-    simhash = bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                (F.col(f"s{bit}") > 0).cast("int") * (2**bit)
-                for bit in range(16)
-            ],
-            F.lit(0),
-        ).alias("simhash"),
-    )
-    from ..functions.vectors import spread as _spread
-
-    a = _spread(simhash).alias("a")
-    b = simhash.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("bigint")
-    )
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        hamming.alias("d")
-    )
-    summary = pairs.agg(
-        F.coalesce(F.sum((F.col("d") <= 3).cast("bigint")), F.lit(0)).alias(
-            "n_close_pairs"
+    cross = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
+        .select(
+            F.col("a.simhash").alias("u"),
+            F.col("b.simhash").alias("v"),
+            F.col("a.block_id").alias("block_id"),
+            F.col("a.c").alias("cu"),
+            F.col("b.c").alias("cv"),
+        )
+        .filter(first_zero_block == F.col("block_id"))
+        .filter(F.bit_count(xor.cast("bigint")) <= SIMHASH_MAX_DIST)
+        .agg(
+            F.coalesce(F.sum(F.col("cu") * F.col("cv")), F.lit(0)).alias("p")
+        )
+    )
+    summary = within.crossJoin(cross.withColumnRenamed("p", "pc")).select(
+        (F.col("p") + F.col("pc")).alias("n_close_pairs")
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return n_docs.crossJoin(summary)
