@@ -1,0 +1,156 @@
+"""ANN quality: measured recall of the approximate paths vs the exact
+baseline, and Lloyd-trained IVF centroids vs the deterministic seed.
+
+Recall@k = |approx top-k ∩ exact top-k| / k, averaged over query vectors.
+These are quality regressions, not parity checks — the approximate paths
+trade recall for scan cost and the tests pin the achieved trade-off.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+import distributed_system_mapreduce_spark  # noqa: F401
+from distributed_system_mapreduce_spark.functions.vectors import (
+    dot,
+    lloyd_centroids,
+    spread,
+)
+from distributed_system_mapreduce_spark.sources.io import load
+
+from conftest import SF_DIR
+
+K = 10
+N_QUERIES = 30
+
+
+@pytest.fixture(scope="module")
+def emb_d(spark):
+    return (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .cache()
+    )
+
+
+def _exact_topk(emb_d: DataFrame) -> DataFrame:
+    """Exact cosine top-K per query vector (vec_id < N_QUERIES), brute force."""
+    q = emb_d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = spread(emb_d).join(
+        F.broadcast(q), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("v_id"),
+        F.round(dot(F.col("q_emb"), F.col("embedding")), 4).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("v_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("q_id", "v_id")
+    )
+
+
+def _assign(emb_d: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = spread(emb_d).crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        dot(F.col("embedding"), F.col("cent_emb")).alias("cscore"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
+def _ivf_topk(emb_d: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """IVF top-K per query vector probing the nprobe nearest cells."""
+    assign = _assign(emb_d, cents)
+    q = emb_d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_emb", "cent_id", dot(F.col("q_emb"), F.col("cent_emb")).alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "cent_id")
+    )
+    scored = assign.join(F.broadcast(probe), "cent_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("v_id"),
+        F.round(dot(F.col("q_emb"), F.col("embedding")), 4).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("v_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("q_id", "v_id")
+    )
+
+
+def _recall(exact: DataFrame, approx: DataFrame) -> float:
+    hits = exact.join(approx, ["q_id", "v_id"], "left_semi").count()
+    return hits / (N_QUERIES * K)
+
+
+@pytest.fixture(scope="module")
+def exact(emb_d):
+    return _exact_topk(emb_d).cache()
+
+
+def _seed_cents(emb_d: DataFrame) -> DataFrame:
+    return emb_d.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+
+
+def test_multiprobe_beats_single_probe(emb_d, exact):
+    cents = _seed_cents(emb_d)
+    r1 = _recall(exact, _ivf_topk(emb_d, cents, nprobe=1))
+    r4 = _recall(exact, _ivf_topk(emb_d, cents, nprobe=4))
+    assert r4 >= r1, (r1, r4)
+    # 4/16 cells probed must find a real fraction of the exact top-k
+    assert r4 >= 0.25, r4
+
+
+def test_trained_centroids_do_not_regress(emb_d, exact):
+    seed = _seed_cents(emb_d)
+    trained = lloyd_centroids(emb_d, k=16, iters=3)
+    r_seed = _recall(exact, _ivf_topk(emb_d, seed, nprobe=4))
+    r_trained = _recall(exact, _ivf_topk(emb_d, trained, nprobe=4))
+    # Lloyd balances the cells; recall at equal nprobe should hold or improve
+    assert r_trained >= r_seed - 0.05, (r_seed, r_trained)
+
+
+def test_lloyd_reduces_quantization_error(emb_d):
+    """Training objective itself must improve: mean best-centroid cosine."""
+    def mean_best(cents):
+        return (
+            _assign(
+                emb_d,
+                cents,
+            )
+            .join(cents, "cent_id")
+            .select(dot(F.col("embedding"), F.col("cent_emb")).alias("s"))
+            .agg(F.avg("s"))
+            .collect()[0][0]
+        )
+
+    seed = _seed_cents(emb_d)
+    trained = lloyd_centroids(emb_d, k=16, iters=3)
+    assert mean_best(trained) > mean_best(seed)
