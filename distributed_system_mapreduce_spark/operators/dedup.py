@@ -182,6 +182,55 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_pair_scores(emb_d).filter(F.col("score") >= 0.35)
 
 
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): distinct xxhash64'd word-trigram shingles per doc.
+
+    Map-side only (split → shingle → hash inside one projection); shared by
+    the batch MinHash pipeline and the streaming incremental dedup.
+    """
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingle_expr(3), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+    )
+
+
+def banded_keys(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band keys from shingle-hash arrays.
+
+    Pure projections — safe on batch and streaming DataFrames alike.
+    """
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(MINHASH_PRIME)) * F.lit(a) + F.lit(b),
+            F.lit(MINHASH_PRIME),
+        )
+
+    sig_cols = [
+        F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = hashed.select("doc_id", *sig_cols)
+    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    band_entries = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.hash(
+                *[F.col(f"sig{k * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for k in range(MINHASH_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_entries)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
 @register("dedup_near_minhash")  # rows-only: hash-permutation-dependent
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded-LSH near-duplicate detection — the 100 TB dedup path.
@@ -210,46 +259,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE the filter is on the CHEAP token count, not on size(hs): a filter
     # on hs would be pushed below the repartition exchange and re-run the
     # whole shingle+hash pipeline serially on the pre-shuffle partition
-    hashed = (
-        spread(docs.filter(F.size(F.split("text", " ")) >= 3))
-        .withColumn("toks", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(shingle_expr(3), lambda s: F.xxhash64(s))
-            ).alias("hs"),
-        )
-        .persist()
-    )
-    def _perm(a: int, b: int):
-        # reduce the 64-bit hash mod P first so a*h stays within long range
-        # (ANSI overflow checking is on in Spark 4)
-        return lambda h: F.pmod(
-            F.pmod(h, F.lit(MINHASH_PRIME)) * F.lit(a) + F.lit(b),
-            F.lit(MINHASH_PRIME),
-        )
-
-    sig_cols = [
-        F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{j}")
-        for j, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    sigs = hashed.select("doc_id", *sig_cols)
-
-    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
-    band_entries = [
-        F.struct(
-            F.lit(k).alias("band_id"),
-            F.hash(
-                *[F.col(f"sig{k * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_key"),
-        )
-        for k in range(MINHASH_BANDS)
-    ]
+    hashed = spread(docs).transform(shingle_hashes).persist()
     # the band join carries ONLY (band, key, id) — shingle arrays rejoin
-    # after candidate dedup, so the shuffle stays O(docs x bands) ids
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_entries)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    # after candidate dedup, so the shuffle stays O(docs x bands) ids.
+    # (a*h + b stays in long range because banded_keys reduces h mod P first
+    # — ANSI overflow checking is on in Spark 4)
+    banded = banded_keys(hashed)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -1,3 +1,8 @@
+from .dedup import (  # noqa: F401
+    dedup_exact_stream,
+    minhash_candidates_stream,
+    read_documents_stream,
+)
 from .windows import (  # noqa: F401
     read_events_stream,
     run_available_now,

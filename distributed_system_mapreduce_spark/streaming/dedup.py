@@ -1,0 +1,98 @@
+"""Incremental (streaming) deduplication — the online twin of the batch
+MinHash pipeline in operators/dedup.py.
+
+A training-data ingest at 100 TB is append-only: new documents arrive and
+must be checked against everything already admitted WITHOUT re-scanning the
+corpus. Two paths, both over a document stream:
+
+- exact:    Spark's native stateful stream dedup (``dropDuplicates`` on the
+  content fingerprint) — state = one fingerprint per distinct doc, pruned
+  by watermark when the fingerprint space is time-bounded;
+- near-dup: the SAME map-side shingle→MinHash→band projection as batch
+  (operators/dedup.py:shingle_hashes/banded_keys, reused verbatim), then
+  ``applyInPandasWithState`` keyed by (band_id, band_key): state holds the
+  doc_ids previously admitted to that band bucket, and every arriving doc
+  emits one candidate-pair row per prior member. Downstream, the batch
+  exact-Jaccard verify runs on candidates only — identical semantics to the
+  batch LSH join, incrementally.
+
+State per band bucket is capped (``MAX_BUCKET_MEMBERS``): a bucket that hot
+collides past the cap stops emitting new pairs against the overflow —
+at corpus scale such a bucket means a degenerate band (all-identical
+boilerplate) that a real pipeline routes to a frequency-capped side channel,
+the same hot-key guard as the batch path's skew note.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import banded_keys, shingle_hashes
+
+MAX_BUCKET_MEMBERS = 10_000
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet (bounded replay in tests)."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def dedup_exact_stream(docs: DataFrame) -> DataFrame:
+    """Admit each distinct text once across the whole stream.
+
+    Built-in stateful dedup: state is the set of seen fingerprints. The
+    fingerprint (xxhash64 of text) is computed map-side so the state store
+    and shuffle carry an 8-byte key, never the document body.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("fp", F.xxhash64("text"))
+        .dropDuplicates(["fp"])
+        .select("doc_id", "fp", "lang")
+    )
+
+
+def minhash_candidates_stream(docs: DataFrame) -> DataFrame:
+    """(a_id, b_id) near-duplicate candidate pairs, emitted incrementally.
+
+    Keyed by LSH band bucket; state = doc_ids already seen in the bucket.
+    On bounded input the union of emitted pairs equals the batch band-join
+    candidate set exactly (asserted in tests/test_streaming.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    banded = banded_keys(shingle_hashes(docs))
+
+    def fn(key, pdf_iter, state):
+        members: list = list(state.get[0]) if state.exists else []
+        out_a: list = []
+        out_b: list = []
+        for pdf in pdf_iter:
+            # sort for run-stable pair emission within a micro-batch
+            for doc_id in sorted(pdf["doc_id"].tolist()):
+                if doc_id in members:
+                    continue
+                for m in members:
+                    lo, hi = (m, doc_id) if m < doc_id else (doc_id, m)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                if len(members) < MAX_BUCKET_MEMBERS:
+                    members.append(doc_id)
+        state.update((members,))
+        yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        fn,
+        outputStructType="a_id long, b_id long",
+        stateStructType="members array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

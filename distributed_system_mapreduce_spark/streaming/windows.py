@@ -132,10 +132,17 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, mode: str | None = None
+) -> DataFrame:
     """Drain a bounded stream into the in-memory sink and return the result
-    as a batch DataFrame (test/dev helper; production uses durable sinks)."""
-    mode = "update" if stream_df.isStreaming and _is_stateful_update(stream_df) else "complete"
+    as a batch DataFrame (test/dev helper; production uses durable sinks).
+
+    ``mode`` overrides the output mode; by default streaming aggregations
+    replay in ``complete`` and stateful FlatMapGroups plans in ``update``
+    (non-aggregating stateful ops like stream dedup need ``append``)."""
+    if mode is None:
+        mode = "update" if stream_df.isStreaming and _is_stateful_update(stream_df) else "complete"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)

@@ -48,6 +48,57 @@ def test_streaming_session_window_runs(spark):
     assert total == load(spark, SF_SMOKE, "events").count()
 
 
+def test_streaming_exact_dedup_matches_batch(spark):
+    """Stateful stream dedup admits exactly the batch-distinct texts."""
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        dedup_exact_stream,
+        read_documents_stream,
+    )
+
+    stream = dedup_exact_stream(read_documents_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, "t_dedup_exact", mode="append")
+    n_stream = got.count()
+    n_batch = (
+        load(spark, SF_SMOKE, "documents").select("text").distinct().count()
+    )
+    assert n_stream == n_batch
+
+
+def test_streaming_minhash_candidates_match_batch(spark):
+    """Incremental band-bucket candidates == the batch LSH band join."""
+    from pyspark.sql import functions as F
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        banded_keys,
+        shingle_hashes,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        minhash_candidates_stream,
+        read_documents_stream,
+    )
+
+    stream = minhash_candidates_stream(read_documents_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, "t_dedup_minhash", mode="append")
+    stream_pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+
+    banded = banded_keys(shingle_hashes(load(spark, SF_SMOKE, "documents")))
+    a, b = banded.alias("a"), banded.alias("b")
+    batch_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
+
+
 def test_stateful_running_totals_match_batch(spark):
     """applyInPandasWithState per-user totals == batch groupBy on bounded
     replay (latest state row per user under update mode)."""
