@@ -194,6 +194,48 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_hash_split",
+    oracle="""
+    select case when o_orderkey % 10 < 8 then 'train'
+                when o_orderkey % 10 = 8 then 'val'
+                else 'test' end as split,
+           count(*) as n_orders,
+           round(sum(o_totalprice), 2) as total_price
+    from orders
+    group by split
+    order by split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split by key-mod bucketing.
+
+    The training-pipeline sampling primitive: membership is a pure function
+    of the row key (no rand(), no sampled-file state), so the split is
+    stable across runs, engines, and incremental reprocessing — any subset
+    of the corpus lands in the same split when reprocessed. Map-side only;
+    the single shuffle is the summary aggregation. At 100 TB the same
+    expression works as a partition filter for split-wise training reads.
+    (Arithmetic mod rather than Spark hash() so DuckDB reproduces buckets —
+    with uniformly-dense surrogate keys the two are equivalent samplers;
+    for skewed natural keys swap in xxhash64(key) % 10, same plan shape.)
+    """
+    orders = load(spark, sf_dir, "orders")
+    split = (
+        F.when(F.col("o_orderkey") % 10 < 8, "train")
+        .when(F.col("o_orderkey") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        orders.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "sql_shipping_priority",
     oracle="""
     select l_orderkey,

@@ -1,0 +1,86 @@
+"""Lakehouse table-format connectors (Delta Lake / Apache Iceberg), gated.
+
+Neither format's runtime jars nor Python bindings ship in this container, so
+these helpers probe for availability at call time and raise a single,
+actionable error when absent — the engine's public surface stays importable
+everywhere. On a real cluster the only setup is the standard package +
+catalog configs noted in each docstring (public Spark integration, e.g.
+``io.delta:delta-spark`` / ``org.apache.iceberg:iceberg-spark-runtime``).
+
+Why they matter at 100 TB: both formats replace directory listings with
+transactional manifests (O(1) planning instead of an S3 LIST storm),
+support ACID appends for the streaming ingest paths (streaming/dedup.py),
+and expose file-level column stats that extend the same pushdown story the
+parquet scans rely on (tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableFormatUnavailable(RuntimeError):
+    """The requested table format's runtime is not on this cluster."""
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Delta table (needs ``io.delta:delta-spark`` +
+    ``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension``)."""
+    if not _delta_available(spark):
+        raise TableFormatUnavailable(
+            "Delta Lake runtime not present; add the delta-spark package and "
+            "session extension to the cluster config"
+        )
+    return spark.read.format("delta").load(path)
+
+
+def write_delta(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    if not _delta_available(df.sparkSession):
+        raise TableFormatUnavailable(
+            "Delta Lake runtime not present; add the delta-spark package and "
+            "session extension to the cluster config"
+        )
+    w = df.write.format("delta").mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Read an Iceberg table by catalog name (needs the
+    ``iceberg-spark-runtime`` package and a configured catalog)."""
+    if not _iceberg_available(spark):
+        raise TableFormatUnavailable(
+            "Iceberg runtime not present; add iceberg-spark-runtime and a "
+            "spark.sql.catalog.<name> config"
+        )
+    return spark.read.format("iceberg").load(table)
+
+
+def write_iceberg(df: DataFrame, table: str) -> None:
+    if not _iceberg_available(df.sparkSession):
+        raise TableFormatUnavailable(
+            "Iceberg runtime not present; add iceberg-spark-runtime and a "
+            "spark.sql.catalog.<name> config"
+        )
+    df.writeTo(table).createOrReplace()

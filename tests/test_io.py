@@ -51,3 +51,23 @@ def test_text_input(spark, tmp_path):
     df = sio.read_text(spark, str(p))
     assert df.count() == 2
     assert df.columns == ["value"]
+
+
+def test_table_formats_gated(spark, tmp_path):
+    """Delta/Iceberg connectors: available → roundtrip, absent → one clean
+    TableFormatUnavailable (never an opaque ClassNotFound from deep inside)."""
+    import pytest
+
+    from distributed_system_mapreduce_spark.sources import table_formats as tf
+
+    df = sio.load(spark, SF_SMOKE, "region")
+    if tf._delta_available(spark):
+        out = str(tmp_path / "region_delta")
+        tf.write_delta(df, out)
+        assert tf.read_delta(spark, out).count() == df.count()
+    else:
+        with pytest.raises(tf.TableFormatUnavailable):
+            tf.write_delta(df, str(tmp_path / "region_delta"))
+    if not tf._iceberg_available(spark):
+        with pytest.raises(tf.TableFormatUnavailable):
+            tf.read_iceberg(spark, "local.db.t")
