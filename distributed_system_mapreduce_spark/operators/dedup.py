@@ -80,10 +80,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    with sh as (
+#: DuckDB CTE prefix shared by the ngram-jaccard oracles: exact trigram
+#: Jaccard over every pair sharing a shingle (string shingles — the Spark
+#: side hashes them, which is value-identical for counting purposes).
+_JACCARD_PAIRS_CTE = """
+    sh as (
       select distinct doc_id, shingle from (
         select doc_id,
                unnest(list_transform(
@@ -91,32 +92,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> x[1] || ' ' || x[2] || ' ' || x[3])) as shingle
         from (select doc_id, string_split(text, ' ') as t from documents)
         where len(t) >= 3)),
-    sizes as (select doc_id, count(*) as n from sh group by doc_id),
+    szs as (select doc_id, count(*) as n from sh group by doc_id),
     inter as (
       select a.doc_id as a_id, b.doc_id as b_id, count(*) as i
       from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
-      group by all)
-    select a_id, b_id,
-           round(i / (sa.n + sb.n - i), 4) as jacc
-    from inter
-    join sizes sa on sa.doc_id = a_id
-    join sizes sb on sb.doc_id = b_id
-    order by jacc desc, a_id, b_id
-    limit 20
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar document pairs by word-trigram Jaccard.
+      group by all),
+    jpairs as (
+      select a_id, b_id,
+             round(i / (sa.n + sb.n - i), 4) as jacc
+      from inter
+      join szs sa on sa.doc_id = a_id
+      join szs sb on sb.doc_id = b_id)
+"""
 
-    Pair generation via inverted-index self-join (only docs sharing a
-    shingle meet), then |A∩B| / (|A|+|B|-|A∩B|) exactly.
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(a_id, b_id, jacc): exact word-trigram Jaccard for every document
+    pair sharing at least one shingle (inverted-index self-join).
+
+    Shingles are hashed to 64-bit before the self-join: the posting-list
+    shuffle and join keys are longs, not trigram strings (counts are
+    collision-exact for any realistic corpus; the DuckDB oracles keep
+    strings). At corpus scale a hot-shingle frequency cap bounds the
+    posting-list join (skew guard); the MinHash band path above is the
+    preferred candidate generator there.
     """
     from ..functions.vectors import spread
 
-    docs = load(spark, sf_dir, "documents")
-    # shingles hashed to 64-bit before the self-join: the posting-list
-    # shuffle and join keys are longs, not trigram strings (counts are
-    # collision-exact for any realistic corpus; the oracle keeps strings)
     sh = (
         spread(docs)
         .withColumn("toks", F.split("text", " "))
@@ -150,8 +152,133 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
             ).alias("jacc"),
         )
-        .orderBy(F.desc("jacc"), F.asc("a_id"), F.asc("b_id"))
-        .limit(20)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    with {_JACCARD_PAIRS_CTE}
+    select a_id, b_id, jacc
+    from jpairs
+    order by jacc desc, a_id, b_id
+    limit 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by word-trigram Jaccard.
+
+    Pair generation via inverted-index self-join (only docs sharing a
+    shingle meet), then |A∩B| / (|A|+|B|-|A∩B|) exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs(docs).orderBy(
+        F.desc("jacc"), F.asc("a_id"), F.asc("b_id")
+    ).limit(20)
+
+
+CLUSTER_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_cluster",
+    oracle=f"""
+    with recursive {_JACCARD_PAIRS_CTE},
+    duped as (select a_id, b_id from jpairs where jacc >= {CLUSTER_THRESHOLD}),
+    edges as (
+      select a_id as src, b_id as dst from duped
+      union all
+      select b_id as src, a_id as dst from duped),
+    nodes as (select distinct src as id from edges),
+    reach as (
+      select id as src, id as dst from nodes
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src),
+    labels as (select src as id, min(dst) as label from reach group by src),
+    csizes as (select label, count(*) as cluster_size from labels group by label),
+    hist as (
+      select cluster_size, cast(count(*) as bigint) as n_clusters
+      from csizes group by cluster_size
+      union all
+      select 1 as cluster_size,
+             (select count(*) from documents) - (select count(*) from nodes)
+               as n_clusters)
+    select cluster_size, cast(sum(n_clusters) as bigint) as n_clusters
+    from hist group by cluster_size
+    order by cluster_size
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the Jaccard ≥ 0.5
+    graph, as a cluster-size histogram (cluster_size, n_clusters) including
+    singletons.
+
+    The dedup step a real corpus pipeline needs after pairwise detection —
+    near-dup is transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}),
+    so survivors are one doc per component, not one per pair.
+
+    Algorithm: iterative min-label propagation — the canonical iterative
+    MapReduce/Pregel computation (≙ chained MR jobs to fixpoint; GraphX /
+    large-star+small-star at cluster scale). Each round: join labels to edges,
+    take the min over the neighborhood, converge when no label changes.
+    Convergence needs O(component diameter) rounds — near-dup components
+    are shallow (dozens of rounds would mean a pathological chain; a real
+    pipeline switches to large-star/small-star hashing then).
+
+    Driver involvement is one scalar (the changed-label count) per round,
+    exactly MLlib's convergence pattern; labels are localCheckpoint'ed each
+    round so the plan stays flat (a durable checkpoint dir on a cluster).
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs).filter(F.col("jacc") >= CLUSTER_THRESHOLD)
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    while True:
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            msgs.unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    csizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = csizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    singletons = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_docs") - F.col("n_nodes")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionAll(singletons)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
     )
 
 

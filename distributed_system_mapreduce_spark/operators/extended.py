@@ -194,6 +194,62 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    oracle="""
+    with v as (
+      select user_id, min(ts) as t0 from events
+      where event_type = 'view' group by user_id),
+    c as (
+      select e.user_id, min(e.ts) as t1
+      from events e join v on e.user_id = v.user_id and e.ts > v.t0
+      where e.event_type = 'click' group by e.user_id),
+    p as (
+      select e.user_id, min(e.ts) as t2
+      from events e join c on e.user_id = c.user_id and e.ts > c.t1
+      where e.event_type = 'purchase' group by e.user_id)
+    select (select count(*) from v) as n_view,
+           (select count(*) from c) as n_view_click,
+           (select count(*) from p) as n_full_funnel
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users who viewed, then clicked AFTER the
+    first view, then purchased AFTER that click.
+
+    Stage n+1 joins only the stage-n survivors (semi-join-shrinking keys),
+    each stage one min-aggregation — no per-user event sorting, no windows
+    over the full stream. Timestamps are compared, never output
+    (SURVEY.md §7.3.2: both engines read the ns column truncated to µs, so
+    comparisons agree; raw ts values stay off the t2 surface).
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
     "sample_hash_split",
     oracle="""
     select case when o_orderkey % 10 < 8 then 'train'
