@@ -327,10 +327,12 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def banded_keys(hashed: DataFrame) -> DataFrame:
+def banded_keys(hashed: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, band_id, band_key) LSH band keys from shingle-hash arrays.
 
     Pure projections — safe on batch and streaming DataFrames alike.
+    ``carry`` names extra input columns to keep alongside the keys (the
+    streaming verify stage carries ``hs`` so state can hold shingle sets).
     """
     def _perm(a: int, b: int):
         return lambda h: F.pmod(
@@ -342,7 +344,7 @@ def banded_keys(hashed: DataFrame) -> DataFrame:
         F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{j}")
         for j, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    sigs = hashed.select("doc_id", *sig_cols)
+    sigs = hashed.select("doc_id", *carry, *sig_cols)
     rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
     band_entries = [
         F.struct(
@@ -354,8 +356,8 @@ def banded_keys(hashed: DataFrame) -> DataFrame:
         for k in range(MINHASH_BANDS)
     ]
     return sigs.select(
-        "doc_id", F.explode(F.array(*band_entries)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+        "doc_id", *carry, F.explode(F.array(*band_entries)).alias("band")
+    ).select("doc_id", *carry, "band.band_id", "band.band_key")
 
 
 @register("dedup_near_minhash")  # rows-only: hash-permutation-dependent

@@ -1,6 +1,7 @@
 from .dedup import (  # noqa: F401
     dedup_exact_stream,
     minhash_candidates_stream,
+    minhash_verified_stream,
     read_documents_stream,
 )
 from .windows import (  # noqa: F401

@@ -96,3 +96,78 @@ def minhash_candidates_stream(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+NEAR_DUP_THRESHOLD = 0.5
+
+
+def minhash_verified_stream(docs: DataFrame) -> DataFrame:
+    """(a_id, b_id, jacc) VERIFIED near-duplicate pairs, incrementally.
+
+    The full streaming twin of the batch pipeline in
+    operators/dedup.py:dedup_near_minhash — candidate generation AND the
+    exact-Jaccard verify happen inside one stateful operator, so a new
+    document is checked against the corpus without re-reading it:
+
+    - key: (band_id, band_key) — the same LSH band buckets as batch;
+    - state: the (doc_id, shingle-hash set) of every doc previously
+      admitted to the bucket, capped at ``MAX_BUCKET_MEMBERS`` (a bucket
+      past the cap is a degenerate band — hot-key guard as in the
+      candidate stream above). Shingle sets are 64-bit hashes, never text,
+      so state size is O(members × shingles) longs per bucket;
+    - emit: a pair the moment the new doc's exact Jaccard against a state
+      member reaches ``NEAR_DUP_THRESHOLD``.
+
+    Emission is at-least-once per pair: a pair colliding in k bands is
+    emitted once per band (batch uses ``distinct()`` for the same reason);
+    the bounded-input union of emitted pairs, deduped, equals the batch
+    verified set exactly (asserted in tests/test_streaming.py). A
+    production sink dedups on (a_id, b_id) — Spark's chained stateful
+    ``dropDuplicates`` with a watermark, or an idempotent upsert sink.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    banded = banded_keys(shingle_hashes(docs), carry=("hs",))
+
+    def fn(key, pdf_iter, state):
+        ids: list = []
+        sets: list = []
+        if state.exists:
+            ids = list(state.get[0])
+            sets = [set(s) for s in state.get[1]]
+        out_a: list = []
+        out_b: list = []
+        out_j: list = []
+        for pdf in pdf_iter:
+            # sort for run-stable emission order within a micro-batch
+            for doc_id, hs in sorted(
+                zip(pdf["doc_id"].tolist(), pdf["hs"].tolist())
+            ):
+                if doc_id in ids:
+                    continue
+                # plain-int set: state serialization can't pickle numpy
+                # scalars arriving in the Arrow batch
+                s = {int(h) for h in hs}
+                for mid, ms in zip(ids, sets):
+                    inter = len(s & ms)
+                    union = len(s) + len(ms) - inter
+                    jacc = round(inter / union, 4) if union else 0.0
+                    if jacc >= NEAR_DUP_THRESHOLD:
+                        lo, hi = (mid, doc_id) if mid < doc_id else (doc_id, mid)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_j.append(jacc)
+                if len(ids) < MAX_BUCKET_MEMBERS:
+                    ids.append(doc_id)
+                    sets.append(s)
+        state.update((ids, [list(s) for s in sets]))
+        yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "jacc": out_j})
+
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        fn,
+        outputStructType="a_id long, b_id long, jacc double",
+        stateStructType="ids array<long>, shingle_sets array<array<long>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

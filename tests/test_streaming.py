@@ -99,6 +99,62 @@ def test_streaming_minhash_candidates_match_batch(spark):
     assert stream_pairs == batch_pairs
 
 
+def test_streaming_minhash_verified_matches_batch(spark):
+    """Incremental verify stage == batch candidates + exact-Jaccard filter."""
+    from pyspark.sql import functions as F
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        banded_keys,
+        shingle_hashes,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        minhash_verified_stream,
+        read_documents_stream,
+    )
+    from distributed_system_mapreduce_spark.streaming.dedup import (
+        NEAR_DUP_THRESHOLD,
+    )
+
+    stream = minhash_verified_stream(read_documents_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, "t_dedup_verify", mode="append")
+    # at-least-once per shared band -> dedup, keeping the jacc (identical
+    # across emissions of the same pair: both sides compute the exact value)
+    stream_pairs = {}
+    for r in got.collect():
+        prev = stream_pairs.setdefault((r["a_id"], r["b_id"]), r["jacc"])
+        assert prev == r["jacc"]
+
+    hashed = shingle_hashes(load(spark, SF_SMOKE, "documents"))
+    banded = banded_keys(hashed)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = hashed.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("sa"))
+    sb = hashed.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("sb"))
+    jacc = F.round(
+        F.size(F.array_intersect("sa", "sb"))
+        / F.size(F.array_union("sa", "sb")),
+        4,
+    )
+    batch_pairs = {
+        (r["a_id"], r["b_id"]): r["jacc"]
+        for r in cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= NEAR_DUP_THRESHOLD)
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
+
+
 def test_stateful_running_totals_match_batch(spark):
     """applyInPandasWithState per-user totals == batch groupBy on bounded
     replay (latest state row per user under update mode)."""
