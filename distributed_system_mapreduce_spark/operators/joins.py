@@ -225,3 +225,75 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.user_id").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    with pc as (
+      select event_id, user_id, ts, event_type
+      from events where event_type in ('click', 'purchase')),
+    p as (select event_id, user_id, ts from pc where event_type = 'purchase'),
+    a as (
+      select p.event_id as purchase_id, p.user_id, p.ts,
+             (select max(c.ts) from pc c
+               where c.user_id = p.user_id
+                 and c.event_type = 'click'
+                 and c.ts < p.ts) as ct
+      from p)
+    select purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') as purchase_ts,
+           strftime(ct, '%Y-%m-%d %H:%M:%S') as last_click_ts,
+           cast(date_diff('second', ct, ts) as bigint) as gap_s
+    from a
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest strictly-earlier
+    click (ts + seconds-gap; null when the user never clicked before).
+
+    Spark-first plan: NOT a join. Both sides union into one stream, ONE
+    shuffle on user_id, and a running ``max(click ts)`` over a rows window
+    ordered by (ts, side, event_id) — purchases sort before clicks at equal
+    ts, so the running max sees exactly the strictly-earlier clicks. A
+    join-based as-of is O(clicks x purchases) per user; this is O(n log n)
+    per partition and survives any per-user event count. (The same
+    union+running-last plan is how backfill/as-of lookups stay linear at
+    100 TB; with an IGNORE NULLS ``last`` it generalizes to carrying whole
+    payload structs, not just the timestamp.)
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # clicks sort AFTER purchases at identical ts => strict '<' as-of
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = tagged.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("side") == 1, F.col("ts"))).over(w),
+    )
+    return asof.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_click_ts"
+        ),
+        (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")).alias(
+            "gap_s"
+        ),
+    )
