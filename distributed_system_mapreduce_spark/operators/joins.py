@@ -133,7 +133,16 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join = EXISTS (co-group emit-once pattern)."""
+    """LEFT SEMI join = EXISTS (co-group emit-once pattern).
+
+    Scale note: Catalyst's runtime Bloom-filter join pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, default TRUE in
+    Spark 4.1 on a vanilla session) injects a build-side Bloom pre-filter
+    into the probe-side scan once the probe side exceeds the 10 GiB scan
+    threshold — i.e. precisely in the 100 TB regime. Kept declarative here
+    so the optimizer owns the decision; the mechanism itself is pinned in
+    tests/test_runtime_pruning.py with thresholds lowered to fire at sf0.01.
+    """
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return customer.join(
@@ -149,7 +158,14 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS (co-group emit-if-empty pattern)."""
+    """LEFT ANTI join = NOT EXISTS (co-group emit-if-empty pattern).
+
+    Same runtime Bloom-pruning posture as ``join_semi`` (anti joins cannot
+    drop probe rows via Bloom false-positive-free pruning of the OUTPUT —
+    a Bloom filter only prunes rows that definitely DON'T match, which for
+    anti-join semantics are exactly the rows we must keep — so Catalyst
+    applies it to the shuffle input, not the result; semantics unchanged).
+    """
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return customer.join(
