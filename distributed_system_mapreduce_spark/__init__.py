@@ -25,4 +25,93 @@ from .operators import (  # noqa: F401
     windows,
 )
 
-__all__ = ["registry"]
+#: Canonical registration order. The driver's correctness harness checks the
+#: first 50 keys of ``registry.QUERIES`` in iteration order, so the 46
+#: SURVEY.md §2 contract keys come first (in §2 section order), followed by
+#: the four highest-value extended queries; everything else after.
+CONTRACT_ORDER: tuple[str, ...] = (
+    # §2.1 scans
+    "scan_lineitem",
+    "scan_project_prune",
+    # §2.2 map/filter
+    "map_project",
+    "filter_grep",
+    "filter_predicate",
+    # §2.3 classic MapReduce applications
+    "word_count",
+    "inverted_index",
+    "flatmap_explode",
+    "distinct_users",
+    "count_by_key",
+    "reduce_numeric",
+    "partition_by_key",
+    # §2.4 aggregation
+    "agg_pricing_summary",
+    "agg_distinct_count",
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "agg_histogram",
+    # §2.5 joins
+    "join_reduce_side",
+    "join_map_side",
+    "join_multiway",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    # §2.6 sort / top-k
+    "sort_global",
+    "topk_orders",
+    "topk_per_group",
+    # §2.7 set ops + analytic windows
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "window_rank",
+    "window_lag_lead",
+    "window_running_sum",
+    # §2.8 LLM-pipeline core
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_query",
+    "sim_topk_pairs",
+    "knn_label_vote",
+    "text_tokens_stats",
+    "text_tfidf_top",
+    "text_ngrams",
+    "json_extract_props",
+    "multimodal_vector_norm",
+    # §2.9 event-time windows
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    # slots 47-50: highest-value extended queries
+    "join_asof",
+    "dedup_cluster",
+    "agg_percentiles",
+    "funnel_conversion",
+)
+
+
+def _apply_contract_order() -> None:
+    """Rebuild ``registry.QUERIES`` so iteration yields CONTRACT_ORDER first.
+
+    Registration happens as a side effect of module imports above, whose order
+    is fragile (e.g. ``functions.text`` transitively imports
+    ``operators.relational``). Reordering the dict here decouples the driver's
+    check window from import topology.
+    """
+    missing = [k for k in CONTRACT_ORDER if k not in registry.QUERIES]
+    if missing:
+        raise RuntimeError(f"contract queries not registered: {missing}")
+    ordered = {k: registry.QUERIES[k] for k in CONTRACT_ORDER}
+    ordered.update(
+        (k, v) for k, v in registry.QUERIES.items() if k not in ordered
+    )
+    registry.QUERIES.clear()
+    registry.QUERIES.update(ordered)
+
+
+_apply_contract_order()
+
+__all__ = ["registry", "CONTRACT_ORDER"]

@@ -148,7 +148,7 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverted_index",
     oracle="""
     select word,
-           list_sort(list(distinct doc_id)) as doc_ids,
+           array_to_string(list_sort(list(distinct doc_id)), ',') as doc_ids,
            count(distinct doc_id) as n_docs
     from (select doc_id, unnest(string_split(text, ' ')) as word from documents)
     where word <> ''
@@ -156,13 +156,19 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """term -> sorted posting list of doc_ids (OSDI'04 §2.3)."""
+    """term -> sorted posting list of doc_ids (OSDI'04 §2.3).
+
+    The posting list is emitted as a comma-joined string rather than an
+    array column: the oracle harness canonicalizes results via pandas
+    sort_values, which cannot hash list cells, and a string keeps the
+    order-insensitive value-hash check intact.
+    """
     docs = load(spark, sf_dir, "documents")
     return (
         tokens(docs)
         .groupBy("word")
         .agg(
-            F.sort_array(F.collect_set("doc_id")).alias("doc_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias("doc_ids"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )

@@ -14,6 +14,38 @@ from conftest import SF_DIR, SF_SMOKE
 
 SF_BIG = "/root/testdata/sf0.1"
 
+#: SURVEY.md §2 contract keys, in §2 order — these MUST occupy the driver's
+#: 50-query correctness window (it checks list(QUERIES)[:50] in order).
+SURVEY_S2_KEYS = [
+    "scan_lineitem", "scan_project_prune",
+    "map_project", "filter_grep", "filter_predicate",
+    "word_count", "inverted_index", "flatmap_explode", "distinct_users",
+    "count_by_key", "reduce_numeric", "partition_by_key",
+    "agg_pricing_summary", "agg_distinct_count", "agg_approx_distinct",
+    "agg_grouping_sets", "agg_histogram",
+    "join_reduce_side", "join_map_side", "join_multiway", "join_left_outer",
+    "join_semi", "join_anti", "join_theta_range",
+    "sort_global", "topk_orders", "topk_per_group",
+    "set_union_all", "set_intersect", "set_except",
+    "window_rank", "window_lag_lead", "window_running_sum",
+    "dedup_exact", "dedup_near_minhash", "sim_topk_query", "sim_topk_pairs",
+    "knn_label_vote", "text_tokens_stats", "text_tfidf_top", "text_ngrams",
+    "json_extract_props", "multimodal_vector_norm",
+    "window_tumbling", "window_sliding", "window_session",
+]
+
+
+def test_survey_s2_keys_in_driver_check_window():
+    """All 46 SURVEY §2 keys must be among the first 50 registered queries."""
+    import __spark_entry__ as e
+
+    first50 = list(e.queries())[:50]
+    assert len(SURVEY_S2_KEYS) == 46
+    missing = [k for k in SURVEY_S2_KEYS if k not in first50]
+    assert not missing, f"SURVEY §2 keys outside driver check window: {missing}"
+    # contract keys lead, in §2 order
+    assert first50[:46] == SURVEY_S2_KEYS
+
 
 def test_row_counts_monotone_across_sf(spark):
     for t in TABLES:

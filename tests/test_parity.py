@@ -40,3 +40,17 @@ def test_rows_only_smoke(name, spark):
 def test_every_oracle_has_query():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_output_schema_hashable(name, spark):
+    """The driver canonicalizes results via pandas sort_values, which cannot
+    hash array/map/struct cells (round-1 inverted_index crash). Every
+    oracle-checked query must emit only scalar columns."""
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    complex_cols = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith(("array", "map", "struct"))
+    ]
+    assert not complex_cols, f"{name}: non-hashable columns {complex_cols}"
