@@ -37,18 +37,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: the host is shared and a single sample can read
-    # 2-3x slow under transient load; the min is the honest cost of the plan
+    # median-of-3 per query: the host is shared and a single sample can read
+    # 2-3x slow under transient load (BASELINE.md's own warning); the median
+    # is robust to one bad sample without hiding a consistently slow plan
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(QUERIES):
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        total += best
+            samples.append(time.perf_counter() - t0)
+        med = sorted(samples)[len(samples) // 2]
+        timings[name] = round(med, 3)
+        total += med
 
     print(
         json.dumps(
@@ -58,6 +61,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": n_runs,
+                "stat": "median",
             }
         )
     )

@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+#: join types for which salting is result-identical to a plain join. Right/
+#: full outer are excluded: unmatched SMALL-side rows would surface once per
+#: salt replica (small side is exploded ×R), duplicating them R times.
+SALTED_JOIN_TYPES = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
 
 def salted_join(
     large: DataFrame,
@@ -34,7 +39,17 @@ def salted_join(
     the large side gets a random-but-deterministic salt from its own row
     (hash of all columns mod R — no rand(), so the plan stays deterministic
     and re-executable under task retry).
+
+    Only large-side-preserving join types are accepted (SALTED_JOIN_TYPES):
+    for right/full outer joins the exploded small side would emit each
+    unmatched small row once per salt replica.
     """
+    if how not in SALTED_JOIN_TYPES:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} join semantics "
+            f"(unmatched small-side rows duplicate x{n_salts}); "
+            f"allowed: {sorted(SALTED_JOIN_TYPES)}"
+        )
     salt_values = F.array(*[F.lit(i) for i in range(n_salts)])
     small_rep = small.withColumn(SALT_COL, F.explode(salt_values))
     large_salted = large.withColumn(

@@ -100,11 +100,21 @@ def blocked_pair_scores(emb_d: DataFrame, n_blocks: int = 8) -> DataFrame:
         F.least("blk", "ob").alias("bi"), F.greatest("blk", "ob").alias("bj")
     )
 
+    empty = pd.DataFrame({"a_id": [], "b_id": [], "score": []})
+
+    def round_half_away(x: np.ndarray, dp: int = 4) -> np.ndarray:
+        # np.round is half-to-even; Spark F.round and DuckDB round() are
+        # half-away-from-zero — match them so exact 4dp half-points agree.
+        sc = 10.0**dp
+        return np.copysign(np.floor(np.abs(x) * sc + 0.5) / sc, x)
+
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(key[0]), int(key[1])
         if bi == bj:
             sub = pdf.drop_duplicates("vec_id")
             ids = sub["vec_id"].to_numpy()
+            if len(ids) < 2:
+                return empty
             m = np.stack(sub["embedding"].to_numpy())
             s = m @ m.T
             iu, ju = np.triu_indices(len(ids), k=1)
@@ -114,6 +124,8 @@ def blocked_pair_scores(emb_d: DataFrame, n_blocks: int = 8) -> DataFrame:
             right = pdf[pdf["blk"] == bj].drop_duplicates("vec_id")
             lid = left["vec_id"].to_numpy()
             rid = right["vec_id"].to_numpy()
+            if len(lid) == 0 or len(rid) == 0:
+                return empty
             s = np.stack(left["embedding"].to_numpy()) @ np.stack(
                 right["embedding"].to_numpy()
             ).T
@@ -122,10 +134,49 @@ def blocked_pair_scores(emb_d: DataFrame, n_blocks: int = 8) -> DataFrame:
             sc = s.ravel()
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"a_id": lo, "b_id": hi, "score": np.round(sc, 4)}
+            {"a_id": lo, "b_id": hi, "score": round_half_away(sc)}
         )
 
     return grouped.applyInPandas(fn, "a_id long, b_id long, score double")
+
+
+def ivf_assign(
+    emb_d: DataFrame, cents: DataFrame, round_scores: bool = True
+) -> DataFrame:
+    """(vec_id, embedding, cent_id): nearest-centroid assignment by cosine.
+
+    One broadcast join against the k-row centroid table, then an argmax per
+    vec_id as ``max(struct(cscore, -cent_id, embedding))`` — a partial-
+    aggregable groupBy, NOT a window: each input partition collapses its k
+    candidate rows per vector map-side before the exchange, so the shuffle
+    carries n rows (not n·k) and nothing is sorted. Ties on score break to
+    the smallest cent_id (via the negated struct field), matching the
+    ``order by cscore desc, cent_id`` the DuckDB oracles use.
+
+    ``round_scores`` rounds scores to 4 dp before the argmax so assignment
+    matches oracle SQL that rounds; trainers pass False to keep full
+    precision between iterations.
+    """
+    score = dot(F.col("embedding"), F.col("cent_emb"))
+    if round_scores:
+        score = F.round(score, 4)
+    scored = (
+        spread(emb_d)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", score.alias("cscore"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("cscore"),
+            (-F.col("cent_id")).alias("neg_cent"),
+            F.col("embedding"),
+        )
+    ).alias("best")
+    return scored.groupBy("vec_id").agg(best).select(
+        "vec_id",
+        F.col("best.embedding").alias("embedding"),
+        (-F.col("best.neg_cent")).alias("cent_id"),
+    )
 
 
 def _guard_all_pairs(df: DataFrame) -> None:
@@ -329,18 +380,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb_d.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    scored = spread(emb_d).crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(dot(F.col("embedding"), F.col("cent_emb")), 4).alias("cscore"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assign = ivf_assign(emb_d, cents)
     q = assign.filter(F.col("vec_id") == 0).select(
         F.col("cent_id").alias("q_cent"), F.col("embedding").alias("q_emb")
     )
@@ -402,18 +442,7 @@ def sim_ann_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb_d.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    scored = spread(emb_d).crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(dot(F.col("embedding"), F.col("cent_emb")), 4).alias("cscore"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assign = ivf_assign(emb_d, cents)
     q = emb_d.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     probe = (
         cents.crossJoin(F.broadcast(q))
@@ -467,14 +496,7 @@ def lloyd_centroids(
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
     )
     for _ in range(iters):
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cent_id"))
-        assign = (
-            emb_d.crossJoin(F.broadcast(cents))
-            .withColumn("cscore", dot(F.col("embedding"), F.col("cent_emb")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cent_id")
-        )
+        assign = ivf_assign(emb_d, cents, round_scores=False)
         mean = (
             assign.select("cent_id", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cent_id", "pos")

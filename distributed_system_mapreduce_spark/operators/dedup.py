@@ -16,7 +16,7 @@ Scale notes (100 TB):
   an inverted-index self-join (pairs share a shingle → co-grouped) — the
   posting-list join bounds pair generation to docs that actually share
   content; a hot-shingle cap would be the skew guard at corpus scale.
-- ``dedup_simhash`` packs a 16-bit simhash from md5-derived token hashes —
+- ``dedup_simhash`` packs a 16-bit simhash from xxhash64 token hashes —
   deterministic across engines/runs; Hamming-ball pairing at scale uses the
   standard bit-block LSH (4 blocks of 4 bits → candidates share a block).
 """
@@ -80,11 +80,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+#: Skew guard: shingles appearing in more than this many documents are
+#: treated as stop-shingles and removed from the sets entirely (numerator
+#: AND denominator) before the posting-list self-join. Without it, one
+#: stop-word-like trigram at corpus scale makes a posting list quadratic.
+#: 1000 ≫ any document frequency at the driver's sf0.01 (500 docs), so
+#: test-scale output is byte-identical with or without the guard.
+JACCARD_HOT_SHINGLE_DF_CAP = 1000
+
 #: DuckDB CTE prefix shared by the ngram-jaccard oracles: exact trigram
 #: Jaccard over every pair sharing a shingle (string shingles — the Spark
 #: side hashes them, which is value-identical for counting purposes).
-_JACCARD_PAIRS_CTE = """
-    sh as (
+#: Mirrors the Spark side's hot-shingle stop-list so parity holds at any SF.
+_JACCARD_PAIRS_CTE = f"""
+    sh0 as (
       select distinct doc_id, shingle from (
         select doc_id,
                unnest(list_transform(
@@ -92,6 +101,11 @@ _JACCARD_PAIRS_CTE = """
                  x -> x[1] || ' ' || x[2] || ' ' || x[3])) as shingle
         from (select doc_id, string_split(text, ' ') as t from documents)
         where len(t) >= 3)),
+    hot as (
+      select shingle from sh0 group by shingle
+      having count(*) > {JACCARD_HOT_SHINGLE_DF_CAP}),
+    sh as (
+      select * from sh0 where shingle not in (select shingle from hot)),
     szs as (select doc_id, count(*) as n from sh group by doc_id),
     inter as (
       select a.doc_id as a_id, b.doc_id as b_id, count(*) as i
@@ -106,16 +120,23 @@ _JACCARD_PAIRS_CTE = """
 """
 
 
-def jaccard_pairs(docs: DataFrame) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, df_cap: int = JACCARD_HOT_SHINGLE_DF_CAP
+) -> DataFrame:
     """(a_id, b_id, jacc): exact word-trigram Jaccard for every document
     pair sharing at least one shingle (inverted-index self-join).
 
     Shingles are hashed to 64-bit before the self-join: the posting-list
     shuffle and join keys are longs, not trigram strings (counts are
     collision-exact for any realistic corpus; the DuckDB oracles keep
-    strings). At corpus scale a hot-shingle frequency cap bounds the
-    posting-list join (skew guard); the MinHash band path above is the
-    preferred candidate generator there.
+    strings).
+
+    Skew guard: shingles with document frequency > ``df_cap`` are dropped
+    from the sets before the self-join (stop-shingle removal, mirrored in
+    the oracle CTE). The posting-list join is then bounded at O(df_cap²)
+    pairs per shingle instead of quadratic in the hottest posting list —
+    the difference between a skewed straggler and a balanced shuffle at
+    corpus scale. The hot set is tiny by construction, so it broadcasts.
     """
     from ..functions.vectors import spread
 
@@ -126,6 +147,13 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
         .distinct()
     )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -179,6 +207,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_THRESHOLD = 0.5
 
+#: Safety cap on label-propagation rounds. With path compression each round
+#: roughly doubles the compressed-chain length, so 50 rounds covers any
+#: component a physical corpus can produce (diameter ~2^50); hitting the cap
+#: means runaway lineage, not slow convergence — fail loudly instead.
+CC_MAX_ROUNDS = 50
+
+
+def connected_components(
+    edges_directed: DataFrame, max_rounds: int = CC_MAX_ROUNDS
+) -> DataFrame:
+    """(id, label) with label = min node id of each connected component.
+
+    Iterative min-label propagation with POINTER JUMPING: each round every
+    node takes the min label over its neighborhood (one edges⋈labels join),
+    then labels are path-compressed by one self-join (label ← label's
+    label). Compression halves chain depth per round, so convergence is
+    O(log diameter) rounds — a 100-node chain needs ~8 rounds, not 100 —
+    the same doubling trick as large-star/small-star (Kiveris et al., SoCC
+    2014) without its edge rewrites.
+
+    ``edges_directed`` must contain both (src, dst) and (dst, src) for each
+    undirected edge. Driver involvement per round is one scalar (the
+    changed-label count), MLlib's convergence pattern; labels are
+    localCheckpoint'ed per round so the plan stays flat (a durable
+    checkpoint dir on a cluster).
+    """
+    nodes = edges_directed.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    for _ in range(max_rounds):
+        msgs = (
+            edges_directed.join(labels, edges_directed.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        propagated = (
+            msgs.unionAll(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: replace each label by ITS label (labels are node
+        # ids, so every label has a row). Compresses chains geometrically.
+        parent = propagated.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            propagated.join(parent, propagated.label == parent.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
 
 @register(
     "dedup_cluster",
@@ -217,17 +311,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup is transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}),
     so survivors are one doc per component, not one per pair.
 
-    Algorithm: iterative min-label propagation — the canonical iterative
-    MapReduce/Pregel computation (≙ chained MR jobs to fixpoint; GraphX /
-    large-star+small-star at cluster scale). Each round: join labels to edges,
-    take the min over the neighborhood, converge when no label changes.
-    Convergence needs O(component diameter) rounds — near-dup components
-    are shallow (dozens of rounds would mean a pathological chain; a real
-    pipeline switches to large-star/small-star hashing then).
-
-    Driver involvement is one scalar (the changed-label count) per round,
-    exactly MLlib's convergence pattern; labels are localCheckpoint'ed each
-    round so the plan stays flat (a durable checkpoint dir on a cluster).
+    Algorithm: :func:`connected_components` — min-label propagation with
+    pointer jumping (O(log diameter) rounds, capped at CC_MAX_ROUNDS), the
+    canonical iterative MapReduce/Pregel computation (≙ chained MR jobs to
+    fixpoint; GraphX / large-star+small-star at cluster scale).
     """
     docs = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs).filter(F.col("jacc") >= CLUSTER_THRESHOLD)
@@ -238,28 +325,11 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
-    while True:
-        msgs = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "label")
-        )
-        new_labels = (
-            msgs.unionAll(labels)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(edges)
+    # the final plan reads only the checkpointed labels (nodes == labels.id
+    # by construction), so the edge cache can be dropped here instead of
+    # lingering for the rest of the session
+    edges.unpersist()
     csizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -268,7 +338,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     singletons = (
         docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(labels.agg(F.count(F.lit(1)).alias("n_nodes")))
         .select(
             F.lit(1).cast("bigint").alias("cluster_size"),
             (F.col("n_docs") - F.col("n_nodes")).alias("n_clusters"),
@@ -387,7 +457,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (x2) and both verify joins reference it.
     # NOTE the filter is on the CHEAP token count, not on size(hs): a filter
     # on hs would be pushed below the repartition exchange and re-run the
-    # whole shingle+hash pipeline serially on the pre-shuffle partition
+    # whole shingle+hash pipeline serially on the pre-shuffle partition.
+    # Lifecycle: the cache must outlive this builder (the caller materializes
+    # the returned lazy plan), so it cannot be unpersisted here; MEMORY_AND_
+    # DISK blocks are LRU-evicted under pressure, which bounds the footprint
+    # when many queries run in one session (e.g. the bench loop).
     hashed = spread(docs).transform(shingle_hashes).persist()
     # the band join carries ONLY (band, key, id) — shingle arrays rejoin
     # after candidate dedup, so the shuffle stays O(docs x bands) ids.
@@ -457,7 +531,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     # the whole signature is ONE nested higher-order expression: per-token
-    # md5 hash → per-bit ±1 sums → packed 16-bit code, evaluated map-side
+    # xxhash64 → per-bit ±1 sums → packed 16-bit code, evaluated map-side
     # inside whole-stage codegen. No token explode, no per-doc shuffle —
     # the only exchange in the query is the ≤ 2^16-row value aggregation.
     simhash_sql = f"""

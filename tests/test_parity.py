@@ -37,6 +37,25 @@ def test_rows_only_smoke(name, spark):
     assert len(df.columns) > 0
 
 
+#: Rows-only queries are deterministic for fixed seeds/permutations, so
+#: their sf0.01 outputs are pinned exactly — the driver can't oracle-check
+#: them (no DuckDB xxhash64/HLL twin), so regressions must surface here.
+ROWS_ONLY_EXPECTED = {
+    "agg_approx_distinct": [
+        ("click", 151), ("error", 151), ("purchase", 151),
+        ("signup", 151), ("view", 151),
+    ],
+    "dedup_near_minhash": [(500, 30, 25)],  # (n_docs, n_candidates, n_dups)
+    "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_EXPECTED))
+def test_rows_only_pinned_values(name, spark):
+    got = sorted(tuple(r) for r in QUERIES[name](spark, SF_DIR).collect())
+    assert got == ROWS_ONLY_EXPECTED[name]
+
+
 def test_every_oracle_has_query():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
