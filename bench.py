@@ -39,17 +39,24 @@ def main() -> None:
 
     # median-of-3 per query: the host is shared and a single sample can read
     # 2-3x slow under transient load (BASELINE.md's own warning); the median
-    # is robust to one bad sample without hiding a consistently slow plan
+    # is robust to one bad sample without hiding a consistently slow plan.
+    # Passes are INTERLEAVED (3 full-suite sweeps, median per query) so one
+    # load burst degrades at most one sample per query. Caches persist
+    # across passes on purpose: Spark's CacheManager matches identical
+    # logical plans, so later passes measure the warm-index cost — the
+    # steady state of a resident engine, and the same regime every round
+    # measures (comparability beats cold-start purity here).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(n_runs):
+        for name in sorted(QUERIES):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(QUERIES):
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        med = sorted(samples)[len(samples) // 2]
+        med = sorted(samples[name])[len(samples[name]) // 2]
         timings[name] = round(med, 3)
         total += med
 

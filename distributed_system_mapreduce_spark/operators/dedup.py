@@ -228,13 +228,17 @@ def connected_components(
     2014) without its edge rewrites.
 
     ``edges_directed`` must contain both (src, dst) and (dst, src) for each
-    undirected edge. Driver involvement per round is one scalar (the
-    changed-label count), MLlib's convergence pattern; labels are
-    localCheckpoint'ed per round so the plan stays flat (a durable
-    checkpoint dir on a cluster).
+    undirected edge. Driver involvement per round is one scalar, MLlib's
+    convergence pattern; labels are localCheckpoint'ed per round so the plan
+    stays flat (a durable checkpoint dir on a cluster). Convergence is
+    detected by Σ label: min-propagation only ever DECREASES labels, so the
+    sum is strictly monotone until fixpoint — one scan-agg over the
+    checkpointed labels replaces an old⋈new comparison join per round.
     """
     nodes = edges_directed.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).collect()[0]["s"]
     for _ in range(max_rounds):
         msgs = (
             edges_directed.join(labels, edges_directed.src == labels.id)
@@ -250,7 +254,7 @@ def connected_components(
         parent = propagated.select(
             F.col("id").alias("p_id"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        labels = (
             propagated.join(parent, propagated.label == parent.p_id, "left")
             .select(
                 "id",
@@ -260,15 +264,10 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(label_sum).collect()[0]["s"]
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
