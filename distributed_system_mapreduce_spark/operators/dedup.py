@@ -140,12 +140,21 @@ def jaccard_pairs(
     """
     from ..functions.vectors import spread
 
+    # persisted: this subtree is read 4x inside one jaccard_pairs plan (the
+    # hot-shingle groupBy, BOTH sides of the self-join, the per-doc sizes)
+    # and the identical logical plan recurs across dedup_ngram_jaccard and
+    # dedup_cluster, so Spark's CacheManager serves all of them from one
+    # materialization. MEMORY_AND_DISK: postings ≈ total distinct shingles
+    # × 16 B — at corpus scale this spills rather than OOMs, exactly the
+    # intermediate a cluster pipeline would stage anyway. Lives until LRU
+    # eviction (documented trade, same as minhash's hashed-shingle cache).
     sh = (
         spread(docs)
         .withColumn("toks", F.split("text", " "))
         .select("doc_id", F.explode(shingle_expr(3)).alias("sh_str"))
         .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
         .distinct()
+        .persist()
     )
     hot = (
         sh.groupBy("shingle")
@@ -170,6 +179,12 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    # the returned pair table is persisted too: it is the staged
+    # candidate-pair artifact every downstream dedup step consumes
+    # (top-k report, threshold filter, clustering), and the identical
+    # logical plan recurs across dedup_ngram_jaccard and dedup_cluster —
+    # one materialization serves both. Bounded by the inverted-index join
+    # (pairs sharing ≥1 surviving shingle), not O(n²).
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
@@ -180,6 +195,7 @@ def jaccard_pairs(
                 F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
             ).alias("jacc"),
         )
+        .persist()
     )
 
 
@@ -234,9 +250,12 @@ def connected_components(
     detected by Σ label: min-propagation only ever DECREASES labels, so the
     sum is strictly monotone until fixpoint — one scan-agg over the
     checkpointed labels replaces an old⋈new comparison join per round.
+    Checkpoints are LAZY (eager=False): the convergence agg is the action
+    that materializes each round's labels, so every round costs exactly ONE
+    Spark job instead of a checkpoint job plus an agg job.
     """
     nodes = edges_directed.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=False)
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).collect()[0]["s"]
     for _ in range(max_rounds):
@@ -262,7 +281,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(label_sum).collect()[0]["s"]
         if new_sum == prev_sum:
