@@ -253,40 +253,62 @@ def connected_components(
     Checkpoints are LAZY (eager=False): the convergence agg is the action
     that materializes each round's labels, so every round costs exactly ONE
     Spark job instead of a checkpoint job plus an agg job.
+
+    Loop parallelism is sized from the EDGE COUNT, not the session's
+    shuffle-partition default: checkpointing compiles through ``.rdd``, so
+    AQE's small-shuffle coalescing never sees these stages, and a
+    1000-partition cluster default would schedule 1000 near-empty tasks per
+    round for a near-dup graph that filtered down to thousands of edges.
+    One partition per ~200k edges (floor 1, cap = session default) keeps
+    round cost proportional to the graph, which is exactly what AQE would
+    have chosen. The session conf is restored before returning.
     """
-    nodes = edges_directed.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=False)
+    spark = edges_directed.sparkSession
+    n_edges = edges_directed.count()
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    loop_parts = max(1, min(int(old_parts), n_edges // 200_000 + 1))
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(label_sum).collect()[0]["s"]
-    for _ in range(max_rounds):
-        msgs = (
-            edges_directed.join(labels, edges_directed.src == labels.id)
-            .select(F.col("dst").alias("id"), "label")
-        )
-        propagated = (
-            msgs.unionAll(labels)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jumping: replace each label by ITS label (labels are node
-        # ids, so every label has a row). Compresses chains geometrically.
-        parent = propagated.select(
-            F.col("id").alias("p_id"), F.col("label").alias("p_label")
-        )
+    try:
+        spark.conf.set(conf_key, str(loop_parts))
+        nodes = edges_directed.select(F.col("src").alias("id")).distinct()
         labels = (
-            propagated.join(parent, propagated.label == parent.p_id, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            nodes.withColumn("label", F.col("id")).localCheckpoint(eager=False)
         )
-        new_sum = labels.agg(label_sum).collect()[0]["s"]
-        if new_sum == prev_sum:
-            return labels
-        prev_sum = new_sum
+        prev_sum = labels.agg(label_sum).collect()[0]["s"]
+        for _ in range(max_rounds):
+            msgs = (
+                edges_directed.join(labels, edges_directed.src == labels.id)
+                .select(F.col("dst").alias("id"), "label")
+            )
+            propagated = (
+                msgs.unionAll(labels)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer jumping: replace each label by ITS label (labels are
+            # node ids, so every label has a row). Compresses chains
+            # geometrically.
+            parent = propagated.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            labels = (
+                propagated.join(parent, propagated.label == parent.p_id, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("p_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            new_sum = labels.agg(label_sum).collect()[0]["s"]
+            if new_sum == prev_sum:
+                return labels
+            prev_sum = new_sum
+    finally:
+        spark.conf.set(conf_key, old_parts)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
