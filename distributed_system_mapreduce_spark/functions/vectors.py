@@ -614,3 +614,46 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+#: embeddings.embedding is fixed 64-dim (TESTDATA.md) — the centroid agg
+#: unrolls one avg per dimension, all inside one partial-aggregating shuffle.
+EMBED_DIM = 64
+
+
+@register(
+    "embed_centroid_norms",
+    oracle=f"""
+    select label, count(*) as n_vecs,
+           round(sqrt({" + ".join(
+               f"pow(avg(embedding[{i + 1}]::DOUBLE), 2)"
+               for i in range(64)
+           )}), 4) as centroid_norm
+    from embeddings
+    group by label
+    """,
+)
+def embed_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid L2 norm — the class-prototype summary a
+    labeled-embedding pipeline computes before nearest-centroid
+    classification or IVF seeding.
+
+    One groupBy(label) with EMBED_DIM scalar avg aggregates: element-wise
+    mean entirely inside a single partial-agg (map-side combine) shuffle of
+    k x dim doubles — no explode, no array shuffle, no Python. The same
+    shape at 100 TB moves only n_labels x dim x n_partitions partial sums.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    avgs = [
+        F.avg(F.col("e").getItem(i)).alias(f"c{i}") for i in range(EMBED_DIM)
+    ]
+    g = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *avgs)
+    sq_sum = None
+    for i in range(EMBED_DIM):
+        term = F.pow(F.col(f"c{i}"), F.lit(2))
+        sq_sum = term if sq_sum is None else sq_sum + term
+    return g.select(
+        "label", "n_vecs", F.round(F.sqrt(sq_sum), 4).alias("centroid_norm")
+    )

@@ -88,18 +88,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: test-scale output is byte-identical with or without the guard.
 JACCARD_HOT_SHINGLE_DF_CAP = 1000
 
-#: DuckDB CTE prefix shared by the ngram-jaccard oracles: exact trigram
-#: Jaccard over every pair sharing a shingle (string shingles — the Spark
-#: side hashes them, which is value-identical for counting purposes).
-#: Mirrors the Spark side's hot-shingle stop-list so parity holds at any SF.
-_JACCARD_PAIRS_CTE = f"""
+def _jaccard_pairs_cte(src: str = "documents") -> str:
+    """DuckDB CTE prefix shared by the ngram-jaccard oracles: exact trigram
+    Jaccard over every pair sharing a shingle (string shingles — the Spark
+    side hashes them, which is value-identical for counting purposes).
+    Mirrors the Spark side's hot-shingle stop-list so parity holds at any
+    SF. ``src`` is the relation (table or earlier CTE with doc_id + text)
+    to shingle — the funnel pipeline runs it over its quality-filtered,
+    exact-deduped survivor set instead of raw ``documents``."""
+    return f"""
     sh0 as (
       select distinct doc_id, shingle from (
         select doc_id,
                unnest(list_transform(
                  list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
                  x -> x[1] || ' ' || x[2] || ' ' || x[3])) as shingle
-        from (select doc_id, string_split(text, ' ') as t from documents)
+        from (select doc_id, string_split(text, ' ') as t from {src})
         where len(t) >= 3)),
     hot as (
       select shingle from sh0 group by shingle
@@ -117,6 +121,29 @@ _JACCARD_PAIRS_CTE = f"""
       from inter
       join szs sa on sa.doc_id = a_id
       join szs sb on sb.doc_id = b_id)
+"""
+
+
+_JACCARD_PAIRS_CTE = _jaccard_pairs_cte()
+
+#: DuckDB CTE suffix turning ``jpairs`` into per-node component labels via a
+#: recursive reachability closure — shared by every oracle that needs
+#: connected components over the Jaccard >= CLUSTER_THRESHOLD graph.
+#: Requires a WITH RECURSIVE context. Exposes ``nodes`` (ids in any edge)
+#: and ``labels`` (id -> min reachable id == component label).
+def _cc_labels_cte(threshold: float) -> str:
+    return f"""
+    duped as (select a_id, b_id from jpairs where jacc >= {threshold}),
+    edges as (
+      select a_id as src, b_id as dst from duped
+      union all
+      select b_id as src, a_id as dst from duped),
+    nodes as (select distinct src as id from edges),
+    reach as (
+      select id as src, id as dst from nodes
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src),
+    labels as (select src as id, min(dst) as label from reach group by src)
 """
 
 
@@ -318,17 +345,7 @@ def connected_components(
     "dedup_cluster",
     oracle=f"""
     with recursive {_JACCARD_PAIRS_CTE},
-    duped as (select a_id, b_id from jpairs where jacc >= {CLUSTER_THRESHOLD}),
-    edges as (
-      select a_id as src, b_id as dst from duped
-      union all
-      select b_id as src, a_id as dst from duped),
-    nodes as (select distinct src as id from edges),
-    reach as (
-      select id as src, id as dst from nodes
-      union
-      select r.src, e.dst from reach r join edges e on r.dst = e.src),
-    labels as (select src as id, min(dst) as label from reach group by src),
+    {_cc_labels_cte(CLUSTER_THRESHOLD)},
     csizes as (select label, count(*) as cluster_size from labels group by label),
     hist as (
       select cluster_size, cast(count(*) as bigint) as n_clusters
@@ -659,3 +676,146 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return n_docs.crossJoin(summary)
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    with recursive {{jcte}},
+    {{ccte}}
+    select d.doc_id, d.lang, d.source, d.n_chars
+    from documents d
+    where d.doc_id not in (select id from labels where label <> id)
+    """.format(jcte=_JACCARD_PAIRS_CTE, ccte=_cc_labels_cte(CLUSTER_THRESHOLD)),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED deduplicated corpus: every document except non-min
+    members of a near-duplicate component (trigram Jaccard >= 0.5,
+    transitively closed) — what a training-data run actually writes out
+    after near-dup detection, where dedup_cluster only reports the
+    histogram.
+
+    Plan shape: candidate pairs from the inverted-index join (CacheManager
+    serves the persisted pair table shared with dedup_ngram_jaccard /
+    dedup_cluster), connected components over the threshold graph, then ONE
+    broadcast-sized anti-join of the drop-list against the corpus — the
+    drop-list is strictly smaller than the near-dup node set, so at 100 TB
+    the join streams the corpus once against a small (or AQE-broadcast)
+    side.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs).filter(F.col("jacc") >= CLUSTER_THRESHOLD)
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .persist()
+    )
+    labels = connected_components(edges)
+    edges.unpersist()
+    drop = labels.filter(F.col("label") != F.col("id")).select("id")
+    return docs.join(
+        drop, docs.doc_id == drop.id, "left_anti"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+#: Funnel thresholds shared by pipeline_dedup_corpus and its oracle —
+#: identical to pipeline_quality_filter's gate (functions/text.py) so the
+#: two stages compose into one coherent pipeline story.
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 120
+FUNNEL_MAX_STOP_RATIO = 0.15
+
+
+def _funnel_oracle() -> str:
+    from ..functions.text import STOPWORDS
+
+    return f"""
+    with recursive scored as (
+      select doc_id, text,
+             len(string_split(text, ' ')) as n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x in {STOPWORDS!r}))
+               / len(string_split(text, ' ')) as stop_ratio
+      from documents),
+    quality as (
+      select doc_id, text, n_tokens from scored
+      where n_tokens between {FUNNEL_MIN_TOKENS} and {FUNNEL_MAX_TOKENS}
+        and stop_ratio < {FUNNEL_MAX_STOP_RATIO}),
+    exact as (
+      select doc_id, text, n_tokens from (
+        select *, row_number() over (partition by text order by doc_id) as rn
+        from quality)
+      where rn = 1),
+    {_jaccard_pairs_cte("exact")},
+    {_cc_labels_cte(CLUSTER_THRESHOLD)},
+    final as (
+      select e.doc_id, e.n_tokens from exact e
+      where e.doc_id not in (select id from labels where label <> id))
+    select (select count(*) from documents) as n_input,
+           (select count(*) from quality) as n_quality,
+           (select count(*) from exact) as n_exact,
+           (select count(*) from final) as n_final,
+           (select cast(coalesce(sum(n_tokens), 0) as bigint) from final)
+             as kept_tokens
+    """
+
+
+@register("pipeline_dedup_corpus", oracle=_funnel_oracle())
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data funnel in one query: quality gate (token
+    band + stopword ratio) -> exact dedup (min-doc_id survivor per text) ->
+    near-dup dedup (trigram-Jaccard connected components over the
+    SURVIVORS) -> corpus summary row
+    (n_input, n_quality, n_exact, n_final, kept_tokens).
+
+    Every stage is the same operator the standalone queries use
+    (pipeline_quality_filter, dedup_exact, dedup_survivors), composed the
+    way a real pre-training data run chains them; each count is a
+    single-row aggregate crossJoined into the summary, so nothing wider
+    than one row ever reaches the driver.
+    """
+    from ..functions.text import STOPWORDS
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    scored = docs.withColumn("n_tokens", F.size(toks)).withColumn(
+        "stop_ratio",
+        F.expr(f"size(filter(split(text, ' '), x -> x in ({stop_list})))")
+        / F.col("n_tokens"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+        & (F.col("n_tokens") <= FUNNEL_MAX_TOKENS)
+        & (F.col("stop_ratio") < FUNNEL_MAX_STOP_RATIO)
+    ).select("doc_id", "text", "n_tokens")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    exact = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pairs = jaccard_pairs(exact).filter(F.col("jacc") >= CLUSTER_THRESHOLD)
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .persist()
+    )
+    labels = connected_components(edges)
+    edges.unpersist()
+    drop = labels.filter(F.col("label") != F.col("id")).select("id")
+    final = exact.join(drop, exact.doc_id == drop.id, "left_anti")
+    n_input = docs.agg(F.count(F.lit(1)).alias("n_input"))
+    n_quality = quality.agg(F.count(F.lit(1)).alias("n_quality"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    fin = final.agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+    return n_input.crossJoin(n_quality).crossJoin(n_exact).crossJoin(fin)

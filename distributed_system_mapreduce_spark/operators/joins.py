@@ -313,3 +313,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_s"
         ),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    select o1.o_custkey as custkey, count(*) as n_overlap_pairs
+    from orders o1
+    join orders o2
+      on o1.o_custkey = o2.o_custkey
+     and o1.o_orderkey < o2.o_orderkey
+     and abs(datediff('day', o1.o_orderdate, o2.o_orderdate)) < 30
+    group by o1.o_custkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of orders by the SAME customer
+    whose 30-day fulfilment windows [o_orderdate, o_orderdate + 30d)
+    overlap (⇔ |Δdays| < 30), counted per customer.
+
+    The classic range-join shape. The equi-key (custkey) bounds the
+    candidate space to within-customer pairs, so the shuffle is an ordinary
+    hash join with a range RESIDUAL — never a cartesian. At 100 TB with a
+    skewed key the AQE skew-join split applies; for interval sets WITHOUT
+    an equi-prefix the standard plan is epoch bucketing (join on
+    floor(date/30d) ± 1 buckets, then the exact residual), which this
+    operator documents as its scale fallback.
+    """
+    orders = load(spark, sf_dir, "orders")
+    o1 = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    return (
+        o1.join(o2, "custkey")
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.datediff(F.col("d2"), F.col("d1"))) < 30)
+        )
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_overlap_pairs"))
+    )
