@@ -72,3 +72,27 @@ def test_tokenization_has_no_python_udf(spark):
 def test_sort_is_range_partitioned(spark):
     plan = explain_str(QUERIES["sort_global"](spark, SF_DIR))
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_interval_overlap_is_hash_join_not_cartesian(spark):
+    # equi-prefix (custkey) must carry the join; the interval predicate is a
+    # residual — a cartesian/BNLJ here would be quadratic at corpus scale
+    plan = explain_str(QUERIES["join_interval_overlap"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_centroid_norms_single_shuffle_partial_agg(spark):
+    # element-wise centroid = unrolled scalar avgs in ONE partial-agg
+    # shuffle: no explode (posexplode would shuffle n*dim rows), map-side
+    # combine present
+    plan = explain_str(QUERIES["embed_centroid_norms"](spark, SF_DIR))
+    assert "Generate" not in plan, plan
+    assert "partial_" in plan, plan
+    # formatted mode prints each node in the tree AND the detail section
+    assert sum(1 for l in plan.splitlines() if l.lstrip().startswith("+- Exchange")) == 1, plan
+
+
+def test_dedup_survivors_anti_join(spark):
+    plan = explain_str(QUERIES["dedup_survivors"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
