@@ -336,3 +336,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("fp"),
         (F.col("n_chars") % 1024).cast("bigint").alias("len_bucket"),
     )
+
+
+#: Fixed retrieval query for text_bm25_topk — three mid-frequency words from
+#: the synthetic vocabulary (FIXTURES.md) so the ranking exercises idf
+#: spread; the operator is parametric in real use.
+BM25_QUERY = ("spark", "fast", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    with tok as (
+      select doc_id, word
+      from (select doc_id, unnest(string_split(text, ' ')) as word
+            from documents)
+      where word <> ''),
+    dl as (select doc_id, count(*) as dl from tok group by doc_id),
+    stats as (select avg(dl) as avgdl, count(*) as n from dl),
+    qtf as (
+      select doc_id, word, count(*) as tf from tok
+      where word in {BM25_QUERY!r}
+      group by doc_id, word),
+    qdf as (select word, count(distinct doc_id) as df from qtf group by word),
+    scored as (
+      select doc_id,
+             round(sum(
+               ln((n - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({BM25_K1} + 1)
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             ), 6) as score
+      from qtf
+      join qdf using (word)
+      join dl using (doc_id), stats
+      group by doc_id)
+    select doc_id, score, rn from (
+      select *, row_number() over (order by score desc, doc_id) as rn
+      from scored)
+    where rn <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed term query — the ranked-retrieval
+    sibling of text_tfidf_top (Robertson idf, k1/b length normalization).
+
+    Plan shape for corpus scale: the tf table is filtered to QUERY TERMS
+    before any aggregation (posting lists for 3 words, not the whole
+    vocabulary), doc lengths are one map-side-combined count per doc, and
+    (avgdl, N) is a broadcast 1-row aggregate — the only wide shuffle keys
+    on doc_id. Scores are rounded to 6 dp before ranking with a doc_id
+    tiebreak so top-k membership is engine-stable (SURVEY.md §7.3).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs).select("doc_id", "word")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    qtf = (
+        tok.filter(F.col("word").isin(*BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1)
+    )
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        qtf.join(F.broadcast(qdf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * F.lit(BM25_K1 + 1) / norm), 6
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    )

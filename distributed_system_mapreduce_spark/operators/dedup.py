@@ -116,7 +116,7 @@ def _jaccard_pairs_cte(src: str = "documents") -> str:
       from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
       group by all),
     jpairs as (
-      select a_id, b_id,
+      select a_id, b_id, i, sa.n as na, sb.n as nb,
              round(i / (sa.n + sb.n - i), 4) as jacc
       from inter
       join szs sa on sa.doc_id = a_id
@@ -208,16 +208,21 @@ def jaccard_pairs(
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     # the returned pair table is persisted too: it is the staged
     # candidate-pair artifact every downstream dedup step consumes
-    # (top-k report, threshold filter, clustering), and the identical
-    # logical plan recurs across dedup_ngram_jaccard and dedup_cluster —
-    # one materialization serves both. Bounded by the inverted-index join
-    # (pairs sharing ≥1 surviving shingle), not O(n²).
+    # (top-k report, threshold filter, clustering, containment), and the
+    # identical logical plan recurs across dedup_ngram_jaccard /
+    # dedup_cluster / dedup_ngram_containment — one materialization serves
+    # all of them, which is why it carries the raw (i, na, nb) alongside
+    # jacc. Bounded by the inverted-index join (pairs sharing ≥1 surviving
+    # shingle), not O(n²).
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
         .select(
             "a_id",
             "b_id",
+            "i",
+            "na",
+            "nb",
             F.round(
                 F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
             ).alias("jacc"),
@@ -243,9 +248,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle meet), then |A∩B| / (|A|+|B|-|A∩B|) exactly.
     """
     docs = load(spark, sf_dir, "documents")
-    return jaccard_pairs(docs).orderBy(
-        F.desc("jacc"), F.asc("a_id"), F.asc("b_id")
-    ).limit(20)
+    return (
+        jaccard_pairs(docs)
+        .select("a_id", "b_id", "jacc")
+        .orderBy(F.desc("jacc"), F.asc("a_id"), F.asc("b_id"))
+        .limit(20)
+    )
 
 
 CLUSTER_THRESHOLD = 0.5
@@ -835,3 +843,38 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_tokens"),
     )
     return n_input.crossJoin(n_quality).crossJoin(n_exact).crossJoin(fin)
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    with {_JACCARD_PAIRS_CTE}
+    select a_id, b_id, round(i / least(na, nb), 4) as containment
+    from jpairs
+    order by containment desc, a_id, b_id
+    limit 20
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 pairs by trigram CONTAINMENT |A∩B| / min(|A|,|B|) — the
+    asymmetric near-dup signal Jaccard misses: a short document quoted
+    whole inside a long one scores ~1.0 here but low on Jaccard because the
+    union is dominated by the long side.
+
+    Reads the same persisted candidate-pair table as dedup_ngram_jaccard /
+    dedup_cluster (it carries the raw intersection and set sizes), so the
+    marginal cost is one projection + top-k over an in-memory table.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(docs)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("i") / F.least(F.col("na"), F.col("nb")), 4
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), F.asc("a_id"), F.asc("b_id"))
+        .limit(20)
+    )
