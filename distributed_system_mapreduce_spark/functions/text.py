@@ -423,3 +423,102 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    select doc_id,
+           round(1 - len(list_distinct(tg)) / len(tg), 4) as rep_ratio,
+           cast(len(tg) as bigint) as n_shingles
+    from (
+      select doc_id,
+             list_transform(
+               list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+               x -> x[1] || ' ' || x[2] || ' ' || x[3]) as tg
+      from (select doc_id, string_split(text, ' ') as t from documents)
+      where len(t) >= 3)
+    order by rep_ratio desc, doc_id
+    limit 20
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-repetitive documents by duplicate-trigram ratio
+    (1 - distinct/total trigrams) — the intra-document repetition filter
+    pre-training quality pipelines apply (the Gopher/MassiveText-style
+    "repeated n-gram fraction" signal; boilerplate and generation loops
+    score high).
+
+    Entirely map-side higher-order functions (tokenize once, trigram
+    zip, distinct count) followed by TakeOrderedAndProject — per-doc
+    compute, zero shuffle before the global top-k, so the plan is scan-
+    bound at any corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shingled = (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                transform(sequence(1, size(toks) - 2),
+                          i -> concat_ws(' ', element_at(toks, i),
+                                         element_at(toks, i + 1),
+                                         element_at(toks, i + 2)))
+                """
+            ).alias("tg"),
+        )
+    )
+    return (
+        shingled.select(
+            "doc_id",
+            F.round(
+                F.lit(1)
+                - F.size(F.array_distinct("tg")) / F.size("tg"),
+                4,
+            ).alias("rep_ratio"),
+            F.size("tg").cast("bigint").alias("n_shingles"),
+        )
+        .orderBy(F.desc("rep_ratio"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_shard_stats",
+    oracle="""
+    select substr(md5(text), 1, 1) as shard,
+           count(*) as n_docs,
+           cast(sum(len(string_split(text, ' '))) as bigint) as total_tokens
+    from documents
+    group by shard
+    """,
+)
+def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way corpus sharding by content-hash prefix
+    (first hex digit of md5(text)), with per-shard doc and token counts —
+    the "global shuffle" a training run needs: examples land in a
+    pseudo-random but RERUNNABLE shard independent of input order, so
+    shard boundaries survive corpus re-ingestion.
+
+    Pure map-side bucketing (no global sort, no window over a single
+    partition — the ntile alternative would serialize the corpus through
+    one task at 100 TB) followed by a 16-group aggregate. Writing the
+    actual shards is the same expression through
+    df.write.partitionBy("shard").
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 1).alias(
+                "shard"
+            ),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
