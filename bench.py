@@ -56,12 +56,28 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+    # queries added after BASELINE.md's 37.5 s / 74-query measurement —
+    # excluded from the like-for-like subtotal so cross-round comparisons
+    # stay apples-to-apples as the suite grows
+    new_since_baseline = {
+        "dedup_survivors",
+        "pipeline_dedup_corpus",
+        "join_interval_overlap",
+        "embed_centroid_norms",
+        "text_bm25_topk",
+        "dedup_ngram_containment",
+        "text_repetition_score",
+        "corpus_shard_stats",
+    }
     timings: dict[str, float] = {}
     total = 0.0
+    baseline_suite_total = 0.0
     for name in sorted(QUERIES):
         best = min(samples[name])
         timings[name] = round(best, 3)
         total += best
+        if name not in new_since_baseline:
+            baseline_suite_total += best
 
     print(
         json.dumps(
@@ -73,6 +89,7 @@ def main() -> None:
                 "sf": sf,
                 "n": n_runs,
                 "stat": "min",
+                "baseline_suite_value": round(baseline_suite_total, 3),
             }
         )
     )

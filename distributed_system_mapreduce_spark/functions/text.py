@@ -382,25 +382,41 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 retrieval for a fixed term query — the ranked-retrieval
     sibling of text_tfidf_top (Robertson idf, k1/b length normalization).
 
-    Plan shape for corpus scale: the tf table is filtered to QUERY TERMS
-    before any aggregation (posting lists for 3 words, not the whole
-    vocabulary), doc lengths are one map-side-combined count per doc, and
-    (avgdl, N) is a broadcast 1-row aggregate — the only wide shuffle keys
-    on doc_id. Scores are rounded to 6 dp before ranking with a doc_id
-    tiebreak so top-k membership is engine-stable (SURVEY.md §7.3).
+    Plan shape for corpus scale (one token-explode, two corpus scans —
+    not four): the tf table is filtered to QUERY TERMS before any
+    aggregation (posting lists for 3 words, not the whole vocabulary);
+    doc lengths are a MAP-SIDE size(filter(tokens)) column — no explode,
+    no shuffle — persisted because it is exactly the per-document length
+    statistic a BM25 index stores, and both the score join and the
+    (avgdl, N) broadcast aggregate read it; per-term df comes from the
+    already-tiny qtf table instead of a second corpus-wide
+    count-distinct. Scores are rounded to 6 dp before ranking with a
+    doc_id tiebreak so top-k membership is engine-stable (SURVEY.md §7.3).
     """
     docs = load(spark, sf_dir, "documents")
-    tok = tokens(docs).select("doc_id", "word")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("bigint")
+        .alias("dl"),
+    ).persist()
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
     )
     qtf = (
-        tok.filter(F.col("word").isin(*BM25_QUERY))
+        tokens(docs)
+        .select("doc_id", "word")
+        .filter(F.col("word").isin(*BM25_QUERY))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    qdf = qtf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # qtf already holds one row per (doc, query word) — per-term document
+    # frequency is a WINDOW count over it (single lineage: a groupBy-join
+    # here would run the token explode a second time), repartitioned by
+    # word, which is 3 tiny partitions of posting-list rows
+    qtf = qtf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    )
     idf = F.log(
         (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1)
@@ -409,8 +425,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
     )
     scored = (
-        qtf.join(F.broadcast(qdf), "word")
-        .join(dl, "doc_id")
+        qtf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
