@@ -69,3 +69,57 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     )
     partial = salted.groupBy(key, SALT_COL).agg(F.count(F.lit(1)).alias("c"))
     return partial.groupBy(key).agg(F.sum("c").alias("cnt"))
+
+
+def _register_skew_queries() -> None:
+    """First-class t2 queries for the skew paths (same answers, same oracles
+    as their unsalted twins — count_by_key / join_reduce_side — so the
+    driver hash-verifies that salting is result-identical, not just our
+    unit tests)."""
+    from pyspark.sql import SparkSession
+
+    from ..registry import register
+    from ..sources.io import load
+
+    @register(
+        "count_by_key_salted",
+        oracle=(
+            "select event_type, cast(count(*) as bigint) as cnt "
+            "from events group by event_type"
+        ),
+    )
+    def count_by_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """count_by_key through the two-phase salted aggregation — the
+        skew-proof template for NON-algebraic aggregates (exact distinct
+        lists, top-k per key), where built-in partial aggregation cannot
+        help because the merge is not a simple sum. Hash-verified against
+        the same oracle as count_by_key: salting must be invisible in the
+        result."""
+        events = load(spark, sf_dir, "events").select("event_id", "event_type")
+        return salted_count(events, "event_type")
+
+    @register(
+        "join_reduce_side_salted",
+        oracle="""
+        select o_orderkey, o_totalprice, c_custkey, c_name
+        from orders join customer on o_custkey = c_custkey
+        """,
+    )
+    def join_reduce_side_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """join_reduce_side through the explicit salt-scatter join — the
+        mitigation for a hot key when the small side must stay
+        un-broadcast and AQE's runtime split is unavailable (e.g. the
+        skew only appears under a downstream repartitioning). The salt is
+        derived from the large side's own columns (no rand()), so the
+        plan is deterministic under task retry. Hash-verified against the
+        plain-join oracle."""
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", F.col("o_custkey").alias("c_custkey")
+        )
+        customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+        return salted_join(orders, customer, "c_custkey").select(
+            "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+        )
+
+
+_register_skew_queries()
