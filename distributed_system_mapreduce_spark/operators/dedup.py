@@ -359,7 +359,7 @@ def connected_components(
 #: appears in a near-dup pair — strictly smaller than the pair table that
 #: is already cached. Entries pin their checkpoint blocks for the session
 #: lifetime (same documented trade as the shingle cache).
-_CC_LABELS_MEMO: dict[tuple[int, str, float], DataFrame] = {}
+_CC_LABELS_MEMO: dict[tuple, DataFrame] = {}
 
 
 def corpus_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,16 +821,28 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    pairs = jaccard_pairs(exact).filter(F.col("jacc") >= CLUSTER_THRESHOLD)
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    # the survivor-subset component labels are memoized like the corpus
+    # labels (iterative output — CacheManager cannot match it across
+    # invocations), keyed separately because the graph is over the
+    # quality-filtered exact-dedup survivors, not raw documents
+    memo_key = (id(spark), sf_dir, CLUSTER_THRESHOLD, "funnel")
+    labels = _CC_LABELS_MEMO.get(memo_key)
+    if labels is None:
+        pairs = jaccard_pairs(exact).filter(
+            F.col("jacc") >= CLUSTER_THRESHOLD
         )
-        .persist()
-    )
-    labels = connected_components(edges)
-    edges.unpersist()
+        edges = (
+            pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+            .unionAll(
+                pairs.select(
+                    F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+                )
+            )
+            .persist()
+        )
+        labels = connected_components(edges)
+        edges.unpersist()
+        _CC_LABELS_MEMO[memo_key] = labels
     drop = labels.filter(F.col("label") != F.col("id")).select("id")
     final = exact.join(drop, exact.doc_id == drop.id, "left_anti")
     n_input = docs.agg(F.count(F.lit(1)).alias("n_input"))
