@@ -90,3 +90,51 @@ def test_determinism_double_run(name, spark):
     a = canonical_rows(QUERIES[name](spark, SF_DIR).toPandas())
     b = canonical_rows(QUERIES[name](spark, SF_DIR).toPandas())
     assert a == b
+
+
+def test_survivors_count_equals_total_clusters(spark):
+    """One survivor per near-dup cluster (incl. singleton clusters), so
+    |dedup_survivors| == Σ n_clusters of the dedup_cluster histogram —
+    ties the two operators to one consistent component model."""
+    n_survivors = QUERIES["dedup_survivors"](spark, SF_DIR).count()
+    hist = QUERIES["dedup_cluster"](spark, SF_DIR).agg(
+        F.sum("n_clusters").alias("s")
+    ).collect()[0]["s"]
+    assert n_survivors == hist
+
+
+def test_corpus_cc_labels_memoized(spark):
+    """Second call for the same (session, corpus) returns the SAME frame —
+    the iterative CC output is a session-scoped materialized view."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        corpus_cc_labels,
+    )
+
+    a = corpus_cc_labels(spark, SF_DIR)
+    b = corpus_cc_labels(spark, SF_DIR)
+    assert a is b
+    c = corpus_cc_labels(spark, SF_SMOKE)
+    assert c is not a
+
+
+def test_salted_join_rejects_outer_types(spark):
+    """right/full outer would duplicate unmatched small-side rows x n_salts
+    — the API refuses them instead of silently corrupting results."""
+    from distributed_system_mapreduce_spark.functions.skew import salted_join
+
+    df = load(spark, SF_DIR, "nation")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "n_nationkey", how="full_outer")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "n_nationkey", how="right")
+
+
+def test_salted_queries_match_unsalted_twins(spark):
+    """Salting must be invisible in results (beyond the driver's oracle
+    check: twin-vs-twin equality inside one engine)."""
+    assert canonical_rows(
+        QUERIES["count_by_key_salted"](spark, SF_DIR).toPandas()
+    ) == canonical_rows(QUERIES["count_by_key"](spark, SF_DIR).toPandas())
+    assert canonical_rows(
+        QUERIES["join_reduce_side_salted"](spark, SF_DIR).toPandas()
+    ) == canonical_rows(QUERIES["join_reduce_side"](spark, SF_DIR).toPandas())
