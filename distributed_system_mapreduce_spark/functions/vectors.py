@@ -657,3 +657,150 @@ def embed_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "label", "n_vecs", F.round(F.sqrt(sq_sum), 4).alias("centroid_norm")
     )
+
+
+RECALL_K = 10
+RECALL_N_QUERIES = 30
+RECALL_NPROBE = 4
+RECALL_N_CENTS = 16
+
+
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+    with emb as (
+      select vec_id, embedding::DOUBLE[] as e from embeddings),
+    cents as (
+      select vec_id as cent_id, e as ce from emb
+      where vec_id < {RECALL_N_CENTS}),
+    q as (
+      select vec_id as q_id, e as qe from emb
+      where vec_id < {RECALL_N_QUERIES}),
+    exact_scored as (
+      select q_id, v.vec_id as v_id,
+             row_number() over (
+               partition by q_id
+               order by round(list_dot_product(qe, v.e), 4) desc, v.vec_id
+             ) as rn
+      from emb v join q on v.vec_id <> q.q_id),
+    exact as (select q_id, v_id from exact_scored where rn <= {RECALL_K}),
+    assign_scored as (
+      select e.vec_id, c.cent_id,
+             row_number() over (
+               partition by e.vec_id
+               order by round(list_dot_product(e.e, c.ce), 4) desc, c.cent_id
+             ) as rn
+      from emb e cross join cents c),
+    assign as (select vec_id, cent_id from assign_scored where rn = 1),
+    probe_scored as (
+      select q.q_id, q.qe, c.cent_id,
+             row_number() over (
+               partition by q.q_id
+               order by round(list_dot_product(q.qe, c.ce), 4) desc, c.cent_id
+             ) as rn
+      from q cross join cents c),
+    probe as (
+      select q_id, qe, cent_id from probe_scored
+      where rn <= {RECALL_NPROBE}),
+    approx_scored as (
+      select p.q_id, a.vec_id as v_id,
+             row_number() over (
+               partition by p.q_id
+               order by round(list_dot_product(p.qe, v.e), 4) desc, a.vec_id
+             ) as rn
+      from probe p
+      join assign a using (cent_id)
+      join emb v on v.vec_id = a.vec_id
+      where a.vec_id <> p.q_id),
+    approx as (select q_id, v_id from approx_scored where rn <= {RECALL_K}),
+    hits as (
+      select count(*) as h from exact join approx using (q_id, v_id))
+    select {RECALL_K} as k,
+           {RECALL_N_QUERIES} as n_queries,
+           round(h / ({RECALL_N_QUERIES} * {RECALL_K}.0), 4) as recall
+    from hits
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF approximate path (deterministic seed centroids,
+    nprobe=4) against the exact brute-force top-10, averaged
+    over the first 30 query vectors — the engine measures its OWN
+    approximation quality as a first-class query, hash-verified against a
+    DuckDB replica of the identical computation.
+
+    Cross-engine determinism: EVERY score that feeds a rank (exact,
+    centroid assignment, probe selection, candidate rank) is rounded to
+    4 dp with an id tiebreak on both sides, so ulp-level float noise
+    cannot flip ranks in one engine only. At corpus scale the exact arm
+    is the expensive one — there it becomes a sampled audit (recall over
+    a query SAMPLE), which this query shape already is (30 queries).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < RECALL_N_CENTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    q = emb.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    rnk = lambda part, score, tie: F.row_number().over(  # noqa: E731
+        Window.partitionBy(part).orderBy(F.desc(score), F.asc(tie))
+    )
+    exact = (
+        spread(emb)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("q_id", "s", "v_id"))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "v_id")
+    )
+    assign = (
+        spread(emb)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(dot(F.col("e"), F.col("ce")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("vec_id", "s", "cent_id"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "qe", "cent_id",
+            F.round(dot(F.col("qe"), F.col("ce")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("q_id", "s", "cent_id"))
+        .filter(F.col("rn") <= RECALL_NPROBE)
+        .select("q_id", "qe", "cent_id")
+    )
+    approx = (
+        assign.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(emb.select(F.col("vec_id"), F.col("e")), "vec_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("q_id", "s", "v_id"))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "v_id")
+    )
+    hits = exact.join(approx, ["q_id", "v_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return hits.select(
+        F.lit(RECALL_K).alias("k"),
+        F.lit(RECALL_N_QUERIES).alias("n_queries"),
+        F.round(
+            F.col("h") / F.lit(RECALL_N_QUERIES * RECALL_K * 1.0), 4
+        ).alias("recall"),
+    )
