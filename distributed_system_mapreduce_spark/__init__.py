@@ -86,11 +86,15 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "window_tumbling",
     "window_sliding",
     "window_session",
-    # slots 47-50: highest-value extended queries
-    "join_asof",
-    "dedup_cluster",
-    "agg_percentiles",
-    "funnel_conversion",
+    # slots 47-50: rotated per round so extended queries accumulate
+    # driver-verified CORRECTNESS rows. Round 2 banked evidence for
+    # join_asof / dedup_cluster / agg_percentiles / funnel_conversion
+    # (all pass in CORRECTNESS_r02.json); round 3 rotates in the
+    # LLM-pipeline flagships (VERDICT.md round 2, "Next round" #1).
+    "dedup_survivors",
+    "pipeline_dedup_corpus",
+    "text_bm25_topk",
+    "sim_ann_recall",
 )
 
 
