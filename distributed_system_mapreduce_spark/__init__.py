@@ -10,6 +10,7 @@ Importing this package registers every query into ``registry.QUERIES`` /
 from . import registry  # noqa: F401
 from .functions import (  # noqa: F401
     jsonops,
+    multimodal,
     skew,
     text,
     vectors,

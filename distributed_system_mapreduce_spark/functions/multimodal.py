@@ -178,6 +178,67 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+def _register_multimodal_queries() -> None:
+    """Rows-only t2 queries over a deterministic fake-media table (VERDICT r2
+    "Next round" #7): documents.text bytes become the opaque blob, the gated
+    fake decoder feeds the real mapInPandas pipeline, and outputs are
+    integer-summed so they are exact under any row order / partitioning.
+    No SQL oracle: the md5-seeded fake decode is not SQL-expressible, so both
+    are declared rows-only and their sf0.01 outputs pinned in
+    tests/test_parity.py alongside the minhash/simhash trio."""
+    from pyspark.sql import SparkSession
+
+    from ..registry import register
+    from ..sources.io import load
+
+    @register("multimodal_media_features")  # rows-only: fake-decode features
+    def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-media-type feature rollup through the full decode→extract
+        mapInPandas pipeline (MEDIA_SCHEMA in, FEATURE_SCHEMA out, Arrow
+        batches, one Python crossing per batch). Features are collapsed to
+        integer milli-sums BEFORE aggregation: float32 per-item values are
+        deterministic, and bigint sums are associative-exact, so the result
+        is stable under any partitioning — the property a distributed
+        media-QA rollup needs anyway."""
+        docs = load(spark, sf_dir, "documents")
+        feats = media_features(fake_media_from_documents(docs), fake_decode=True)
+        milli = lambda i: F.round(  # noqa: E731
+            F.element_at("features", i).cast("double") * 1000
+        ).cast("bigint")
+        return (
+            feats.select(
+                "media_type",
+                "n_bytes",
+                milli(1).alias("mean_milli"),
+                milli(2).alias("std_milli"),
+            )
+            .groupBy("media_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("n_bytes").alias("total_bytes"),
+                F.sum("mean_milli").alias("mean_milli_sum"),
+                F.sum("std_milli").alias("std_milli_sum"),
+            )
+            .orderBy("media_type")
+        )
+
+    @register("multimodal_frame_sample")  # rows-only: stub demuxer
+    def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Frame-sampling summary: every-2nd-frame sample over the video rows
+        (1→N mapInPandas expansion, the video posexplode), rolled up to one
+        deterministic row (n sampled frames, distinct videos, total sampled
+        bytes)."""
+        docs = load(spark, sf_dir, "documents")
+        frames = sample_frames(fake_media_from_documents(docs), every_n=2)
+        return frames.agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.countDistinct("media_id").alias("n_videos"),
+            F.coalesce(F.sum("frame_bytes"), F.lit(0))
+            .cast("bigint")
+            .alias("total_frame_bytes"),
+        )
+
+
 def fake_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table from documents.text (test fixture):
     text bytes become the blob; metadata derived from doc stats."""
@@ -193,3 +254,6 @@ def fake_media_from_documents(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 8 + 1).cast("int").alias("n_frames"),
         F.col("text").cast("binary").alias("data"),
     )
+
+
+_register_multimodal_queries()

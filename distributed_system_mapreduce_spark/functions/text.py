@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..registry import register
 from ..sources.io import load
 from ..operators.relational import tokens
@@ -394,12 +395,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak so top-k membership is engine-stable (SURVEY.md §7.3).
     """
     docs = load(spark, sf_dir, "documents")
-    dl = docs.select(
-        "doc_id",
-        F.expr("size(filter(split(text, ' '), w -> w != ''))")
-        .cast("bigint")
-        .alias("dl"),
-    ).persist()
+    # dl > 0: the oracle's dl CTE is built from exploded nonempty tokens, so
+    # an empty/whitespace-only document never reaches it — filter here too
+    # or avgdl and N diverge on such corpora (ADVICE r2). Tracked persist:
+    # the score join and the (avgdl, N) aggregate both read this table.
+    dl = track(
+        docs.select(
+            "doc_id",
+            F.expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("bigint")
+            .alias("dl"),
+        ).filter(F.col("dl") > 0)
+    )
     stats = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import register_memo_clearer, track
 from ..registry import register
 from ..sources.io import load
 
@@ -173,15 +174,15 @@ def jaccard_pairs(
     # dedup_cluster, so Spark's CacheManager serves all of them from one
     # materialization. MEMORY_AND_DISK: postings ≈ total distinct shingles
     # × 16 B — at corpus scale this spills rather than OOMs, exactly the
-    # intermediate a cluster pipeline would stage anyway. Lives until LRU
-    # eviction (documented trade, same as minhash's hashed-shingle cache).
-    sh = (
+    # intermediate a cluster pipeline would stage anyway. Tracked in the
+    # cache registry so cache.clear_tracked_caches() releases it between
+    # phases of a long session (bench does this between reps).
+    sh = track(
         spread(docs)
         .withColumn("toks", F.split("text", " "))
         .select("doc_id", F.explode(shingle_expr(3)).alias("sh_str"))
         .select("doc_id", F.xxhash64("sh_str").alias("shingle"))
         .distinct()
-        .persist()
     )
     hot = (
         sh.groupBy("shingle")
@@ -213,8 +214,8 @@ def jaccard_pairs(
     # dedup_cluster / dedup_ngram_containment — one materialization serves
     # all of them, which is why it carries the raw (i, na, nb) alongside
     # jacc. Bounded by the inverted-index join (pairs sharing ≥1 surviving
-    # shingle), not O(n²).
-    return (
+    # shingle), not O(n²). Tracked for bulk release (cache registry).
+    return track(
         inter.join(sa, "a_id")
         .join(sb, "b_id")
         .select(
@@ -227,7 +228,6 @@ def jaccard_pairs(
                 F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
             ).alias("jacc"),
         )
-        .persist()
     )
 
 
@@ -296,54 +296,63 @@ def connected_components(
     round for a near-dup graph that filtered down to thousands of edges.
     One partition per ~200k edges (floor 1, cap = session default) keeps
     round cost proportional to the graph, which is exactly what AQE would
-    have chosen. The session conf is restored before returning.
+    have chosen. Sizing is applied with EXPLICIT hash repartitions on the
+    loop's join/agg keys — never by mutating the session-global
+    spark.sql.shuffle.partitions, which would leak into queries planned
+    concurrently in the same session (ADVICE r2). ``localCheckpoint``
+    preserves the physical partitioning into its LogicalRDD, so each
+    round's edges⋈labels join reuses both sides' hash placement with no
+    extra exchange.
     """
     spark = edges_directed.sparkSession
     n_edges = edges_directed.count()
-    conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    loop_parts = max(1, min(int(old_parts), n_edges // 200_000 + 1))
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(default_parts, n_edges // 200_000 + 1))
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    try:
-        spark.conf.set(conf_key, str(loop_parts))
-        nodes = edges_directed.select(F.col("src").alias("id")).distinct()
-        labels = (
-            nodes.withColumn("label", F.col("id")).localCheckpoint(eager=False)
+    edges = edges_directed.repartition(loop_parts, "src")
+    nodes = (
+        edges_directed.select(F.col("src").alias("id"))
+        .repartition(loop_parts, "id")
+        .distinct()
+    )
+    labels = (
+        nodes.withColumn("label", F.col("id")).localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(label_sum).collect()[0]["s"]
+    for _ in range(max_rounds):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "label")
         )
-        prev_sum = labels.agg(label_sum).collect()[0]["s"]
-        for _ in range(max_rounds):
-            msgs = (
-                edges_directed.join(labels, edges_directed.src == labels.id)
-                .select(F.col("dst").alias("id"), "label")
+        propagated = (
+            msgs.unionAll(labels)
+            .repartition(loop_parts, "id")
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: replace each label by ITS label (labels are
+        # node ids, so every label has a row). Compresses chains
+        # geometrically.
+        parent = propagated.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        labels = (
+            propagated.repartition(loop_parts, "label")
+            .join(parent, propagated.label == parent.p_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("p_label"), F.col("label")),
+                ).alias("label"),
             )
-            propagated = (
-                msgs.unionAll(labels)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-            )
-            # pointer jumping: replace each label by ITS label (labels are
-            # node ids, so every label has a row). Compresses chains
-            # geometrically.
-            parent = propagated.select(
-                F.col("id").alias("p_id"), F.col("label").alias("p_label")
-            )
-            labels = (
-                propagated.join(parent, propagated.label == parent.p_id, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("p_label"), F.col("label")),
-                    ).alias("label"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            new_sum = labels.agg(label_sum).collect()[0]["s"]
-            if new_sum == prev_sum:
-                return labels
-            prev_sum = new_sum
-    finally:
-        spark.conf.set(conf_key, old_parts)
+            .repartition(loop_parts, "id")
+            .localCheckpoint(eager=False)
+        )
+        new_sum = labels.agg(label_sum).collect()[0]["s"]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
@@ -360,12 +369,20 @@ def connected_components(
 #: is already cached. Entries pin their checkpoint blocks for the session
 #: lifetime (same documented trade as the shingle cache).
 _CC_LABELS_MEMO: dict[tuple, DataFrame] = {}
+register_memo_clearer(_CC_LABELS_MEMO.clear)
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable memo key for a session: applicationId, NOT id(spark) —
+    CPython reuses object ids after GC, so id() can alias a new session to
+    a stopped one whose checkpoint RDDs are gone (ADVICE r2)."""
+    return spark.sparkContext.applicationId
 
 
 def corpus_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, label) components of the trigram-Jaccard >= CLUSTER_THRESHOLD
     graph over ``documents``, memoized per (session, corpus)."""
-    key = (id(spark), sf_dir, CLUSTER_THRESHOLD)
+    key = (_session_key(spark), sf_dir, CLUSTER_THRESHOLD)
     labels = _CC_LABELS_MEMO.get(key)
     if labels is not None:
         return labels
@@ -549,10 +566,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on hs would be pushed below the repartition exchange and re-run the
     # whole shingle+hash pipeline serially on the pre-shuffle partition.
     # Lifecycle: the cache must outlive this builder (the caller materializes
-    # the returned lazy plan), so it cannot be unpersisted here; MEMORY_AND_
-    # DISK blocks are LRU-evicted under pressure, which bounds the footprint
-    # when many queries run in one session (e.g. the bench loop).
-    hashed = spread(docs).transform(shingle_hashes).persist()
+    # the returned lazy plan), so it cannot be unpersisted here; it is
+    # tracked in the cache registry for bulk release between session phases.
+    hashed = track(spread(docs).transform(shingle_hashes))
     # the band join carries ONLY (band, key, id) — shingle arrays rejoin
     # after candidate dedup, so the shuffle stays O(docs x bands) ids.
     # (a*h + b stays in long range because banded_keys reduces h mod P first
@@ -825,7 +841,7 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # labels (iterative output — CacheManager cannot match it across
     # invocations), keyed separately because the graph is over the
     # quality-filtered exact-dedup survivors, not raw documents
-    memo_key = (id(spark), sf_dir, CLUSTER_THRESHOLD, "funnel")
+    memo_key = (_session_key(spark), sf_dir, CLUSTER_THRESHOLD, "funnel")
     labels = _CC_LABELS_MEMO.get(memo_key)
     if labels is None:
         pairs = jaccard_pairs(exact).filter(

@@ -40,23 +40,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond TimestampType regardless of
+    how the parquet file encoded it.
+
+    Driver-generated fixtures have shipped two encodings across rounds:
+    TIMESTAMP(NANOS) — which Spark 4 only reads as raw longs via
+    ``nanosAsLong``, rebuilt here with the same floor division DuckDB applies
+    — and plain TIMESTAMP (µs, isAdjustedToUTC=false), which Spark reads as
+    TIMESTAMP_NTZ. Both collapse to TimestampType under the UTC session tz
+    (session.py), so oracle comparisons see identical values either way
+    (SURVEY.md §7.3.2).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default. We read it as raw nanos (``nanosAsLong``) and rebuild a
-    microsecond TimestampType via integer division — the identical floor
-    truncation DuckDB applies when it reads the same file as TIMESTAMP (µs),
-    so both sides of the oracle see the same values (SURVEY.md §7.3.2).
+    ``events`` gets its ``ts`` column normalized to TimestampType (µs) —
+    see :func:`normalize_events_ts` for the two fixture encodings handled.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        from pyspark.sql import functions as F
-
+        # harmless when ts is already µs; required to read NANOS fixtures
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -24,27 +24,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import table_path
-
-# events.ts is parquet TIMESTAMP(NANOS); the streaming reader needs the same
-# nanos handling as sources.io.load (read as long, rebuild µs timestamps).
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+from ..sources.io import normalize_events_ts, table_path
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the ns→µs rebuild."""
+    """``readStream`` over the events parquet with the same ``ts``
+    normalization as the batch reader (fixtures have shipped both NANOS and
+    µs encodings — the streaming schema is taken from a batch sniff of the
+    same file so both paths always agree)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the file stream source requires a DIRECTORY; point it at the sf dir and
     # glob-filter down to the events file
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

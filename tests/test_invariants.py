@@ -117,6 +117,45 @@ def test_corpus_cc_labels_memoized(spark):
     assert c is not a
 
 
+def test_tracked_caches_release(spark):
+    """Every cross-query persist goes through the cache registry, so one
+    clear_tracked_caches() releases the session's whole cached working set
+    (and drops the CC label memo) — the explicit lifecycle replacing the
+    round-2 rely-on-LRU story."""
+    from distributed_system_mapreduce_spark import cache
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        _CC_LABELS_MEMO,
+        jaccard_pairs,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    before = cache.tracked_count()
+    jaccard_pairs(docs).count()
+    assert cache.tracked_count() > before
+    released = cache.clear_tracked_caches()
+    assert released >= 2  # shingle table + pair table at minimum
+    assert cache.tracked_count() == 0
+    assert not _CC_LABELS_MEMO
+
+
+def test_connected_components_never_mutates_session_conf(spark):
+    """The CC loop sizes its shuffles with explicit repartition(loop_parts)
+    — mutating spark.sql.shuffle.partitions would leak into concurrently
+    planned queries in the same session (ADVICE r2)."""
+    import inspect
+
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    src = inspect.getsource(connected_components)
+    assert "conf.set" not in src
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    QUERIES["dedup_cluster"](spark, SF_SMOKE).collect()
+    assert spark.conf.get(key) == before
+
+
 def test_salted_join_rejects_outer_types(spark):
     """right/full outer would duplicate unmatched small-side rows x n_salts
     — the API refuses them instead of silently corrupting results."""

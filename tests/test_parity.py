@@ -47,6 +47,16 @@ ROWS_ONLY_EXPECTED = {
     ],
     "dedup_near_minhash": [(500, 30, 25)],  # (n_docs, n_candidates, n_dups)
     "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
+    # (media_type, n_items, total_bytes, mean_milli_sum, std_milli_sum):
+    # integer sums over the fake-decode feature pipeline — associative-exact,
+    # so stable under any partitioning
+    "multimodal_media_features": [
+        ("audio", 167, 50917, 21093461, 11728424),
+        ("image", 167, 52037, 22136947, 11682324),
+        ("video", 166, 46220, 21005754, 11645468),
+    ],
+    # (n_frames_sampled, n_videos, total_frame_bytes)
+    "multimodal_frame_sample": [(436, 166, 27376)],
 }
 
 
