@@ -17,6 +17,7 @@ from .functions import (  # noqa: F401
 )
 from .operators import (  # noqa: F401
     aggregations,
+    curation,
     dedup,
     extended,
     joins,

@@ -1,0 +1,296 @@
+"""Corpus curation: decontamination, deterministic sampling, data mixing.
+
+The training-data counterpart of the dedup family (SURVEY.md §2.8): before a
+corpus feeds a training run, a pipeline must (a) strip documents that leak
+evaluation data (decontamination — the train/test n-gram-overlap check every
+published LLM data card reports), (b) draw reproducible samples (per-stratum
+and budget-constrained), and (c) compose sources into a weighted mixture.
+None of these exist in the MapReduce reference model (OSDI 2004 covers only
+the generic map/shuffle/reduce primitives); they are driver-mandated
+LLM-pipeline extensions, expressed Spark-first:
+
+- Decontamination is an inverted-index equi-join on hashed 5-gram shingles —
+  the same posting-list shape as ``dedup_ngram_jaccard`` but train⋈eval
+  instead of self-join, so the shuffle is O(train postings + eval postings),
+  never all-pairs. Long shingles (5-grams vs the dedup family's trigrams)
+  match decontamination practice: overlap on a long n-gram is evidence of
+  leakage, not shared style, and long n-grams are near-unique so the join
+  keys carry no stop-shingle skew.
+- The eval side of the join is explicitly ``broadcast()``: eval suites are
+  small by construction (thousands of documents against a 100 TB train
+  corpus), so the contamination check is a map-side join over the train
+  postings — no shuffle of the 100 TB side at all. If an eval set ever
+  outgrew broadcast, dropping the hint falls back to a sort-merge join with
+  the identical result.
+- Sampling is hash-ordered and key-deterministic (md5 of the row key, same
+  bytes on any engine): no ``rand()``, no sampler state, so any re-run or
+  incremental reprocess selects the identical rows. Per-stratum top-k and
+  running-budget selection are window functions over the stratum — one
+  shuffle on the stratum key; the 100 TB variant partitions by the same key
+  so the window never sees more than one stratum per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+from .dedup import shingle_expr
+
+#: decontamination n-gram length: long enough that a shared shingle means
+#: copied text, short enough that every fixture doc (>= 10 tokens) has some.
+DECONTAM_NGRAM = 5
+
+#: eval split: pure function of the key (doc_id % 10 == 0 → eval) so both
+#: engines and any re-run agree on membership; a real pipeline would join
+#: an explicit eval-suite table instead, with the same plan shape.
+_EVAL_MOD = 10
+
+#: DuckDB CTE prefix shared by the decontamination oracles: distinct 5-gram
+#: shingles per document (string shingles — the Spark side hashes them to
+#: 64-bit join keys, value-identical for counting), split into eval/train.
+_DECONTAM_CTE = f"""
+    tok as (select doc_id, string_split(text, ' ') as t from documents),
+    sh as (
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(list_transform(
+                 list_zip(t[1:len(t)-4], t[2:len(t)-3], t[3:len(t)-2],
+                          t[4:len(t)-1], t[5:len(t)]),
+                 x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' ||
+                      x[4] || ' ' || x[5])) as shingle
+        from tok where len(t) >= {DECONTAM_NGRAM})),
+    ev as (select doc_id as eval_id, shingle from sh
+           where doc_id % {_EVAL_MOD} = 0),
+    tr as (select doc_id, shingle from sh
+           where doc_id % {_EVAL_MOD} <> 0)
+"""
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct hashed word 5-grams per document.
+
+    Hashing to 64-bit happens BEFORE the join so posting lists shuffle as
+    longs, not 5-word strings — same trick as ``jaccard_pairs``.
+    """
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(shingle_expr(DECONTAM_NGRAM)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
+
+
+def contamination_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle, eval_id): every train-doc 5-gram also present in
+    some eval doc. The decontamination primitive — eval side broadcast, so
+    the train corpus is checked map-side without shuffling."""
+    sh = _doc_shingles(docs)
+    ev = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    tr = sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return tr.join(F.broadcast(ev), "shingle")
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    with {_DECONTAM_CTE}
+    select tr.doc_id,
+           count(distinct tr.shingle) as n_shared_ngrams,
+           count(distinct ev.eval_id) as n_eval_docs
+    from tr join ev on tr.shingle = ev.shingle
+    group by tr.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated train doc: how many 5-grams it shares with the eval
+    split and with how many eval docs. Rows = docs a decontamination pass
+    would drop (or flag) before training."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        contamination_pairs(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "corpus_decontam_stats",
+    oracle=f"""
+    with {_DECONTAM_CTE},
+    contaminated as (select distinct tr.doc_id
+                     from tr join ev on tr.shingle = ev.shingle)
+    select d.source,
+           count(*) as n_train,
+           count(c.doc_id) as n_contaminated,
+           round(count(c.doc_id) / count(*), 4) as contam_rate
+    from documents d
+    left join contaminated c on c.doc_id = d.doc_id
+    where d.doc_id % {_EVAL_MOD} <> 0
+    group by d.source
+    order by d.source
+    """,
+)
+def corpus_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination report: train size, contaminated count,
+    rate — the data-card table a curation run publishes. The contaminated
+    id set is small (flagged docs only), so it broadcasts back onto the
+    train table for the rollup."""
+    docs = load(spark, sf_dir, "documents")
+    contaminated = (
+        contamination_pairs(docs).select("doc_id").distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("is_contam").alias("n_contaminated"),
+            F.round(
+                F.count("is_contam") / F.count(F.lit(1)), 4
+            ).alias("contam_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+#: docs kept per stratum by the stratified sampler (exact-size sample).
+STRATUM_K = 5
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    select doc_id, source, lang, n_chars from (
+      select *, row_number() over (
+        partition by source
+        order by md5(cast(doc_id as varchar)), doc_id) as rn
+      from documents)
+    where rn <= {STRATUM_K}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample: the first ``STRATUM_K`` docs of
+    each source in md5(doc_id) order.
+
+    md5 of the key is an engine-portable shuffle: uniform, stateless, and
+    identical bytes everywhere, so the sample is reproducible across runs,
+    engines, and incremental reprocessing — the property ``rand()``-based
+    samplers lack. One shuffle on the stratum key; rank-k selection within
+    a stratum is per-task. (For FRACTION sampling at 100 TB, skip the window
+    entirely and filter on a hash threshold map-side — sample_hash_split
+    shows that shape; this operator is the exact-size variant.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+@register(
+    "sample_weighted_mix",
+    oracle="""
+    with ranked as (
+      select lang, n_chars, row_number() over (
+        partition by lang
+        order by md5(cast(doc_id as varchar)), doc_id) as rn
+      from documents)
+    select lang,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars
+    from ranked
+    where rn <= case when lang = 'en' then 40 else 10 end
+    group by lang
+    order by lang
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture composition: draw 40 English / 10 per other language
+    (deterministic md5 order) and report the resulting mix — the "data
+    mixing" step that composes a training corpus from per-domain quotas.
+
+    The quota is a pure expression of the stratum key, so the plan is the
+    same single stratum-key shuffle as ``sample_stratified`` regardless of
+    how many strata or what weights; changing the mixture never reshapes
+    the plan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    quota = F.when(F.col("lang") == "en", 40).otherwise(10)
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: per-source character budget for the budget-constrained selector.
+SOURCE_CHAR_BUDGET = 2000
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    with ranked as (
+      select source, n_chars,
+             sum(n_chars) over (
+               partition by source
+               order by md5(cast(doc_id as varchar)), doc_id
+               rows unbounded preceding) as cum_chars
+      from documents)
+    select source,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as chars_used
+    from ranked
+    where cum_chars <= {SOURCE_CHAR_BUDGET}
+    group by source
+    order by source
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained selection: take docs per source (deterministic md5
+    order) while the running character total stays within the budget —
+    "fill N tokens from each source", the quota step of a mixture build.
+
+    A running sum over the stratum window, then a filter on the prefix sum:
+    one shuffle on source, no second pass. n_chars stands in for a token
+    count; swapping in ``text_token_count``'s tokenizer output changes only
+    the summed column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= SOURCE_CHAR_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_used"),
+        )
+        .orderBy("source")
+    )

@@ -96,3 +96,21 @@ def test_centroid_norms_single_shuffle_partial_agg(spark):
 def test_dedup_survivors_anti_join(spark):
     plan = explain_str(QUERIES["dedup_survivors"](spark, SF_DIR))
     assert "LeftAnti" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    # eval suites are small by construction: the contamination check must be
+    # a map-side (broadcast) join over the train postings — shuffling the
+    # train side on shingle would move the whole corpus at 100 TB
+    plan = explain_str(QUERIES["corpus_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sampling_stays_jvm_side(spark):
+    # md5-ordered deterministic samplers are pure window/filter plans — no
+    # Python crossing anywhere
+    for name in ("sample_stratified", "sample_weighted_mix", "sample_token_budget"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR), mode="simple")
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
