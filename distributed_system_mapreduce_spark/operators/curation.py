@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..registry import register
 from ..sources.io import load
 from .dedup import shingle_expr
@@ -74,8 +75,13 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
     Hashing to 64-bit happens BEFORE the join so posting lists shuffle as
     longs, not 5-word strings — same trick as ``jaccard_pairs``.
+
+    Tracked persist: both the eval and train sides of the contamination
+    join slice this one frame, and the identical plan recurs across
+    corpus_decontaminate / corpus_decontam_stats — one materialization
+    serves all four reads (released via cache.clear_tracked_caches).
     """
-    return (
+    return track(
         docs.withColumn("toks", F.split("text", " "))
         .select("doc_id", F.explode(shingle_expr(DECONTAM_NGRAM)).alias("s"))
         .select("doc_id", F.xxhash64("s").alias("shingle"))

@@ -609,55 +609,76 @@ SIMHASH_BLOCKS = 4  # 4 blocks x 4 bits; Hamming <= 3 => >= 1 block equal
 SIMHASH_MAX_DIST = 3
 
 
-@register("dedup_simhash")  # rows-only: packed-bit arithmetic, no SQL twin
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup summary via bit-block LSH — no all-pairs join.
-
-    Per doc: token hash = low 16 bits of xxhash64(token) (JVM-side, cheap,
-    run-deterministic — this query is rows-only so no cross-engine hash
-    parity is needed, cf. SURVEY.md §7.3.7);
-    simhash bit b = sign of Σ_tokens (±1 by bit b of the token hash). Pairs
-    within Hamming distance ≤ 3 count as near-dups. Output one summary row
-    (n_docs, n_close_pairs).
-
-    Scale plan (exact, never O(docs²)):
-      1. collapse docs → distinct (simhash, count) — the value space is
-         bounded by 2^16, so this map-side-combining agg shrinks any corpus
-         to ≤ 65 536 rows before any join;
-      2. within-value pairs = Σ C(c, 2)  (Hamming 0);
-      3. cross-value candidates by bit-block LSH: 4 blocks of 4 bits — by
-         pigeonhole, d ≤ 3 bit flips cannot touch all 4 blocks, so every
-         qualifying value pair shares ≥ 1 exact block key. Equi-join on
-         (block_id, block_value), dedup (u, v), verify bit_count(u^v) ≤ 3,
-         weight by c_u·c_v.
-    For a 64-bit simhash at corpus scale step 1 no longer collapses, but
-    step 3 is unchanged (17 blocks of ~4 bits for d ≤ 16, etc.).
-    """
-    from ..functions.vectors import spread
-
-    docs = load(spark, sf_dir, "documents")
-    # the whole signature is ONE nested higher-order expression: per-token
-    # xxhash64 → per-bit ±1 sums → packed 16-bit code, evaluated map-side
-    # inside whole-stage codegen. No token explode, no per-doc shuffle —
-    # the only exchange in the query is the ≤ 2^16-row value aggregation.
-    simhash_sql = f"""
+def _simhash_pack_sql(bits: int) -> str:
+    """SQL expression packing a ``bits``-wide SimHash from xxhash64 token
+    hashes — per-token hash → per-bit ±1 sums → packed code, one nested
+    higher-order expression evaluated map-side inside whole-stage codegen.
+    No token explode, no per-doc shuffle. ≤ 31 bits stays int arithmetic;
+    wider codes switch the mask/shift literals to bigint (64 uses the full
+    xxhash64 value — no mask needed)."""
+    if bits <= 31:
+        tok = f"cast(xxhash64(w) & {(1 << bits) - 1} as int)"
+        one, zero = "1", "0"
+    else:
+        tok = (
+            "xxhash64(w)"
+            if bits == 64
+            else f"xxhash64(w) & {(1 << bits) - 1}"
+        )
+        one, zero = "cast(1 as bigint)", "cast(0 as bigint)"
+    return f"""
     aggregate(
       zip_with(
         aggregate(
           transform(filter(split(text, ' '), w -> w != ''),
-                    w -> cast(xxhash64(w) & {(1 << SIMHASH_BITS) - 1} as int)),
-          array_repeat(0, {SIMHASH_BITS}),
-          (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                    w -> {tok}),
+          array_repeat(0, {bits}),
+          (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
                                (a, bit) -> a + case when shiftright(h, bit) & 1 = 1
                                                     then 1 else -1 end)),
-        sequence(0, {SIMHASH_BITS - 1}),
-        (s, bit) -> case when s > 0 then shiftleft(1, bit) else 0 end),
-      0, (acc, v) -> acc + v)
+        sequence(0, {bits - 1}),
+        (s, bit) -> case when s > 0 then shiftleft({one}, bit) else {zero} end),
+      {zero}, (acc, v) -> acc + v)
     """
+
+
+def simhash_close_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    n_blocks: int = SIMHASH_BLOCKS,
+    max_dist: int = SIMHASH_MAX_DIST,
+) -> DataFrame:
+    """One-row (n_docs, n_close_pairs) SimHash near-dup summary via
+    bit-block LSH — no all-pairs join, any code width.
+
+    Scale plan (exact, never O(docs²)):
+      1. collapse docs → distinct (simhash, count) — for narrow codes the
+         value space is bounded (2^16 at 16 bits) so this map-side-combining
+         agg shrinks any corpus to a tiny table; at 64 bits it still dedups
+         identical codes and bounds the join input at n_distinct_codes;
+      2. within-value pairs = Σ C(c, 2)  (Hamming 0);
+      3. cross-value candidates by bit-block LSH: ``n_blocks`` equal bit
+         blocks — by pigeonhole, d ≤ n_blocks - 1 bit flips cannot touch
+         every block, so every qualifying pair shares ≥ 1 exact block key.
+         Equi-join on (block_id, block_value), count each pair only at its
+         FIRST agreeing block (a map-side xor filter — no distinct()
+         shuffle over candidates), verify bit_count(u^v) ≤ max_dist,
+         weight by c_u·c_v.
+
+    ``n_blocks`` must exceed ``max_dist`` for the pigeonhole to hold.
+    """
+    from ..functions.vectors import spread
+
+    if n_blocks <= max_dist:
+        raise ValueError(
+            f"pigeonhole needs n_blocks > max_dist, got {n_blocks} <= {max_dist}"
+        )
+    if bits % n_blocks:
+        raise ValueError(f"{bits} bits not divisible into {n_blocks} blocks")
     vals = (
         spread(docs)
         .filter(F.expr("size(filter(split(text, ' '), w -> w != '')) > 0"))
-        .select(F.expr(simhash_sql).alias("simhash"))
+        .select(F.expr(_simhash_pack_sql(bits)).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -668,7 +689,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
 
-    bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
+    bits_per_block = bits // n_blocks
     block_entries = [
         F.struct(
             F.lit(k).alias("block_id"),
@@ -676,17 +697,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .bitwiseAND(F.lit((1 << bits_per_block) - 1))
             .alias("block_val"),
         )
-        for k in range(SIMHASH_BLOCKS)
+        for k in range(n_blocks)
     ]
     blocked = vals.select(
         "simhash", "c", F.explode(F.array(*block_entries)).alias("b")
     ).select("simhash", "c", "b.block_id", "b.block_val")
     a = blocked.alias("a")
     b = blocked.alias("b")
-    # a value pair within distance ≤ 3 can agree on several blocks; instead
-    # of a distinct() (a shuffle over every candidate pair) each pair is
-    # counted only at its FIRST agreeing block — a map-side filter on the
-    # xor of the two codes, so the join output never re-shuffles.
+    # a value pair within distance ≤ max_dist can agree on several blocks;
+    # instead of a distinct() (a shuffle over every candidate pair) each
+    # pair is counted only at its FIRST agreeing block — a map-side filter
+    # on the xor of the two codes, so the join output never re-shuffles.
     xor = F.col("u").bitwiseXOR(F.col("v"))
     first_zero_block = F.coalesce(
         *[
@@ -697,7 +718,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == 0,
                 F.lit(k),
             )
-            for k in range(SIMHASH_BLOCKS)
+            for k in range(n_blocks)
         ]
     )
     cross = (
@@ -715,7 +736,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c").alias("cv"),
         )
         .filter(first_zero_block == F.col("block_id"))
-        .filter(F.bit_count(xor.cast("bigint")) <= SIMHASH_MAX_DIST)
+        .filter(F.bit_count(xor.cast("bigint")) <= max_dist)
         .agg(
             F.coalesce(F.sum(F.col("cu") * F.col("cv")), F.lit(0)).alias("p")
         )
@@ -725,6 +746,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return n_docs.crossJoin(summary)
+
+
+@register("dedup_simhash")  # rows-only: packed-bit arithmetic, no SQL twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup summary (4 blocks × 4 bits, Hamming ≤ 3).
+
+    Token hash = low 16 bits of xxhash64(token) (JVM-side, cheap,
+    run-deterministic — this query is rows-only so no cross-engine hash
+    parity is needed, cf. SURVEY.md §7.3.7). See
+    :func:`simhash_close_pairs` for the bit-block LSH plan.
+    """
+    return simhash_close_pairs(load(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash64")  # rows-only: packed-bit arithmetic, no SQL twin
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup summary (4 blocks × 16 bits, Hamming ≤ 3) —
+    the corpus-scale code width (Manku et al., WWW 2007 use 64-bit codes
+    with block-permuted tables; here blocks are the non-permuted special
+    case sufficient for d ≤ 3).
+
+    Same plan as the 16-bit query; the value-collapse stage no longer
+    bounds the table at 2^16, but it still dedups identical codes and the
+    block join stays O(codes × blocks) with 16-bit join keys.
+    """
+    return simhash_close_pairs(
+        load(spark, sf_dir, "documents"), bits=64, n_blocks=4, max_dist=3
+    )
 
 
 @register(

@@ -47,6 +47,9 @@ ROWS_ONLY_EXPECTED = {
     ],
     "dedup_near_minhash": [(500, 30, 25)],  # (n_docs, n_candidates, n_dups)
     "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
+    # 64-bit codes (4 x 16-bit blocks): near-orthogonal hashes make d<=3
+    # collisions rare — the discriminative regime the 16-bit query lacks
+    "dedup_simhash64": [(500, 17)],  # (n_docs, n_close_pairs)
     # (media_type, n_items, total_bytes, mean_milli_sum, std_milli_sum):
     # integer sums over the fake-decode feature pipeline — associative-exact,
     # so stable under any partitioning

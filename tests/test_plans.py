@@ -114,3 +114,14 @@ def test_sampling_stays_jvm_side(spark):
         plan = explain_str(QUERIES[name](spark, SF_DIR), mode="simple")
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
         assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+
+
+def test_simhash64_block_join_is_equi_not_cartesian(spark):
+    # the 64-bit variant must keep the (block_id, block_val) equi-join over
+    # distinct codes — a cartesian there is quadratic at corpus scale. The
+    # only nested-loop joins allowed are the 1-row scalar summary combines.
+    plan = explain_str(QUERIES["dedup_simhash64"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
