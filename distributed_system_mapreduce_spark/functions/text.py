@@ -448,6 +448,57 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    oracle="""
+    with tok as (
+      select doc_id, word
+      from (select doc_id, unnest(string_split(text, ' ')) as word
+            from documents)
+      where word <> ''),
+    cnt as (select word, count(*) as c from tok group by word),
+    total as (select count(*) as n_total from tok)
+    select doc_id, n_tokens, avg_logprob from (
+      select doc_id,
+             count(*) as n_tokens,
+             round(avg(ln(c / n_total)), 4) as avg_logprob
+      from tok join cnt using (word), total
+      group by doc_id)
+    order by avg_logprob, doc_id
+    limit 20
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 least-probable documents under the corpus's own unigram LM — the
+    language-model quality filter (CCNet-style: score each doc by mean token
+    log-probability, drop the tail) with the corpus itself as the model.
+
+    Plan: one token aggregation builds the vocabulary counts, then the token
+    table joins them back on ``word`` and averages per doc. The vocab side of
+    that join is tiny relative to the token table, so AQE broadcasts it and
+    the hot Zipf-head keys ("the") never skew a shuffle; if a vocabulary ever
+    outgrew broadcast, AQE's skew-join split handles the head keys. Scores
+    are rounded to 4 dp BEFORE ranking so float summation order cannot flip
+    bottom-20 membership between engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = tokens(docs).select("doc_id", "word")
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tok.join(cnt, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c") / F.col("n_total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.orderBy(F.asc("avg_logprob"), F.asc("doc_id")).limit(20)
+
+
+@register(
     "text_repetition_score",
     oracle="""
     select doc_id,

@@ -675,7 +675,12 @@ def simhash_close_pairs(
         )
     if bits % n_blocks:
         raise ValueError(f"{bits} bits not divisible into {n_blocks} blocks")
-    vals = (
+    # tracked persist: the (simhash, count) table is tiny (≤ distinct codes)
+    # but its lineage — the per-token signature expression over every doc —
+    # is the expensive part of the query, and the plan below reads it three
+    # times (the within-value agg + both sides of the block self-join).
+    # Caching makes the corpus scan happen exactly once.
+    vals = track(
         spread(docs)
         .filter(F.expr("size(filter(split(text, ' '), w -> w != '')) > 0"))
         .select(F.expr(_simhash_pack_sql(bits)).alias("simhash"))
