@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..registry import register
 from ..sources.io import load
 
@@ -803,4 +804,91 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("h") / F.lit(RECALL_N_QUERIES * RECALL_K * 1.0), 4
         ).alias("recall"),
+    )
+
+
+#: driver-local eigensolve parameters: fixed round count, deterministic
+#: uniform init, per-round quantization (see embed_pca_top_component).
+PCA_ITERS = 100
+PCA_QUANT_DP = 9
+
+
+def gram_matrix(emb: DataFrame, dim: int = EMBED_DIM) -> "list[list[float]]":
+    """dim×dim Gram matrix Σ_i x_i x_iᵀ of an embedding table, one pass.
+
+    Per Arrow batch, a vectorized numpy XᵀX produces ONE flattened dim²
+    partial row (mapInPandas — the same partial-Gram shape as MLlib's
+    computeGramianMatrix); partials then posexplode to (pos, val) and a
+    single groupBy(pos) sum combines them. Shuffle volume is
+    n_batches × dim² scalars — independent of row count — and the driver
+    receives exactly dim² doubles. The right factorization for dim where
+    dim² fits an executor (64² = 4 KiB here); for huge dim you'd switch to
+    the per-round distributed matrix-vector product instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["e"].to_numpy())
+            g = x.T @ x
+            yield pd.DataFrame({"g": [g.reshape(-1).tolist()]})
+
+    partials = emb.select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).mapInPandas(partial_gram, schema="g array<double>")
+    flat = (
+        partials.select(F.posexplode("g").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    g = [[0.0] * dim for _ in range(dim)]
+    for row in flat:
+        g[row["pos"] // dim][row["pos"] % dim] = row["s"]
+    return g
+
+
+@register("embed_pca_top_component")  # rows-only: iterative, no SQL twin
+def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table — the spectral summary
+    an embedding-space QA step computes (detecting collapsed/anisotropic
+    spaces before indexing).
+
+    Distributed part: ONE pass building the Gram matrix (see
+    :func:`gram_matrix`). The power-iteration eigensolve then runs
+    driver-local on the 64×64 matrix — looping over a dim² table is driver
+    work, not cluster work, at any corpus size.
+
+    Determinism: the Gram entries are quantized to ``PCA_QUANT_DP`` decimals
+    before the eigensolve (float summation-order noise across batches is
+    ~1e-12 relative, far below the quantum), and the iteration itself is
+    pure driver arithmetic — so the output is pinned in tests like the
+    other rows-only queries. Iterative linear algebra is not
+    SQL-expressible, hence no oracle (like the connected-components loop).
+    Output: corpus size, iterations, Rayleigh eigenvalue of (1/n)·Σ xxᵀ,
+    and the dominant dimension of the component (argmax |v_j|).
+    """
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    g = gram_matrix(emb)
+    dim = len(g)
+    g = [[round(x, PCA_QUANT_DP) for x in row] for row in g]
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(PCA_ITERS):
+        w = [sum(g[j][k] * v[k] for k in range(dim)) for j in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in w)) or 1.0
+        v = [x / nrm for x in w]
+    lam = sum(
+        v[j] * sum(g[j][k] * v[k] for k in range(dim)) for j in range(dim)
+    ) / n
+    top_dim = max(range(dim), key=lambda j: abs(v[j]))
+    return spark.createDataFrame(
+        [(n, PCA_ITERS, round(lam, 4), top_dim, round(abs(v[top_dim]), 3))],
+        "n_vecs bigint, n_iters int, eigenvalue double, "
+        "top_dim int, top_weight double",
     )

@@ -60,6 +60,10 @@ ROWS_ONLY_EXPECTED = {
     ],
     # (n_frames_sampled, n_videos, total_frame_bytes)
     "multimodal_frame_sample": [(436, 166, 27376)],
+    # (n_vecs, n_iters, eigenvalue, top_dim, top_weight): Gram entries are
+    # quantized before the driver-local eigensolve, so the spectral summary
+    # is exact-stable across runs/partitionings
+    "embed_pca_top_component": [(500, 100, 0.0276, 9, 0.403)],
 }
 
 
