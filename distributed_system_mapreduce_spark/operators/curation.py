@@ -300,3 +300,82 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: target sequence length (tokens) for the packing report.
+PACK_SEQ_TOKENS = 512
+
+
+@register(
+    "pipeline_sequence_pack",
+    oracle=f"""
+    with toks as (
+      select doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) as n_tok
+      from documents),
+    ranked as (
+      select source, n_tok,
+             coalesce(sum(n_tok) over (
+               partition by source
+               order by md5(cast(doc_id as varchar)), doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+               as cum_before
+      from toks),
+    binned as (
+      select source, n_tok,
+             cast(floor(cum_before / {PACK_SEQ_TOKENS}) as bigint) as seq_id
+      from ranked)
+    select source,
+           count(*) as n_docs,
+           count(distinct seq_id) as n_sequences,
+           cast(sum(n_tok) as bigint) as total_tokens,
+           round(count(*) / count(distinct seq_id), 2) as docs_per_seq
+    from binned
+    group by source
+    order by source
+    """,
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence-packing report: docs (in deterministic md5 order) are
+    assigned to PACK_SEQ_TOKENS-token training sequences by the running token total
+    before each doc — the packing step that turns a curated corpus into
+    fixed-length training examples. A doc starts in the sequence its prefix
+    sum lands in (boundary docs spill into the next, the standard greedy
+    concat-and-split layout); the report is sequences/docs/tokens per
+    source.
+
+    One shuffle on the stratum key (the same window shape as
+    sample_token_budget), then the rollup — a pure prefix-sum plan that
+    never materializes the packed sequences themselves.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.expr(
+        "size(filter(split(text, ' '), w -> w != ''))"
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        .withColumn(
+            "seq_id",
+            F.floor(F.col("cum_before") / PACK_SEQ_TOKENS).cast("bigint"),
+        )
+    )
+    return (
+        binned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("seq_id").alias("n_sequences"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.count(F.lit(1)) / F.countDistinct("seq_id"), 2
+            ).alias("docs_per_seq"),
+        )
+        .orderBy("source")
+    )
