@@ -38,8 +38,20 @@ def track(
     df: DataFrame,
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER,
 ) -> DataFrame:
-    """persist() + record for later bulk release via clear_tracked_caches."""
+    """persist() + record for later bulk release via clear_tracked_caches.
+
+    Semantically-duplicate frames (same analyzed plan — e.g. two queries
+    each building the identical shingle table) are recorded once: Spark's
+    CacheManager already dedupes the storage, and deduping the registry
+    keeps ``tracked_count``/``caches_released`` an honest count of real
+    cache entries instead of call sites.
+    """
     df.persist(level)
+    try:
+        if any(df.sameSemantics(t) for t in _TRACKED):
+            return df
+    except Exception:
+        pass  # cross-session comparison can fail; fall through and record
     _TRACKED.append(df)
     return df
 

@@ -482,8 +482,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     tok = tokens(docs).select("doc_id", "word")
-    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    # tracked persist: the vocab table feeds both the corpus total (summing
+    # its counts — no third corpus scan) and the score join probe side, so
+    # the query tokenizes the corpus exactly twice (cnt build + join side),
+    # never three times.
+    cnt = track(tok.groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    total = cnt.agg(F.sum("c").alias("n_total"))
     scored = (
         tok.join(cnt, "word")
         .crossJoin(F.broadcast(total))

@@ -813,18 +813,24 @@ PCA_ITERS = 100
 PCA_QUANT_DP = 9
 
 
-def gram_matrix(emb: DataFrame, dim: int = EMBED_DIM) -> "list[list[float]]":
-    """dim×dim Gram matrix Σ_i x_i x_iᵀ of an embedding table, one pass.
+def gram_matrix(emb: DataFrame) -> "tuple[list[list[float]], int]":
+    """(dim×dim Gram matrix Σ_i x_i x_iᵀ, row count) of an embedding table,
+    one pass over the data.
 
     Per Arrow batch, a vectorized numpy XᵀX produces ONE flattened dim²
-    partial row (mapInPandas — the same partial-Gram shape as MLlib's
-    computeGramianMatrix); partials then posexplode to (pos, val) and a
-    single groupBy(pos) sum combines them. Shuffle volume is
-    n_batches × dim² scalars — independent of row count — and the driver
-    receives exactly dim² doubles. The right factorization for dim where
-    dim² fits an executor (64² = 4 KiB here); for huge dim you'd switch to
-    the per-round distributed matrix-vector product instead.
+    partial row plus its batch row count (mapInPandas — the same
+    partial-Gram shape as MLlib's computeGramianMatrix); the tiny partial
+    table is tracked-persisted so the (pos, val) sum and the row-count sum
+    are two small jobs over n_batches rows, not two corpus scans. Shuffle
+    volume is n_batches × dim² scalars — independent of row count — and the
+    driver receives exactly dim² doubles. dim is taken from the DATA (the
+    first partial's width), so a non-64-wide embedding table reconstructs
+    correctly instead of scattering positions. The right factorization for
+    dim where dim² fits an executor (64² = 4 KiB here); for huge dim you'd
+    switch to a per-round distributed matrix-vector product instead.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -834,21 +840,27 @@ def gram_matrix(emb: DataFrame, dim: int = EMBED_DIM) -> "list[list[float]]":
                 continue
             x = np.stack(pdf["e"].to_numpy())
             g = x.T @ x
-            yield pd.DataFrame({"g": [g.reshape(-1).tolist()]})
+            yield pd.DataFrame(
+                {"g": [g.reshape(-1).tolist()], "n": [len(pdf)]}
+            )
 
-    partials = emb.select(
-        F.col("embedding").cast("array<double>").alias("e")
-    ).mapInPandas(partial_gram, schema="g array<double>")
+    partials = track(
+        emb.select(
+            F.col("embedding").cast("array<double>").alias("e")
+        ).mapInPandas(partial_gram, schema="g array<double>, n bigint")
+    )
+    n = partials.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
     flat = (
         partials.select(F.posexplode("g").alias("pos", "val"))
         .groupBy("pos")
         .agg(F.sum("val").alias("s"))
         .collect()
     )
+    dim = math.isqrt(max((row["pos"] for row in flat), default=-1) + 1)
     g = [[0.0] * dim for _ in range(dim)]
     for row in flat:
         g[row["pos"] // dim][row["pos"] % dim] = row["s"]
-    return g
+    return g, n
 
 
 @register("embed_pca_top_component")  # rows-only: iterative, no SQL twin
@@ -874,8 +886,7 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()
-    g = gram_matrix(emb)
+    g, n = gram_matrix(emb)
     dim = len(g)
     g = [[round(x, PCA_QUANT_DP) for x in row] for row in g]
     v = [1.0 / math.sqrt(dim)] * dim

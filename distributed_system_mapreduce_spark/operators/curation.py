@@ -32,7 +32,7 @@ LLM-pipeline extensions, expressed Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
@@ -68,6 +68,14 @@ _DECONTAM_CTE = f"""
     tr as (select doc_id, shingle from sh
            where doc_id % {_EVAL_MOD} <> 0)
 """
+
+
+def _md5_order() -> "tuple[Column, Column]":
+    """Engine-portable deterministic shuffle order shared by every sampler:
+    md5 of the row key (identical bytes on any engine), doc_id tiebreak.
+    One definition so a change to the determinism scheme cannot silently
+    diverge the samplers from each other."""
+    return (F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -146,17 +154,20 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source contamination report: train size, contaminated count,
-    rate — the data-card table a curation run publishes. The contaminated
-    id set is small (flagged docs only), so it broadcasts back onto the
-    train table for the rollup."""
+    rate — the data-card table a curation run publishes. The flagged-id set
+    joins back onto the train table for the rollup (sizing left to AQE —
+    see the inline note)."""
     docs = load(spark, sf_dir, "documents")
     contaminated = (
         contamination_pairs(docs).select("doc_id").distinct()
         .withColumn("is_contam", F.lit(1))
     )
     train = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    # no broadcast hint: the flagged-id set is data-dependent (a boilerplate-
+    # heavy corpus can flag a large fraction of train docs), so AQE decides —
+    # it broadcasts below the threshold and degrades to sort-merge above it.
     return (
-        train.join(F.broadcast(contaminated), "doc_id", "left")
+        train.join(contaminated, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_train"),
@@ -197,9 +208,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows that shape; this operator is the exact-size variant.)
     """
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    w = Window.partitionBy("source").orderBy(*_md5_order())
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= STRATUM_K)
@@ -235,9 +244,7 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan.
     """
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    w = Window.partitionBy("lang").orderBy(*_md5_order())
     quota = F.when(F.col("lang") == "en", 40).otherwise(10)
     return (
         docs.withColumn("rn", F.row_number().over(w))
@@ -287,7 +294,7 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     w = (
         Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .orderBy(*_md5_order())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -354,7 +361,7 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     w = (
         Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .orderBy(*_md5_order())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     binned = (
