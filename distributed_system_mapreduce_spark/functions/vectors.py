@@ -903,3 +903,70 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs bigint, n_iters int, eigenvalue double, "
         "top_dim int, top_weight double",
     )
+
+
+@register(
+    "sim_quantized_topk",
+    oracle="""
+    with emb as (
+      select vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> cast(round(x * 127 / m) as int)) as qe
+      from (select vec_id, embedding,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) as m
+            from embeddings)),
+    q as (select qe as q_qe from emb where vec_id = 0)
+    select vec_id,
+           cast(list_sum(list_transform(list_zip(qe, q_qe),
+                                        p -> p[1] * p[2])) as bigint)
+             as qscore
+    from emb, q
+    where vec_id <> 0
+    order by qscore desc, vec_id
+    limit 10
+    """,
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec_id 0 under symmetric int8 quantization — the
+    memory lever for ANN serving at corpus scale (float32 → int8 is 4×
+    compression; a 100 TB embedding store becomes 25 TB, and integer dot
+    products vectorize wider than float on modern SIMD).
+
+    Per vector: scale = 127 / max|x_i| (symmetric, zero-point-free), q_i =
+    round(x_i · scale). Scoring then happens entirely in INTEGER arithmetic
+    (sums bounded by 127²·dim ≪ 2^31), so scores are EXACT across engines —
+    the one similarity query whose ranking needs no float-rounding parity
+    armor. Same broadcast-query + TakeOrderedAndProject plan as
+    sim_topk_query.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    quant = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .withColumn(
+            "m",
+            F.expr("aggregate(transform(e, x -> abs(x)), 0D,"
+                   " (a, x) -> greatest(a, x))"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(e, x -> cast(round(x * 127 / m) as int))"
+            ).alias("qe"),
+        )
+    )
+    q = quant.filter(F.col("vec_id") == 0).select(F.col("qe").alias("q_qe"))
+    qdot = F.expr(
+        "aggregate(zip_with(qe, q_qe, (x, y) -> cast(x as bigint) * y),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        quant.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", qdot.alias("qscore"))
+        .orderBy(F.desc("qscore"), F.asc("vec_id"))
+        .limit(10)
+    )
