@@ -84,3 +84,43 @@ def write_iceberg(df: DataFrame, table: str) -> None:
             "spark.sql.catalog.<name> config"
         )
     df.writeTo(table).createOrReplace()
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """Probe the DATA SOURCE lookup, not a classname: spark-sql ships some
+    ``org.apache.spark.sql.avro`` classes for from_avro/to_avro even when
+    the external spark-avro module (which registers the ``avro`` provider)
+    is absent, so Class.forName false-positives. A schema'd load of a
+    nonexistent path resolves the provider first — provider missing raises
+    the distinctive find-data-source error; provider present fails later on
+    the path (or any other error), which means "available"."""
+    try:
+        spark.read.format("avro").schema("probe int").load(
+            "/nonexistent-avro-availability-probe"
+        )
+        return True
+    except Exception as ex:
+        return "Failed to find data source" not in str(ex)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read Avro files (needs the external ``spark-avro`` module — Avro has
+    been an external data source since Spark 2.4; only the core avro jars
+    ship with plain pyspark). Row-oriented Avro is the interchange format
+    Kafka/connect pipelines emit; at rest, convert to parquet for columnar
+    pruning (write_parquet) — this reader is the ingest edge."""
+    if not _avro_available(spark):
+        raise TableFormatUnavailable(
+            "spark-avro module not present; add org.apache.spark:spark-avro "
+            "to the cluster packages"
+        )
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    if not _avro_available(df.sparkSession):
+        raise TableFormatUnavailable(
+            "spark-avro module not present; add org.apache.spark:spark-avro "
+            "to the cluster packages"
+        )
+    df.write.format("avro").mode("overwrite").save(path)

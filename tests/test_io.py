@@ -71,3 +71,20 @@ def test_table_formats_gated(spark, tmp_path):
     if not tf._iceberg_available(spark):
         with pytest.raises(tf.TableFormatUnavailable):
             tf.read_iceberg(spark, "local.db.t")
+
+
+def test_avro_gated(spark, tmp_path):
+    """spark-avro is an external module: available → roundtrip, absent → one
+    clean TableFormatUnavailable."""
+    import pytest
+
+    from distributed_system_mapreduce_spark.sources import table_formats as tf
+
+    df = sio.load(spark, SF_SMOKE, "region")
+    if tf._avro_available(spark):
+        out = str(tmp_path / "region_avro")
+        tf.write_avro(df, out)
+        assert tf.read_avro(spark, out).count() == df.count()
+    else:
+        with pytest.raises(tf.TableFormatUnavailable):
+            tf.write_avro(df, str(tmp_path / "region_avro"))
