@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the operators the DuckDB oracle is
+weakest on: the iterative connected-components loop (oracle = recursive CTE,
+but only on the one fixture graph) and the SimHash bit-block LSH counting
+(rows-only — no oracle at all). Random inputs × exact reference
+implementations close that gap.
+
+Examples are deliberately few (Spark jobs per example); the value is in the
+randomized structure, not the count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: min-id component label per node, plain union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    expected = _union_find_labels(edges)
+    both_dirs = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(both_dirs, "src long, dst long")
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def _brute_close_pairs(codes: list[int], max_dist: int = 3) -> int:
+    n = 0
+    for i in range(len(codes)):
+        for j in range(i + 1, len(codes)):
+            if bin(codes[i] ^ codes[j]).count("1") <= max_dist:
+                n += 1
+    return n
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "fff", "g"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=20,
+    ),
+    bits=st.sampled_from([16, 64]),
+)
+def test_simhash_block_lsh_counts_exactly(spark, texts, bits):
+    """The bit-block LSH join (value collapse + pigeonhole blocks +
+    first-agreeing-block dedup + c_u*c_v weighting) must count EXACTLY the
+    Hamming<=3 pairs a brute-force O(n^2) scan over the same codes finds."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        _simhash_pack_sql,
+        simhash_close_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = simhash_close_pairs(docs, bits=bits, n_blocks=4).collect()[0]
+    codes = [
+        r["simhash"]
+        for r in docs.select(
+            F.expr(_simhash_pack_sql(bits)).alias("simhash")
+        ).collect()
+    ]
+    assert row["n_docs"] == len(texts)
+    assert row["n_close_pairs"] == _brute_close_pairs(codes)
+
+
+def test_property_caches_released(spark):
+    """The randomized corpora above accumulate tracked caches (one per
+    distinct plan); release them so this module leaves the session clean."""
+    from distributed_system_mapreduce_spark import cache
+
+    cache.clear_tracked_caches()
+    assert cache.tracked_count() == 0
