@@ -83,7 +83,10 @@ def test_word_count_total_equals_token_sum(spark):
 @pytest.mark.parametrize(
     "name",
     ["topk_per_group", "window_lag_lead", "sim_topk_query", "dedup_ngram_jaccard",
-     "window_session", "text_tfidf_top"],
+     "window_session", "text_tfidf_top",
+     # round-3 order/limit-sensitive queries
+     "sample_stratified", "text_unigram_logprob", "sim_quantized_topk",
+     "corpus_decontaminate"],
 )
 def test_determinism_double_run(name, spark):
     """Order-sensitive queries must hash identically across runs."""
@@ -182,3 +185,39 @@ def test_salted_queries_match_unsalted_twins(spark):
     assert canonical_rows(
         QUERIES["join_reduce_side_salted"](spark, SF_DIR).toPandas()
     ) == canonical_rows(QUERIES["join_reduce_side"](spark, SF_DIR).toPandas())
+
+
+def test_sampler_family_invariants(spark):
+    """Cross-operator consistency of the curation samplers: every sampler
+    selects a subset of documents, stratified picks exactly STRATUM_K per
+    stratum (fixtures have >= K docs each), and the weighted mix respects
+    its per-language quotas."""
+    from distributed_system_mapreduce_spark.operators.curation import (
+        STRATUM_K,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    strat = QUERIES["sample_stratified"](spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in strat} <= all_ids
+    per_src: dict[str, int] = {}
+    for r in strat:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(v == STRATUM_K for v in per_src.values())
+
+    mix = {r["lang"]: r["n_docs"] for r in
+           QUERIES["sample_weighted_mix"](spark, SF_DIR).collect()}
+    for lang, n in mix.items():
+        assert n <= (40 if lang == "en" else 10)
+
+
+def test_decontaminate_flags_only_train_docs(spark):
+    """Contamination output must be train-side only (doc_id % 10 != 0) and a
+    subset of real documents."""
+    flagged = QUERIES["corpus_decontaminate"](spark, SF_DIR).collect()
+    assert flagged, "fixture corpus should have some contamination"
+    for r in flagged:
+        assert r["doc_id"] % 10 != 0
+        assert r["n_shared_ngrams"] >= 1
+        assert r["n_eval_docs"] >= 1
