@@ -386,3 +386,152 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _train_corpus_oracle() -> str:
+    """Full-pipeline oracle: funnel CTEs (quality → exact → jaccard → CC)
+    from operators.dedup, a name-prefixed decontamination block (the shared
+    _DECONTAM_CTE uses names that collide with the jaccard CTEs), and the
+    packing prefix-sum — composed exactly like the Spark side."""
+    from .dedup import (
+        CLUSTER_THRESHOLD,
+        FUNNEL_MAX_STOP_RATIO,
+        FUNNEL_MAX_TOKENS,
+        FUNNEL_MIN_TOKENS,
+        _cc_labels_cte,
+        _jaccard_pairs_cte,
+    )
+    from ..functions.text import STOPWORDS
+
+    return f"""
+    with recursive scored as (
+      select doc_id, text, source,
+             len(string_split(text, ' ')) as n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x in {STOPWORDS!r}))
+               / len(string_split(text, ' ')) as stop_ratio
+      from documents),
+    quality as (
+      select doc_id, text, source, n_tokens from scored
+      where n_tokens between {FUNNEL_MIN_TOKENS} and {FUNNEL_MAX_TOKENS}
+        and stop_ratio < {FUNNEL_MAX_STOP_RATIO}),
+    exact as (
+      select doc_id, text, source, n_tokens from (
+        select *, row_number() over (partition by text order by doc_id) as rn
+        from quality)
+      where rn = 1),
+    {_jaccard_pairs_cte("exact")},
+    {_cc_labels_cte(CLUSTER_THRESHOLD)},
+    deduped as (
+      select e.doc_id, e.source, e.n_tokens from exact e
+      where e.doc_id not in (select id from labels where label <> id)),
+    train as (
+      select * from deduped where doc_id % {_EVAL_MOD} <> 0),
+    dtok as (select doc_id, string_split(text, ' ') as t from documents),
+    dsh as (
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(list_transform(
+                 list_zip(t[1:len(t)-4], t[2:len(t)-3], t[3:len(t)-2],
+                          t[4:len(t)-1], t[5:len(t)]),
+                 x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' ||
+                      x[4] || ' ' || x[5])) as shingle
+        from dtok where len(t) >= {DECONTAM_NGRAM})),
+    flagged as (
+      select distinct tr.doc_id
+      from (select doc_id, shingle from dsh
+            where doc_id % {_EVAL_MOD} <> 0) tr
+      join (select doc_id, shingle from dsh
+            where doc_id % {_EVAL_MOD} = 0) ev
+        on tr.shingle = ev.shingle),
+    clean as (
+      select * from train
+      where doc_id not in (select doc_id from flagged)),
+    binned as (
+      select source,
+             cast(floor(coalesce(sum(n_tokens) over (
+               partition by source
+               order by md5(cast(doc_id as varchar)), doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+               / {PACK_SEQ_TOKENS}) as bigint) as seq_id
+      from clean)
+    select (select count(*) from documents) as n_input,
+           (select count(*) from quality) as n_quality,
+           (select count(*) from exact) as n_exact,
+           (select count(*) from deduped) as n_dedup,
+           (select count(*) from train) as n_train,
+           (select count(*) from clean) as n_clean,
+           (select cast(coalesce(sum(n_tokens), 0) as bigint) from clean)
+             as kept_tokens,
+           (select count(distinct (source, seq_id)) from binned)
+             as n_sequences
+    """
+
+
+@register("pipeline_train_corpus", oracle=_train_corpus_oracle())
+def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-corpus pipeline in one declarative query:
+    quality gate → exact dedup → near-dup connected components → eval
+    holdout exclusion → 5-gram decontamination → sequence packing →
+    one data-card row (n_input, n_quality, n_exact, n_dedup, n_train,
+    n_clean, kept_tokens, n_sequences).
+
+    Every stage is the SAME builder its standalone query uses
+    (funnel_stages / funnel_cc_labels / contamination_pairs / the packing
+    prefix-sum), so the session-level memo and tracked caches are shared:
+    running this after pipeline_dedup_corpus reuses the funnel labels, and
+    running the decontam queries reuses the shingle table. Each stage count
+    is a 1-row aggregate crossJoined into the summary — nothing wider than
+    one row reaches the driver.
+    """
+    from .dedup import funnel_cc_labels, funnel_stages
+
+    docs = load(spark, sf_dir, "documents")
+    quality, exact = funnel_stages(docs)
+    labels = funnel_cc_labels(spark, sf_dir, exact)
+    drop = labels.filter(F.col("label") != F.col("id")).select("id")
+    deduped = exact.join(drop, exact.doc_id == drop.id, "left_anti")
+    train = deduped.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    flagged = contamination_pairs(docs).select("doc_id").distinct()
+    clean = train.join(flagged, "doc_id", "left_anti")
+    # packing needs the source column: rejoin the scan (cheap projection)
+    packed = (
+        clean.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.partitionBy("source")
+                    .orderBy(*_md5_order())
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "source",
+            F.floor(F.col("cum_before") / PACK_SEQ_TOKENS)
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+    )
+    counts = [
+        docs.agg(F.count(F.lit(1)).alias("n_input")),
+        quality.agg(F.count(F.lit(1)).alias("n_quality")),
+        exact.agg(F.count(F.lit(1)).alias("n_exact")),
+        deduped.agg(F.count(F.lit(1)).alias("n_dedup")),
+        train.agg(F.count(F.lit(1)).alias("n_train")),
+        clean.agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        ),
+        packed.agg(
+            F.countDistinct("source", "seq_id").alias("n_sequences")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

@@ -856,23 +856,14 @@ def _funnel_oracle() -> str:
     """
 
 
-@register("pipeline_dedup_corpus", oracle=_funnel_oracle())
-def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END training-data funnel in one query: quality gate (token
-    band + stopword ratio) -> exact dedup (min-doc_id survivor per text) ->
-    near-dup dedup (trigram-Jaccard connected components over the
-    SURVIVORS) -> corpus summary row
-    (n_input, n_quality, n_exact, n_final, kept_tokens).
-
-    Every stage is the same operator the standalone queries use
-    (pipeline_quality_filter, dedup_exact, dedup_survivors), composed the
-    way a real pre-training data run chains them; each count is a
-    single-row aggregate crossJoined into the summary, so nothing wider
-    than one row ever reaches the driver.
-    """
+def funnel_stages(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """(quality, exact): the funnel's shared prefix — quality gate (token
+    band + stopword ratio) then exact dedup (min-doc_id survivor per text).
+    One definition so every pipeline query chains IDENTICAL plans and
+    Spark's CacheManager / the label memo can share work across them.
+    Both frames carry (doc_id, text, n_tokens)."""
     from ..functions.text import STOPWORDS
 
-    docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     scored = docs.withColumn("n_tokens", F.size(toks)).withColumn(
@@ -891,10 +882,18 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    # the survivor-subset component labels are memoized like the corpus
-    # labels (iterative output — CacheManager cannot match it across
-    # invocations), keyed separately because the graph is over the
-    # quality-filtered exact-dedup survivors, not raw documents
+    return quality, exact
+
+
+def funnel_cc_labels(
+    spark: SparkSession, sf_dir: str, exact: DataFrame
+) -> DataFrame:
+    """(id, label) components of the Jaccard graph over the funnel's
+    quality-filtered exact-dedup SURVIVORS — memoized like the corpus
+    labels (iterative output — CacheManager cannot match it across
+    invocations), keyed separately from corpus_cc_labels because the graph
+    is over the survivor subset, not raw documents. Shared by every
+    pipeline query that chains the same funnel prefix."""
     memo_key = (_session_key(spark), sf_dir, CLUSTER_THRESHOLD, "funnel")
     labels = _CC_LABELS_MEMO.get(memo_key)
     if labels is None:
@@ -913,6 +912,26 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = connected_components(edges)
         edges.unpersist()
         _CC_LABELS_MEMO[memo_key] = labels
+    return labels
+
+
+@register("pipeline_dedup_corpus", oracle=_funnel_oracle())
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data funnel in one query: quality gate (token
+    band + stopword ratio) -> exact dedup (min-doc_id survivor per text) ->
+    near-dup dedup (trigram-Jaccard connected components over the
+    SURVIVORS) -> corpus summary row
+    (n_input, n_quality, n_exact, n_final, kept_tokens).
+
+    Every stage is the same operator the standalone queries use
+    (pipeline_quality_filter, dedup_exact, dedup_survivors), composed the
+    way a real pre-training data run chains them; each count is a
+    single-row aggregate crossJoined into the summary, so nothing wider
+    than one row ever reaches the driver.
+    """
+    docs = load(spark, sf_dir, "documents")
+    quality, exact = funnel_stages(docs)
+    labels = funnel_cc_labels(spark, sf_dir, exact)
     drop = labels.filter(F.col("label") != F.col("id")).select("id")
     final = exact.join(drop, exact.doc_id == drop.id, "left_anti")
     n_input = docs.agg(F.count(F.lit(1)).alias("n_input"))
