@@ -877,7 +877,11 @@ def funnel_stages(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
         & (F.col("stop_ratio") < FUNNEL_MAX_STOP_RATIO)
     ).select("doc_id", "text", "n_tokens")
     w = Window.partitionBy("text").orderBy("doc_id")
-    exact = (
+    # tracked persist: the survivor table anchors the jaccard/CC subtree AND
+    # every downstream stage count of the pipeline queries — without it each
+    # 1-row aggregate re-runs the quality scan + dedup window. Footprint is
+    # O(kept corpus), the same class as the minhash shingle cache.
+    exact = track(
         quality.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
