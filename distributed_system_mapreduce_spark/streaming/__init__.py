@@ -1,3 +1,7 @@
+from .curation import (  # noqa: F401
+    decontam_flagged_stream,
+    eval_shingle_table,
+)
 from .dedup import (  # noqa: F401
     dedup_exact_stream,
     minhash_candidates_stream,

@@ -181,3 +181,25 @@ def test_stateful_running_totals_match_batch(spark):
     assert {k: v[0] for k, v in latest.items()} == {k: v[0] for k, v in want.items()}
     for k in want:
         assert abs(latest[k][1] - want[k][1]) < 0.05
+
+
+def test_streaming_decontamination_matches_batch(spark):
+    """Flagged ids from the stream-static decontamination equal the batch
+    corpus_decontaminate flag set on bounded replay."""
+    from distributed_system_mapreduce_spark.streaming import (
+        decontam_flagged_stream,
+        eval_shingle_table,
+        read_documents_stream,
+        run_available_now,
+    )
+
+    stream = decontam_flagged_stream(
+        read_documents_stream(spark, SF_SMOKE),
+        eval_shingle_table(spark, SF_SMOKE),
+    )
+    got = {r["doc_id"] for r in run_available_now(stream, "t_decontam", mode="append").collect()}
+    batch = {
+        r["doc_id"]
+        for r in QUERIES["corpus_decontaminate"](spark, SF_SMOKE).collect()
+    }
+    assert got == batch
