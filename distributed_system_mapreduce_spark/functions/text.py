@@ -103,8 +103,15 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     tok = tokens(docs).select("doc_id", "source", "word")
-    tf = tok.groupBy("doc_id", "source", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # tracked persist: document frequency is derivable FROM the tf table
+    # (tf rows are unique per (doc, word), so df = row count per word) —
+    # one corpus tokenize feeds both, instead of two full scans.
+    tf = track(
+        tok.groupBy("doc_id", "source", "word").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(dfreq, "word")
