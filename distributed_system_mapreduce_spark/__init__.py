@@ -15,6 +15,7 @@ from .functions import (  # noqa: F401
     text,
     vectors,
 )
+from .functions import retrieval  # noqa: F401  (needs text+vectors oracles)
 from .operators import (  # noqa: F401
     aggregations,
     curation,

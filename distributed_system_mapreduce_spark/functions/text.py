@@ -606,3 +606,77 @@ def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+#: chunking geometry: 32-token windows, stride 24 (25% overlap) — the
+#: embedding-model preprocessing shape, scaled to the fixture doc lengths.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "text_chunk_stats",
+    oracle=f"""
+    select source,
+           count(*) as n_chunks,
+           cast(sum(case when chunk_len = {CHUNK_TOKENS} then 1 else 0 end)
+                as bigint) as n_full,
+           cast(sum(chunk_len) as bigint) as chunk_tokens
+    from (
+      select source,
+             least({CHUNK_TOKENS}, n_tok - s + 1) as chunk_len
+      from (
+        select source,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                 as n_tok,
+               unnest(range(1,
+                            len(list_filter(string_split(text, ' '),
+                                            w -> w <> '')) + 1,
+                            {CHUNK_STRIDE})) as s
+        from documents)
+      where n_tok > 0)
+    group by source
+    order by source
+    """,
+)
+def text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking report: every document split into 32-token
+    windows with stride 24 (the overlap-chunking step before embedding long
+    documents), rolled up per source (chunks, full chunks, chunk tokens).
+
+    Pure map-side: tokenize once, explode the window START POSITIONS (a
+    sequence, not the chunk text — stats only need lengths, so nothing
+    wider than two ints per chunk exists anywhere), then one partial-agg
+    shuffle. The chunk-materializing variant is the same plan with a
+    slice(toks, s, n) projection added per row.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.expr("size(filter(split(text, ' '), w -> w != ''))")
+    chunked = (
+        docs.select("source", n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "source",
+            "n_tok",
+            F.explode(
+                F.expr(f"sequence(1, n_tok, {CHUNK_STRIDE})")
+            ).alias("s"),
+        )
+        .select(
+            "source",
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n_tok") - F.col("s") + 1
+            ).alias("chunk_len"),
+        )
+    )
+    return (
+        chunked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                (F.col("chunk_len") == CHUNK_TOKENS).cast("bigint")
+            ).alias("n_full"),
+            F.sum("chunk_len").cast("bigint").alias("chunk_tokens"),
+        )
+        .orderBy("source")
+    )
