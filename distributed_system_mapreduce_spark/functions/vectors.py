@@ -970,3 +970,67 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qscore"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "embed_outliers",
+    oracle=f"""
+    with e as (
+      select vec_id, label, embedding::DOUBLE[] as x from embeddings),
+    percoord as (
+      select label, i, avg(x[i]) as cv
+      from e cross join unnest(range(1, {EMBED_DIM + 1})) as t(i)
+      group by label, i),
+    cent as (
+      select label, list(cv order by i) as c from percoord group by label)
+    select vec_id, label,
+           round(sqrt(list_sum(list_transform(
+             list_zip(x, c), p -> (p[1] - p[2]) * (p[1] - p[2])))), 4)
+             as dist
+    from e join cent using (label)
+    order by dist desc, vec_id
+    limit 20
+    """,
+)
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by L2 distance to their label centroid —
+    the embedding-space QA check that surfaces mislabeled or corrupted
+    vectors before index building (completing the QA trio with
+    embed_centroid_norms and embed_pca_top_component).
+
+    Centroids come from the embed_centroid_norms shape (dim unrolled scalar
+    avgs, ONE partial-agg shuffle, k×dim output) re-packed into an array and
+    BROADCAST back onto the table; the distance is a JVM higher-order
+    zip_with/aggregate — so the whole query is one agg shuffle plus a
+    map-side broadcast join and a TakeOrderedAndProject. Distances are
+    rounded before ranking with a vec_id tiebreak (engine-stable top-k).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    avgs = [
+        F.avg(F.col("x").getItem(i)).alias(f"c{i}") for i in range(EMBED_DIM)
+    ]
+    cent = (
+        emb.groupBy("label")
+        .agg(*avgs)
+        .select(
+            "label",
+            F.array(*[F.col(f"c{i}") for i in range(EMBED_DIM)]).alias("c"),
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)),"
+                " 0D, (s, v) -> s + v)"
+            )
+        ),
+        4,
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", dist.alias("dist"))
+        .orderBy(F.desc("dist"), F.asc("vec_id"))
+        .limit(20)
+    )

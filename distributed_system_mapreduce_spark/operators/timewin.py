@@ -147,3 +147,73 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "events_rate_anomaly",
+    oracle=f"""
+    with hourly as (
+      select event_type,
+             cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             strftime(date_trunc('hour', ts), '{_FMT_DUCK}') as hour_start,
+             count(*) as cnt
+      from events
+      group by all),
+    stats as (
+      select *,
+             avg(cnt) over w as mu,
+             stddev_samp(cnt) over w as sd,
+             count(*) over w as n_prior
+      from hourly
+      window w as (partition by event_type order by hour_epoch
+                   range between 86400 preceding and 3600 preceding))
+    select event_type, hour_start, cnt, round((cnt - mu) / sd, 4) as z
+    from stats
+    where n_prior >= 12 and sd > 0
+    order by z desc, hour_epoch, event_type
+    limit 20
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 anomalous hours by event-rate z-score against each type's
+    TRAILING 24h window (current hour excluded) — the rate-spike monitor an
+    ingest pipeline runs over its event firehose.
+
+    The trailing frame is RANGE-based on epoch seconds, not ROWS-based:
+    hourly buckets can be missing (zero-event hours), and a row frame would
+    silently stretch the baseline window across gaps. One shuffle for the
+    hourly rollup, one for the per-type window; hours needing fewer than 12
+    prior buckets or a zero-variance baseline are excluded (z undefined).
+    z is rounded before ranking and the pre-limit ordering is total
+    (z, hour_epoch, event_type), so top-20 membership is engine-stable.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            F.unix_seconds(F.col("w.start")).alias("hour_epoch"),
+            F.date_format("w.start", _FMT_SPARK).alias("hour_start"),
+            "cnt",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rangeBetween(-86400, -3600)
+    )
+    stats = (
+        hourly.withColumn("mu", F.avg("cnt").over(w))
+        .withColumn("sd", F.stddev("cnt").over(w))
+        .withColumn("n_prior", F.count(F.lit(1)).over(w))
+        .filter((F.col("n_prior") >= 12) & (F.col("sd") > 0))
+        .withColumn(
+            "z", F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4)
+        )
+    )
+    return (
+        stats.orderBy(F.desc("z"), F.asc("hour_epoch"), F.asc("event_type"))
+        .select("event_type", "hour_start", "cnt", "z")
+        .limit(20)
+    )

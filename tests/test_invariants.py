@@ -86,7 +86,8 @@ def test_word_count_total_equals_token_sum(spark):
      "window_session", "text_tfidf_top",
      # round-3 order/limit-sensitive queries
      "sample_stratified", "text_unigram_logprob", "sim_quantized_topk",
-     "corpus_decontaminate"],
+     "corpus_decontaminate", "events_rate_anomaly", "embed_outliers",
+     "hybrid_rrf_topk", "text_chunk_stats"],
 )
 def test_determinism_double_run(name, spark):
     """Order-sensitive queries must hash identically across runs."""
