@@ -622,6 +622,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DIM = 64
 
 
+def label_centroids(emb: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """(label, n_vecs, c0..c{dim-1}): element-wise per-label centroid via
+    ``dim`` unrolled scalar avg aggregates — element-wise mean entirely
+    inside ONE partial-agg (map-side combine) shuffle of k×dim doubles; no
+    explode, no array shuffle. The single centroid definition shared by the
+    embedding-QA family (norms, outliers) so the shape can never diverge
+    between them. ``emb`` must carry (label, e: array<double>)."""
+    avgs = [F.avg(F.col("e").getItem(i)).alias(f"c{i}") for i in range(dim)]
+    return emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *avgs)
+
+
 @register(
     "embed_centroid_norms",
     oracle=f"""
@@ -647,10 +658,7 @@ def embed_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    avgs = [
-        F.avg(F.col("e").getItem(i)).alias(f"c{i}") for i in range(EMBED_DIM)
-    ]
-    g = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"), *avgs)
+    g = label_centroids(emb)
     sq_sum = None
     for i in range(EMBED_DIM):
         term = F.pow(F.col(f"c{i}"), F.lit(2))
@@ -998,31 +1006,25 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors before index building (completing the QA trio with
     embed_centroid_norms and embed_pca_top_component).
 
-    Centroids come from the embed_centroid_norms shape (dim unrolled scalar
-    avgs, ONE partial-agg shuffle, k×dim output) re-packed into an array and
-    BROADCAST back onto the table; the distance is a JVM higher-order
-    zip_with/aggregate — so the whole query is one agg shuffle plus a
-    map-side broadcast join and a TakeOrderedAndProject. Distances are
-    rounded before ranking with a vec_id tiebreak (engine-stable top-k).
+    Centroids come from the SHARED :func:`label_centroids` builder (dim
+    unrolled scalar avgs, ONE partial-agg shuffle, k×dim output) re-packed
+    into an array and BROADCAST back onto the table; the distance is a JVM
+    higher-order zip_with/aggregate — so the whole query is one agg shuffle
+    plus a map-side broadcast join and a TakeOrderedAndProject. Distances
+    are rounded before ranking with a vec_id tiebreak (engine-stable
+    top-k).
     """
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("x")
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    avgs = [
-        F.avg(F.col("x").getItem(i)).alias(f"c{i}") for i in range(EMBED_DIM)
-    ]
-    cent = (
-        emb.groupBy("label")
-        .agg(*avgs)
-        .select(
-            "label",
-            F.array(*[F.col(f"c{i}") for i in range(EMBED_DIM)]).alias("c"),
-        )
+    cent = label_centroids(emb.select("label", "e")).select(
+        "label",
+        F.array(*[F.col(f"c{i}") for i in range(EMBED_DIM)]).alias("c"),
     )
     dist = F.round(
         F.sqrt(
             F.expr(
-                "aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)),"
+                "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
                 " 0D, (s, v) -> s + v)"
             )
         ),

@@ -78,23 +78,30 @@ def _md5_order() -> "tuple[Column, Column]":
     return (F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct hashed word 5-grams per document.
+def shingle_hash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): hashed word 5-grams, one row per occurrence.
 
-    Hashing to 64-bit happens BEFORE the join so posting lists shuffle as
-    longs, not 5-word strings — same trick as ``jaccard_pairs``.
-
-    Tracked persist: both the eval and train sides of the contamination
-    join slice this one frame, and the identical plan recurs across
-    corpus_decontaminate / corpus_decontam_stats — one materialization
-    serves all four reads (released via cache.clear_tracked_caches).
+    Hashing to 64-bit happens BEFORE any join so posting lists shuffle as
+    longs, not 5-word strings — same trick as ``jaccard_pairs``. ONE
+    definition shared by the batch path (which adds distinct + tracked
+    persist) and the streaming flagger (streaming/curation.py) — the
+    stream-static join keys match the batch flag set only while both sides
+    hash identically.
     """
-    return track(
+    return (
         docs.withColumn("toks", F.split("text", " "))
         .select("doc_id", F.explode(shingle_expr(DECONTAM_NGRAM)).alias("s"))
         .select("doc_id", F.xxhash64("s").alias("shingle"))
-        .distinct()
     )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Batch form of :func:`shingle_hash_frame`: distinct, tracked persist —
+    both the eval and train sides of the contamination join slice this one
+    frame, and the identical plan recurs across corpus_decontaminate /
+    corpus_decontam_stats, so one materialization serves all four reads
+    (released via cache.clear_tracked_caches)."""
+    return track(shingle_hash_frame(docs).distinct())
 
 
 def contamination_pairs(docs: DataFrame) -> DataFrame:
@@ -423,7 +430,7 @@ def _train_corpus_oracle() -> str:
     {_jaccard_pairs_cte("exact")},
     {_cc_labels_cte(CLUSTER_THRESHOLD)},
     deduped as (
-      select e.doc_id, e.source, e.n_tokens from exact e
+      select e.doc_id, e.source, e.text from exact e
       where e.doc_id not in (select id from labels where label <> id)),
     train as (
       select * from deduped where doc_id % {_EVAL_MOD} <> 0),
@@ -445,11 +452,14 @@ def _train_corpus_oracle() -> str:
             where doc_id % {_EVAL_MOD} = 0) ev
         on tr.shingle = ev.shingle),
     clean as (
-      select * from train
+      select doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               as n_tok
+      from train
       where doc_id not in (select doc_id from flagged)),
     binned as (
       select source,
-             cast(floor(coalesce(sum(n_tokens) over (
+             cast(floor(coalesce(sum(n_tok) over (
                partition by source
                order by md5(cast(doc_id as varchar)), doc_id
                rows between unbounded preceding and 1 preceding), 0)
@@ -461,7 +471,7 @@ def _train_corpus_oracle() -> str:
            (select count(*) from deduped) as n_dedup,
            (select count(*) from train) as n_train,
            (select count(*) from clean) as n_clean,
-           (select cast(coalesce(sum(n_tokens), 0) as bigint) from clean)
+           (select cast(coalesce(sum(n_tok), 0) as bigint) from clean)
              as kept_tokens,
            (select count(distinct (source, seq_id)) from binned)
              as n_sequences
@@ -493,14 +503,23 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = exact.join(drop, exact.doc_id == drop.id, "left_anti")
     train = deduped.filter(F.col("doc_id") % _EVAL_MOD != 0)
     flagged = contamination_pairs(docs).select("doc_id").distinct()
-    clean = train.join(flagged, "doc_id", "left_anti")
+    # kept_tokens / packing use the NON-EMPTY token count — the SAME metric
+    # pipeline_sequence_pack reports, so the composed pipeline and the
+    # standalone packer agree on any corpus (the funnel's own n_tokens stays
+    # the raw split count its thresholds are defined on).
+    clean = train.join(flagged, "doc_id", "left_anti").select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("bigint")
+        .alias("n_tok"),
+    )
     # packing needs the source column: rejoin the scan (cheap projection)
     packed = (
         clean.join(docs.select("doc_id", "source"), "doc_id")
         .withColumn(
             "cum_before",
             F.coalesce(
-                F.sum("n_tokens").over(
+                F.sum("n_tok").over(
                     Window.partitionBy("source")
                     .orderBy(*_md5_order())
                     .rowsBetween(Window.unboundedPreceding, -1)
@@ -523,7 +542,7 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.agg(F.count(F.lit(1)).alias("n_train")),
         clean.agg(
             F.count(F.lit(1)).alias("n_clean"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            F.coalesce(F.sum("n_tok"), F.lit(0))
             .cast("bigint")
             .alias("kept_tokens"),
         ),

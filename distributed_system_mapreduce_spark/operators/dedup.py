@@ -897,8 +897,19 @@ def funnel_cc_labels(
     labels (iterative output — CacheManager cannot match it across
     invocations), keyed separately from corpus_cc_labels because the graph
     is over the survivor subset, not raw documents. Shared by every
-    pipeline query that chains the same funnel prefix."""
-    memo_key = (_session_key(spark), sf_dir, CLUSTER_THRESHOLD, "funnel")
+    pipeline query that chains the same funnel prefix.
+
+    The memo key includes the ANALYZED-PLAN hash of ``exact``: two callers
+    share labels only when they pass semantically identical survivor
+    frames, so a future funnel variant (different thresholds, pre-filtered
+    subset) can never receive labels computed from another frame."""
+    memo_key = (
+        _session_key(spark),
+        sf_dir,
+        CLUSTER_THRESHOLD,
+        "funnel",
+        exact.semanticHash(),
+    )
     labels = _CC_LABELS_MEMO.get(memo_key)
     if labels is None:
         pairs = jaccard_pairs(exact).filter(

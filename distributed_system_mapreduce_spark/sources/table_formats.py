@@ -91,16 +91,30 @@ def _avro_available(spark: SparkSession) -> bool:
     ``org.apache.spark.sql.avro`` classes for from_avro/to_avro even when
     the external spark-avro module (which registers the ``avro`` provider)
     is absent, so Class.forName false-positives. A schema'd load of a
-    nonexistent path resolves the provider first — provider missing raises
-    the distinctive find-data-source error; provider present fails later on
-    the path (or any other error), which means "available"."""
+    nonexistent path resolves the provider FIRST, then checks the path —
+    so the provider is present exactly when the probe either succeeds or
+    fails with PATH_NOT_FOUND (matched by error class, not message text:
+    the find-data-source failure surfaces as a version-varying legacy
+    class). Any other failure conservatively reports unavailable, so
+    callers get the clean TableFormatUnavailable instead of a raw
+    exception."""
     try:
         spark.read.format("avro").schema("probe int").load(
             "/nonexistent-avro-availability-probe"
         )
         return True
     except Exception as ex:
-        return "Failed to find data source" not in str(ex)
+        cls = None
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(ex, getter, None)
+            if fn is not None:
+                try:
+                    cls = fn()
+                except Exception:
+                    cls = None
+                if cls:
+                    break
+        return cls == "PATH_NOT_FOUND"
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

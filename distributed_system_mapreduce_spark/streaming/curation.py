@@ -19,8 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.curation import _EVAL_MOD, DECONTAM_NGRAM, _doc_shingles
-from ..operators.dedup import shingle_expr
+from ..operators.curation import _EVAL_MOD, _doc_shingles, shingle_hash_frame
 from ..sources.io import load
 
 
@@ -42,11 +41,8 @@ def decontam_flagged_stream(
 ) -> DataFrame:
     """doc_ids of train-side documents sharing >= 1 eval 5-gram, each
     emitted exactly once as it arrives."""
-    sh = (
+    sh = shingle_hash_frame(
         docs_stream.filter(F.col("doc_id") % _EVAL_MOD != 0)
-        .withColumn("toks", F.split("text", " "))
-        .select("doc_id", F.explode(shingle_expr(DECONTAM_NGRAM)).alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("shingle"))
     )
     return (
         sh.join(F.broadcast(eval_shingles), "shingle", "left_semi")
