@@ -994,3 +994,71 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), F.asc("a_id"), F.asc("b_id"))
         .limit(20)
     )
+
+
+#: exact-substring span length (tokens): fixture docs are 10-99 tokens, so
+#: 20 scales the published 50-token method to the corpus (spans this long
+#: are verbatim copies, never stylistic overlap).
+SUBSTRING_GRAM = 20
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    with grams as (
+      select distinct doc_id,
+             array_to_string(t[s:s + {SUBSTRING_GRAM - 1}], ' ') as gram
+      from (select doc_id, string_split(text, ' ') as t from documents)
+      cross join unnest(range(1, len(t) - {SUBSTRING_GRAM} + 2)) as r(s)
+      where len(t) >= {SUBSTRING_GRAM})
+    select a.doc_id as a_id, b.doc_id as b_id,
+           count(*) as n_shared_spans
+    from grams a join grams b
+      on a.gram = b.gram and a.doc_id < b.doc_id
+    group by a_id, b_id
+    order by n_shared_spans desc, a_id, b_id
+    limit 20
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 document pairs sharing verbatim SUBSTRING_GRAM-token spans — the
+    exact-substring dedup signal (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022, use 50-token spans; 20 here,
+    scaled to the fixture doc lengths). A long shared span is definitive
+    copying where Jaccard only suggests it.
+
+    Same inverted-index shape as ``jaccard_pairs`` with LONG shingles:
+    spans hash to 64-bit BEFORE the self-join, and spans this long are
+    near-unique, so posting lists are tiny and the join needs no
+    hot-shingle cap at all — span length is itself the skew guard. At
+    corpus scale this is the cheapest member of the dedup family: the
+    shuffle carries (hash, doc_id) pairs bounded by total token count.
+    """
+    from ..functions.vectors import spread
+
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        spread(docs)
+        .withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= SUBSTRING_GRAM)
+        .select(
+            "doc_id", F.explode(shingle_expr(SUBSTRING_GRAM)).alias("g")
+        )
+        .select("doc_id", F.xxhash64("g").alias("gram"))
+        .distinct()
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .orderBy(F.desc("n_shared_spans"), F.asc("a_id"), F.asc("b_id"))
+        .limit(20)
+    )
