@@ -422,3 +422,44 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(high), 2).alias("sum_high"),
         F.round(F.avg(high), 2).alias("avg_high"),
     )
+
+
+@register(
+    "unpivot_event_counts",
+    oracle="""
+    with piv as (
+      select cast(user_id % 16 as bigint) as user_bucket,
+             count(*) filter (where event_type = 'click')    as click,
+             count(*) filter (where event_type = 'error')    as error,
+             count(*) filter (where event_type = 'purchase') as purchase,
+             count(*) filter (where event_type = 'signup')   as signup,
+             count(*) filter (where event_type = 'view')     as view
+      from events
+      group by user_bucket)
+    select user_bucket, event_type, cnt
+    from piv
+    unpivot (cnt for event_type in (click, error, purchase, signup, view))
+    where cnt > 0
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the pivoted per-bucket count columns back to long form
+    (user_bucket, event_type, cnt) — the wide→long half of the reshape
+    pair, via ``stack`` (Spark's UNPIVOT). Round-tripping through
+    pivot+unpivot recovers exactly the nonzero groupBy counts, which is
+    what the oracle checks.
+
+    Map-side only after the pivot's single aggregation: stack expands each
+    row to k rows with no shuffle — the plan stays one exchange total.
+    """
+    piv = pivot_event_counts(spark, sf_dir)
+    cols = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return (
+        piv.select(
+            "user_bucket",
+            F.expr(
+                f"stack({len(EVENT_TYPES)}, {cols}) as (event_type, cnt)"
+            ),
+        )
+        .filter(F.col("cnt") > 0)
+    )
