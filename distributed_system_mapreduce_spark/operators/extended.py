@@ -463,3 +463,60 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    select o_orderkey,
+           round(percent_rank() over w, 6) as pr,
+           round(cume_dist() over w, 6) as cd
+    from orders
+    window w as (partition by o_orderpriority
+                 order by o_totalprice, o_orderkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per priority partition — the relative-rank
+    pair completing the analytic-window surface (rank/dense_rank, lag/lead,
+    ntile, first/last, running sums are elsewhere). The (price, orderkey)
+    ordering is total, so both functions are engine-deterministic; values
+    are exact rationals of partition counts, rounded identically.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    select cast(user_id % 16 as bigint) as user_bucket,
+           string_agg(distinct event_type, ',' order by event_type)
+             as event_types,
+           count(distinct event_type) as n_types
+    from events
+    group by user_bucket
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: distinct event types per user bucket
+    as a SORTED csv — collect_set order is nondeterministic across runs and
+    engines, so sort_array before join is what makes a collected column
+    hashable/comparable at all (the listagg/string_agg equivalent).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.col("user_id") % 16).cast("bigint").alias("user_bucket")
+    ).agg(
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
