@@ -90,14 +90,21 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "window_sliding",
     "window_session",
     # slots 47-50: rotated per round so extended queries accumulate
-    # driver-verified CORRECTNESS rows. Round 2 banked evidence for
-    # join_asof / dedup_cluster / agg_percentiles / funnel_conversion
-    # (all pass in CORRECTNESS_r02.json); round 3 rotates in the
-    # LLM-pipeline flagships (VERDICT.md round 2, "Next round" #1).
-    "dedup_survivors",
-    "pipeline_dedup_corpus",
-    "text_bm25_topk",
-    "sim_ann_recall",
+    # driver-verified CORRECTNESS rows. Banked so far:
+    #   r2: join_asof, dedup_cluster, agg_percentiles, funnel_conversion
+    #   r3: dedup_survivors, pipeline_dedup_corpus, text_bm25_topk,
+    #       sim_ann_recall
+    # Rotation queue (VERDICT r3 "Next round" #4 — follow mechanically):
+    #   r4: pipeline_train_corpus, corpus_decontaminate, sample_stratified,
+    #       text_unigram_logprob
+    #   r5: hybrid_rrf_topk, dedup_exact_substring, events_rate_anomaly,
+    #       embed_outliers
+    #   r6: dedup_simhash64, sim_quantized_topk, sample_weighted_mix,
+    #       pipeline_sequence_pack
+    "pipeline_train_corpus",
+    "corpus_decontaminate",
+    "sample_stratified",
+    "text_unigram_logprob",
 )
 
 
