@@ -147,6 +147,53 @@ def test_tracked_caches_release(spark):
     assert not _CC_LABELS_MEMO
 
 
+def test_pipeline_family_shares_cc_label_memo(spark):
+    """pipeline_train_corpus chains the SAME funnel builders as
+    pipeline_dedup_corpus, so running it second must HIT the CC label memo
+    (same entry set, same frame objects) — no second connected-components
+    loop. Pins the cross-query work sharing PLANS.md claims (VERDICT r3
+    "Next round" #6)."""
+    from distributed_system_mapreduce_spark import cache
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        _CC_LABELS_MEMO,
+    )
+
+    cache.clear_tracked_caches()
+    QUERIES["pipeline_dedup_corpus"](spark, SF_SMOKE).collect()
+    after_first = dict(_CC_LABELS_MEMO)
+    assert after_first, "funnel CC labels should be memoized"
+    QUERIES["pipeline_train_corpus"](spark, SF_SMOKE).collect()
+    assert set(_CC_LABELS_MEMO) == set(after_first)
+    for k, frame in after_first.items():
+        assert _CC_LABELS_MEMO[k] is frame  # identity: memo hit, not rebuild
+
+
+def test_memo_clear_releases_checkpoint_rdds(spark):
+    """Dropping the label memo must unpersist its checkpoint RDD blocks in
+    the JVM, not just the Python references (ADVICE r3) — and the release
+    count must include the memo entries so bench accounting reconciles."""
+    from distributed_system_mapreduce_spark import cache
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        _CC_LABELS_MEMO,
+        corpus_cc_labels,
+    )
+
+    cache.clear_tracked_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    corpus_cc_labels(spark, SF_SMOKE).count()
+    n_memo = len(_CC_LABELS_MEMO)
+    assert n_memo >= 1
+    assert jsc.getPersistentRDDs().size() > base  # checkpoint blocks pinned
+    tracked_before = cache.tracked_count()
+    released = cache.clear_tracked_caches()
+    assert released == tracked_before + n_memo  # memo entries counted
+    assert not _CC_LABELS_MEMO
+    # every RDD this build pinned (tracked frames + memo checkpoints) is
+    # out of the JVM registry again — nothing left for ContextCleaner
+    assert jsc.getPersistentRDDs().size() <= base
+
+
 def test_connected_components_never_mutates_session_conf(spark):
     """The CC loop sizes its shuffles with explicit repartition(loop_parts)
     — mutating spark.sql.shuffle.partitions would leak into concurrently
