@@ -896,6 +896,15 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     g, n = gram_matrix(emb)
     dim = len(g)
+    if dim == 0:
+        # empty embedding table: gram_matrix derives dim from the data, so
+        # there is no component to extract — return the zero summary row
+        # instead of dividing by sqrt(0) (ADVICE r3)
+        return spark.createDataFrame(
+            [(0, 0, 0.0, -1, 0.0)],
+            "n_vecs bigint, n_iters int, eigenvalue double, "
+            "top_dim int, top_weight double",
+        )
     g = [[round(x, PCA_QUANT_DP) for x in row] for row in g]
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(PCA_ITERS):
@@ -913,23 +922,60 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_quantized_topk",
-    oracle="""
-    with emb as (
+def _int8_quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, qe): symmetric int8 quantization, scale = 127 / max|x_i|,
+    q_i = round(x_i · scale). ONE definition shared by sim_quantized_topk
+    and sim_quantized_recall so the served representation and its measured
+    quality bound can never diverge.
+
+    The denominator is clamped — greatest(m, 1e-30), identically in the
+    DuckDB oracles: an all-zero vector has m = 0, where non-ANSI divide
+    would yield NULL qe with engine-dependent semantics; the clamp maps it
+    to an all-zero qe on both engines (ADVICE r3)."""
+    return (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .withColumn(
+            "m",
+            F.expr("aggregate(transform(e, x -> abs(x)), 0D,"
+                   " (a, x) -> greatest(a, x))"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(e, x -> cast(round(x * 127 / greatest(m, 1e-30d))"
+                " as int))"
+            ).alias("qe"),
+        )
+    )
+
+
+#: DuckDB twin of :func:`_int8_quantized` (qemb CTE body), interpolated into
+#: both quantized-query oracles so the two engines share one definition.
+_QUANT_CTE = """
+    qemb as (
       select vec_id,
-             list_transform(embedding::DOUBLE[],
-                            x -> cast(round(x * 127 / m) as int)) as qe
-      from (select vec_id, embedding,
+             list_transform(e, x -> cast(round(x * 127 / greatest(m, 1e-30))
+                                         as int)) as qe
+      from (select vec_id, embedding::DOUBLE[] as e,
                    list_max(list_transform(embedding::DOUBLE[],
                                            x -> abs(x))) as m
-            from embeddings)),
-    q as (select qe as q_qe from emb where vec_id = 0)
+            from embeddings))
+"""
+
+
+@register(
+    "sim_quantized_topk",
+    oracle=f"""
+    with {_QUANT_CTE},
+    q as (select qe as q_qe from qemb where vec_id = 0)
     select vec_id,
            cast(list_sum(list_transform(list_zip(qe, q_qe),
                                         p -> p[1] * p[2])) as bigint)
              as qscore
-    from emb, q
+    from qemb, q
     where vec_id <> 0
     order by qscore desc, vec_id
     limit 10
@@ -949,23 +995,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_topk_query.
     """
     emb = load(spark, sf_dir, "embeddings")
-    quant = (
-        emb.select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("e"),
-        )
-        .withColumn(
-            "m",
-            F.expr("aggregate(transform(e, x -> abs(x)), 0D,"
-                   " (a, x) -> greatest(a, x))"),
-        )
-        .select(
-            "vec_id",
-            F.expr(
-                "transform(e, x -> cast(round(x * 127 / m) as int))"
-            ).alias("qe"),
-        )
-    )
+    quant = _int8_quantized(emb)
     q = quant.filter(F.col("vec_id") == 0).select(F.col("qe").alias("q_qe"))
     qdot = F.expr(
         "aggregate(zip_with(qe, q_qe, (x, y) -> cast(x as bigint) * y),"
@@ -977,6 +1007,102 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", qdot.alias("qscore"))
         .orderBy(F.desc("qscore"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+@register(
+    "sim_quantized_recall",
+    oracle=f"""
+    with emb as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    {_QUANT_CTE},
+    q as (select vec_id as q_id, e as qv from emb
+          where vec_id < {RECALL_N_QUERIES}),
+    qq as (select vec_id as q_id, qe as qqe from qemb
+           where vec_id < {RECALL_N_QUERIES}),
+    exact_scored as (
+      select q.q_id, v.vec_id as v_id,
+             row_number() over (
+               partition by q.q_id
+               order by round(list_dot_product(q.qv, v.e), 4) desc, v.vec_id
+             ) as rn
+      from emb v join q on v.vec_id <> q.q_id),
+    exact as (select q_id, v_id from exact_scored where rn <= {RECALL_K}),
+    quant_scored as (
+      select qq.q_id, v.vec_id as v_id,
+             row_number() over (
+               partition by qq.q_id
+               order by list_sum(list_transform(list_zip(v.qe, qq.qqe),
+                                                p -> p[1] * p[2])) desc,
+                        v.vec_id
+             ) as rn
+      from qemb v join qq on v.vec_id <> qq.q_id),
+    quant as (select q_id, v_id from quant_scored where rn <= {RECALL_K}),
+    hits as (
+      select count(*) as h from exact join quant using (q_id, v_id))
+    select {RECALL_K} as k,
+           {RECALL_N_QUERIES} as n_queries,
+           round(h / ({RECALL_N_QUERIES} * {RECALL_K}.0), 4) as recall
+    from hits
+    """,
+)
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8-quantized ranking against the exact float
+    top-10, over the first RECALL_N_QUERIES query vectors — the measured
+    quality bound that must accompany sim_quantized_topk's 4× memory lever
+    (VERDICT r3 "Next round" #7, extending sim_ann_recall's pattern).
+
+    Both arms share determinism armor with sim_ann_recall: the float arm
+    rounds scores to 4 dp with a v_id tiebreak; the int8 arm needs none —
+    its scores are exact integers on both engines. At corpus scale the
+    float arm is the sampled-audit half (30 queries), exactly like the IVF
+    recall query.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    quant = _int8_quantized(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qv")
+    )
+    qq = quant.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("qe").alias("qqe")
+    )
+    rnk = lambda score, tie: F.row_number().over(  # noqa: E731
+        Window.partitionBy("q_id").orderBy(F.desc(score), F.asc(tie))
+    )
+    exact = (
+        spread(emb)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qv"), F.col("e")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("s", "v_id"))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "v_id")
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(qe, qqe, (x, y) -> cast(x as bigint) * y),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    quant_arm = (
+        spread(quant)
+        .join(F.broadcast(qq), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("v_id"), qdot.alias("s"))
+        .withColumn("rn", rnk("s", "v_id"))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("q_id", "v_id")
+    )
+    hits = exact.join(quant_arm, ["q_id", "v_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return hits.select(
+        F.lit(RECALL_K).alias("k"),
+        F.lit(RECALL_N_QUERIES).alias("n_queries"),
+        F.round(
+            F.col("h") / F.lit(RECALL_N_QUERIES * RECALL_K * 1.0), 4
+        ).alias("recall"),
     )
 
 
