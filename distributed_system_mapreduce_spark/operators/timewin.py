@@ -179,15 +179,30 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRAILING 24h window (current hour excluded) — the rate-spike monitor an
     ingest pipeline runs over its event firehose.
 
+    Stats come from :func:`rate_anomaly_stats` (plan notes there); z is
+    rounded before ranking and the pre-limit ordering is total
+    (z, hour_epoch, event_type), so top-20 membership is engine-stable.
+    """
+    stats = rate_anomaly_stats(load(spark, sf_dir, "events"))
+    return (
+        stats.orderBy(F.desc("z"), F.asc("hour_epoch"), F.asc("event_type"))
+        .select("event_type", "hour_start", "cnt", "z")
+        .limit(20)
+    )
+
+
+def rate_anomaly_stats(ev: DataFrame) -> DataFrame:
+    """(event_type, hour_epoch, hour_start, cnt, z) for every hour whose
+    trailing-24h baseline is defined — the shared core of the batch query
+    and the streaming twin's equality test (streaming/windows.py
+    rate_anomaly_stream).
+
     The trailing frame is RANGE-based on epoch seconds, not ROWS-based:
     hourly buckets can be missing (zero-event hours), and a row frame would
     silently stretch the baseline window across gaps. One shuffle for the
     hourly rollup, one for the per-type window; hours needing fewer than 12
     prior buckets or a zero-variance baseline are excluded (z undefined).
-    z is rounded before ranking and the pre-limit ordering is total
-    (z, hour_epoch, event_type), so top-20 membership is engine-stable.
     """
-    ev = load(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -203,7 +218,7 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_epoch")
         .rangeBetween(-86400, -3600)
     )
-    stats = (
+    return (
         hourly.withColumn("mu", F.avg("cnt").over(w))
         .withColumn("sd", F.stddev("cnt").over(w))
         .withColumn("n_prior", F.count(F.lit(1)).over(w))
@@ -211,9 +226,4 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "z", F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4)
         )
-    )
-    return (
-        stats.orderBy(F.desc("z"), F.asc("hour_epoch"), F.asc("event_type"))
-        .select("event_type", "hour_start", "cnt", "z")
-        .limit(20)
     )

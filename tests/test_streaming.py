@@ -183,6 +183,35 @@ def test_stateful_running_totals_match_batch(spark):
         assert abs(latest[k][1] - want[k][1]) < 0.05
 
 
+def test_streaming_rate_anomaly_matches_batch(spark):
+    """The stateful trailing-24h z-score stream equals the batch
+    rate_anomaly_stats on bounded single-batch replay: same (type, hour)
+    key set, identical counts, z equal at the 4-dp quantum (the two sides
+    compute sample stddev in different summation orders)."""
+    from distributed_system_mapreduce_spark.operators.timewin import (
+        rate_anomaly_stats,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        rate_anomaly_stream,
+    )
+
+    stream = rate_anomaly_stream(read_events_stream(spark, SF_SMOKE))
+    got = {
+        (r["event_type"], r["hour_epoch"]): (r["cnt"], r["z"])
+        for r in run_available_now(stream, "t_anomaly", mode="update").collect()
+    }
+    want = {
+        (r["event_type"], r["hour_epoch"]): (r["cnt"], r["z"])
+        for r in rate_anomaly_stats(load(spark, SF_SMOKE, "events")).collect()
+    }
+    assert set(got) == set(want)
+    assert want, "fixture should produce defined z-scores"
+    for k, (cnt, z) in want.items():
+        assert got[k][0] == cnt, k
+        assert abs(got[k][1] - z) <= 1e-4, (k, got[k][1], z)
+
+
 def test_streaming_decontamination_matches_batch(spark):
     """Flagged ids from the stream-static decontamination equal the batch
     corpus_decontaminate flag set on bounded replay."""
