@@ -21,6 +21,7 @@ from .operators import (  # noqa: F401
     curation,
     dedup,
     extended,
+    graph,
     joins,
     relational,
     setops,
