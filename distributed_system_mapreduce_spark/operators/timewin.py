@@ -227,3 +227,194 @@ def rate_anomaly_stats(ev: DataFrame) -> DataFrame:
             "z", F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4)
         )
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle=f"""
+    with hourly as (
+      select event_type,
+             cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             count(*) as cnt,
+             sum(value) as sum_value
+      from events
+      group by all),
+    span as (
+      select min(hour_epoch) as mn, max(hour_epoch) as mx from hourly),
+    grid as (
+      select t.event_type, g.hour_epoch
+      from (select distinct event_type from events) t
+      cross join (
+        select unnest(generate_series(mn, mx, 3600)) as hour_epoch
+        from span) g),
+    joined as (
+      select g.event_type, g.hour_epoch,
+             coalesce(h.cnt, 0) as n_events,
+             h.sum_value,
+             h.sum_value is null as was_gap
+      from grid g
+      left join hourly h
+        on h.event_type = g.event_type and h.hour_epoch = g.hour_epoch)
+    select event_type,
+           strftime(make_timestamp(hour_epoch * 1000000), '{_FMT_DUCK}')
+             as hour_start,
+           n_events,
+           round(last_value(sum_value ignore nulls) over (
+             partition by event_type order by hour_epoch
+             rows between unbounded preceding and current row), 2)
+             as sum_value_ffill,
+           was_gap
+    from joined
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event type onto the full hourly grid, forward-filling
+    gaps with the last observed hour's value sum — the regularization step
+    every downstream time-series consumer (anomaly scoring, forecasting,
+    rate dashboards) assumes has already happened.
+
+    Plan shape: one partial-aggregated shuffle for the hourly rollup; the
+    grid is types x hours built from a 1-row (min, max) aggregate via
+    ``sequence`` + ``explode`` — its size is bounded by the TIME SPAN, not
+    the corpus, so the build-side stays broadcastable at 100 TB. The
+    forward fill is ``last(ignorenulls)`` over a per-type ROWS window on
+    the gap-free grid (ROWS is correct here precisely because the grid has
+    no missing buckets — contrast rate_anomaly_stats, which must use RANGE
+    on the raw hourly table).
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_seconds(F.col("w.start")).alias("hour_epoch"),
+            "cnt",
+            "sum_value",
+        )
+    )
+    span = hourly.agg(
+        F.min("hour_epoch").alias("mn"), F.max("hour_epoch").alias("mx")
+    )
+    hours = span.select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_epoch")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    joined = grid.join(hourly, ["event_type", "hour_epoch"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format(F.timestamp_seconds("hour_epoch"), _FMT_SPARK).alias(
+            "hour_start"
+        ),
+        F.coalesce("cnt", F.lit(0)).alias("n_events"),
+        F.round(
+            F.last("sum_value", ignorenulls=True).over(w), 2
+        ).alias("sum_value_ffill"),
+        F.col("sum_value").isNull().alias("was_gap"),
+    )
+
+
+#: EWMA smoothing factor — mirrored in the oracle lambda below.
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+    with hourly as (
+      select event_type,
+             cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             cast(count(*) as double) as cnt
+      from events
+      group by all),
+    lists as (
+      select event_type,
+             list(cnt order by hour_epoch) as vals,
+             list(hour_epoch order by hour_epoch) as hours
+      from hourly
+      group by event_type),
+    idx as (
+      select event_type, hours, vals,
+             unnest(generate_series(1, len(vals))) as i
+      from lists)
+    select event_type,
+           strftime(make_timestamp(hours[i] * 1000000), '{_FMT_DUCK}')
+             as hour_start,
+           cast(vals[i] as bigint) as cnt,
+           round(list_reduce(vals[1:i],
+                             (acc, x) -> {EWMA_ALPHA} * x
+                                         + {1 - EWMA_ALPHA} * acc), 4)
+             as ewma
+    from idx
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly event rate per
+    type (alpha=0.2, seeded with the first observation).
+
+    EWMA's recurrence is non-associative, so no built-in window frame
+    computes it; instead each type's hourly counts are collected into a
+    time-ordered array (bounded by the TIME SPAN — hours, not corpus rows —
+    so the per-group array stays small at any data scale after the rollup
+    shuffle collapses 100 TB to one row per (type, hour)) and folded
+    sequentially with the ``aggregate`` higher-order function, carrying the
+    running series in the accumulator. Both engines run the identical
+    left-to-right double fold over integer-exact counts, so values agree
+    bit-for-bit before rounding. The DuckDB twin re-folds a prefix slice per
+    row (O(n^2) in hours) — fine for an oracle, while the engine side stays
+    O(n) per key.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            F.unix_seconds(F.col("w.start")).alias("hour_epoch"),
+            "cnt",
+        )
+    )
+    a = float(EWMA_ALPHA)
+    per_type = hourly.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("hour_epoch", "cnt"))
+        ).alias("series")
+    )
+    folded = per_type.select(
+        "event_type",
+        F.col("series"),
+        F.aggregate(
+            F.transform("series", lambda s: s.cnt.cast("double")),
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, x).otherwise(
+                        F.lit(a) * x + F.lit(1 - a) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ).alias("ewmas"),
+    )
+    pos = folded.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(F.col("series"), F.col("ewmas").alias("ewma"))
+        ).alias("z"),
+    )
+    return pos.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("z.series.hour_epoch")), _FMT_SPARK
+        ).alias("hour_start"),
+        F.col("z.series.cnt").alias("cnt"),
+        F.round(F.col("z.ewma"), 4).alias("ewma"),
+    )
