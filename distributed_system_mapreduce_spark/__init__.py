@@ -18,6 +18,7 @@ from .functions import (  # noqa: F401
 from .functions import retrieval  # noqa: F401  (needs text+vectors oracles)
 from .operators import (  # noqa: F401
     aggregations,
+    analytics,
     curation,
     dedup,
     extended,

@@ -1,0 +1,242 @@
+"""Composite analytical flagships (TPC-H-derived shapes).
+
+Deep multiway-join analytics a warehouse user runs daily, each one exercising
+a different optimizer-critical shape: conditional-share aggregation over a
+5-table snowflake (Q8), a double-dimension join where the SAME tiny dim table
+serves two roles (Q7), and a decorrelated per-group argmin (Q2). The point at
+100 TB is the join strategy: ``region``/``nation`` are fixed-cardinality and
+always broadcast (sources/io.py ALWAYS_BROADCAST); ``supplier``/``customer``
+grow with scale, so their joins are left to AQE, which picks broadcast at
+small SF and shuffled-hash/sort-merge on a cluster — the declarative plan is
+the same either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_5"
+
+
+@register(
+    "sql_market_share",
+    oracle=f"""
+    select cast(year(o_orderdate) as int) as o_year,
+           round(sum(case when n_s.n_name = '{MKT_NATION}'
+                          then l_extendedprice * (1 - l_discount)
+                          else 0 end)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             as mkt_share,
+           cast(count(*) as bigint) as n_lines
+    from lineitem
+    join orders   on o_orderkey  = l_orderkey
+    join customer on c_custkey   = o_custkey
+    join nation n_c on n_c.n_nationkey = c_nationkey
+    join region   on r_regionkey = n_c.n_regionkey
+    join supplier on s_suppkey   = l_suppkey
+    join nation n_s on n_s.n_nationkey = s_nationkey
+    where r_name = '{MKT_REGION}'
+    group by o_year
+    order by o_year
+    """,
+)
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: {MKT_NATION}'s share of supply revenue into the
+    {MKT_REGION} customer market, by order year.
+
+    The share is a single conditional aggregation (sum-if over the supplier
+    nation) — one pass, no self-join of the revenue stream against itself.
+    Region/nation dims broadcast unconditionally; the customer and supplier
+    joins stay AQE-sized. The region filter reaches the scan side of the
+    snowflake before the fact join (Catalyst pushes it through the
+    broadcast joins), so non-{MKT_REGION} customers never shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("c_nkey"))
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == MKT_REGION).select("r_regionkey")
+            ),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == MKT_NATION, rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "sql_nation_volume",
+    oracle="""
+    select n_s.n_name as supp_nation,
+           n_c.n_name as cust_nation,
+           cast(year(o_orderdate) as int) as o_year,
+           cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                               as decimal(18, 6))), 2) as double) as volume,
+           cast(count(*) as bigint) as n_lines
+    from lineitem
+    join orders   on o_orderkey = l_orderkey
+    join customer on c_custkey  = o_custkey
+    join nation n_c on n_c.n_nationkey = c_nationkey
+    join supplier on s_suppkey  = l_suppkey
+    join nation n_s on n_s.n_nationkey = s_nationkey
+    group by supp_nation, cust_nation, o_year
+    """,
+)
+def sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between every (supplier
+    nation, customer nation) pair per order year.
+
+    The nation dim joins TWICE under different roles — the classic
+    self-role join that trips engines which key broadcast reuse on table
+    identity; Spark broadcasts each aliased projection independently. One
+    fact-table shuffle (orders keys), everything else broadcast or
+    AQE-sized; output cardinality is nations^2 x years — driver-tiny.
+
+    Revenue accumulates in decimal(18,6): with thousands of small groups,
+    double summation-order noise lands on round-half boundaries somewhere;
+    decimal addition is exact and order-independent, so the group sums are
+    engine- and partitioning-stable by construction (and decimal is the
+    right type for money besides).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("c_nkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "sql_min_cost_supplier",
+    oracle="""
+    with offers as (
+      select l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 2) as unit_price
+      from lineitem
+      group by l_partkey, l_suppkey),
+    ranked as (
+      select l_partkey, l_suppkey, unit_price,
+             row_number() over (partition by l_partkey
+                                order by unit_price, l_suppkey) as rn
+      from offers)
+    select p_partkey, p_name, s_name,
+           unit_price,
+           round(p_retailprice, 2) as p_retailprice,
+           round(unit_price / p_retailprice, 4) as price_ratio
+    from ranked
+    join part     on p_partkey = l_partkey
+    join supplier on s_suppkey = l_suppkey
+    where rn = 1
+    order by price_ratio, p_partkey
+    limit 20
+    """,
+)
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixture set has no partsupp, so observed
+    lineitem unit prices stand in for supply cost): for every part, the
+    supplier offering the lowest average unit price, reporting the 20 best
+    bargains vs list price.
+
+    The correlated "= (select min(..) ...)" subquery is expressed directly
+    as its decorrelated form — one (part, supplier) rollup then a per-part
+    row_number argmin — which is exactly what Catalyst rewrites the
+    correlated form into; no per-part subquery execution ever happens.
+    Unit prices are rounded BEFORE ranking with a suppkey tiebreak, so the
+    argmin is total-ordered and engine-stable. Two shuffles total
+    (rollup, per-part window); the part/supplier lookups on the 20-row
+    result are broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2
+            ).alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "unit_price",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.round(F.col("unit_price") / F.col("p_retailprice"), 4).alias(
+                "price_ratio"
+            ),
+        )
+        .orderBy("price_ratio", "p_partkey")
+        .limit(20)
+    )
