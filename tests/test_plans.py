@@ -128,3 +128,46 @@ def test_simhash64_block_join_is_equi_not_cartesian(spark):
     plan = explain_str(QUERIES["dedup_simhash64"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_graph_family_joins_are_equi_not_cartesian(spark):
+    # edge build (self-join on l_orderkey), wedge join (shared src vertex),
+    # and every PageRank round (join on src) are all equi-joins; a
+    # cartesian anywhere is quadratic in |E| at corpus scale. The only
+    # nested-loop join allowed is triangle_count's 1-row scalar combine.
+    for name in ("graph_degree_hist", "graph_pagerank"):
+        plan = explain_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    tri = explain_str(QUERIES["graph_triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in tri, tri
+
+
+def test_triangle_closing_join_is_semi(spark):
+    plan = explain_str(QUERIES["graph_triangle_count"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_market_share_broadcasts_dims_and_one_conditional_pass(spark):
+    plan = explain_str(QUERIES["sql_market_share"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # conditional-share aggregation: the lineitem fact scan appears once —
+    # no self-join of the revenue stream against a filtered copy of itself
+    assert plan.count("lineitem.parquet") <= 1 or "Scan parquet" in plan
+    scans = [l for l in plan.splitlines() if "lineitem" in l and "Scan" in l]
+    assert len(scans) <= 1, scans
+
+
+def test_gap_fill_grid_is_broadcast(spark):
+    # the hourly grid is bounded by the TIME SPAN, not the corpus — it must
+    # be the broadcast side, never a shuffle partner of the rollup
+    plan = explain_str(QUERIES["events_gap_fill"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ewma_stays_jvm_side(spark):
+    # the sequential fold is an aggregate HOF over a collected array — no
+    # Python crossing, no per-row UDF
+    plan = explain_str(QUERIES["events_ewma"](spark, SF_DIR), mode="simple")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
