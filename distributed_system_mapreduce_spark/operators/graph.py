@@ -15,10 +15,11 @@ Scale notes (100 TB):
   table is O(|lineitem|), never O(n²).
 - **Triangle counting** uses degree orientation (the "compact-forward"
   algorithm, Latapy 2008): every edge points from its lower-(degree, id)
-  endpoint to the higher one, so each wedge is generated exactly once and
-  the per-vertex out-degree is bounded by O(sqrt(|E|)) — the hub-skew guard
-  that makes the wedge self-join survive power-law graphs. The closing edge
-  check is a broadcast-free equi-semi-join on (v, w).
+  endpoint to the higher one, bounding per-vertex out-degree at
+  O(sqrt(|E|)) — the hub-skew guard for power-law graphs. Counting is a
+  per-edge intersection of the two endpoints' out-adjacency arrays, which
+  keeps the shuffled volume at O(|E|) instead of materializing the
+  sum(outdeg^2) wedge set.
 - **PageRank** runs a fixed number of synchronous iterations as a driver
   loop (the same shape as the connected-components loop in
   ``operators/dedup.py``: each round is one join + one partial-aggregated
@@ -134,13 +135,14 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count via degree-oriented wedge join.
+    """Global triangle count via degree-oriented adjacency intersection.
 
     The oracle counts each triangle once as (a < b < c) over the id order;
     the engine orients edges by (degree, id) instead — the count is
     orientation-invariant, but degree orientation bounds every vertex's
-    out-degree by O(sqrt(|E|)), which is what keeps the wedge join alive on
-    power-law graphs where an id-ordered join would square the hub degree.
+    out-degree by O(sqrt(|E|)), which is what keeps the per-edge
+    neighbor-set intersection bounded on power-law graphs where an
+    id-ordered orientation would square the hub degree.
     """
     pairs = copurchase_pairs(spark, sf_dir)
     deg = _degrees(pairs)
@@ -149,31 +151,33 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_src = deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg"))
     d_dst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg"))
     e = _symmetric(pairs).join(d_src, "src").join(d_dst, "dst")
-    oriented = track(
-        e.filter(
-            (F.col("sdeg") < F.col("ddeg"))
-            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
-        ).select("src", "dst", "ddeg")
-    )
+    oriented = e.filter(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
 
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (
-            (F.col("e1.ddeg") < F.col("e2.ddeg"))
-            | (
-                (F.col("e1.ddeg") == F.col("e2.ddeg"))
-                & (F.col("e1.dst") < F.col("e2.dst"))
-            )
-        ),
-    ).select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
-    closing = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
+    # Out-adjacency arrays instead of a materialized wedge join: for each
+    # oriented edge (u, v) the triangles pivoting on it are
+    # |N_out(u) ∩ N_out(v)|, and each triangle is counted exactly once (its
+    # two non-closing edges share the lowest-ranked vertex). The wedge
+    # formulation would shuffle sum(outdeg^2) rows — 72M at sf0.1 on this
+    # dense graph; the intersection does the same work as an in-memory
+    # merge of two <= sqrt(|E|)-length sorted arrays per edge, with only
+    # the O(|E|) edge/adjacency shuffles.
+    adj = track(
+        oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
     )
-    tri = wedges.join(closing, ["v", "w"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    tri = (
+        oriented.join(a_u, oriented.src == a_u.u)
+        .join(a_v, oriented.dst == a_v.v)
+        .select(
+            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("t")
+        )
+        .agg(F.sum("t").alias("n_triangles"))
     )
 
     stats = deg.agg(
@@ -245,23 +249,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             deg.select(F.col("id").alias("src"), "deg"), "src"
         )
     )
-    nodes = deg.select("id")
-    n_nodes = float(nodes.count())  # bounded driver scalar (like the CC loop)
+    n_nodes = float(deg.count())  # bounded driver scalar (like the CC loop)
 
-    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    # Every vertex of the symmetric graph has degree >= 1, so every vertex
+    # receives at least one contribution each round — no "left join against
+    # the node list" re-anchoring is needed, which halves the per-round
+    # work to one equi-join + one partially-aggregated shuffle. The rank
+    # frame stays vertex-sized, so AQE broadcasts it into the cached edge
+    # list locally; on a cluster it would flip to a shuffled join with the
+    # edge side already partitioned by src.
+    ranks = deg.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(PR_ITERS):
-        contrib = (
+        ranks = (
             edges_w.join(ranks, edges_w.src == ranks.id)
             .select("dst", (F.col("rank") / F.col("deg")).alias("m"))
             .groupBy("dst")
-            .agg(F.sum("m").alias("c"))
-        )
-        ranks = nodes.join(contrib, nodes.id == contrib.dst, "left").select(
-            nodes.id,
-            (
-                F.lit((1 - PR_DAMPING) / n_nodes)
-                + F.lit(PR_DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
-            ).alias("rank"),
+            .agg(
+                (
+                    F.lit((1 - PR_DAMPING) / n_nodes)
+                    + F.lit(PR_DAMPING) * F.sum("m")
+                ).alias("rank")
+            )
+            .withColumnRenamed("dst", "id")
         )
     return ranks.select(
         F.col("id").alias("part_id"),
