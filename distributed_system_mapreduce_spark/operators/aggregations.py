@@ -141,3 +141,99 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register("agg_hll_union")  # rows-only: sketch binary is engine-specific
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: one HLL (Apache DataSketches)
+    sketch of user_id per event type, then the per-type SKETCHES — not the
+    raw rows — union into the global estimate.
+
+    This is the 100 TB pattern agg_approx_distinct's monolithic HLL++ can't
+    show: sketches are associative state, so shards/days/partitions each
+    keep their own and any rollup (per type, per day, global) is a cheap
+    sketch merge with NO second pass over the data. DuckDB has no
+    wire-compatible HLL, so the query is rows-only; outputs are pinned in
+    tests/test_parity.py (DataSketches estimates are deterministic for
+    fixed input sets).
+    """
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per.agg(
+        F.hll_union_agg("sk").alias("sk")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per_est.unionAll(merged)
+
+
+#: columns profiled by table_profile — fixed list so the plan is static.
+PROFILE_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "table_profile",
+    oracle="""
+    select 'o_orderkey' as col_name,
+           count(*) - count(o_orderkey) as n_nulls,
+           count(distinct o_orderkey) as n_distinct
+    from orders
+    union all
+    select 'o_custkey', count(*) - count(o_custkey),
+           count(distinct o_custkey) from orders
+    union all
+    select 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(distinct o_orderstatus) from orders
+    union all
+    select 'o_totalprice', count(*) - count(o_totalprice),
+           count(distinct o_totalprice) from orders
+    union all
+    select 'o_orderdate', count(*) - count(o_orderdate),
+           count(distinct o_orderdate) from orders
+    union all
+    select 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(distinct o_orderpriority) from orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of ``orders``: null count and exact
+    distinct count per column, in one scan.
+
+    All twelve aggregates run in a single groupBy-less aggregation (Spark
+    plans the multi-distinct via one Expand — one scan of the table,
+    where the oracle's union form scans six times), then the wide row is
+    unpivoted to (col_name, n_nulls, n_distinct) with ``stack`` —
+    map-side, no extra shuffle. At 100 TB the same plan runs with
+    approx_count_distinct (mergeable, no Expand multiply) — exact distinct
+    is kept here because the oracle can mirror it.
+    """
+    orders = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLUMNS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in PROFILE_COLUMNS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLUMNS)}, {stack_args}) "
+            "as (col_name, n_nulls, n_distinct)"
+        )
+    )

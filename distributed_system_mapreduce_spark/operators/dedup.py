@@ -1134,3 +1134,140 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared_spans"), F.asc("a_id"), F.asc("b_id"))
         .limit(20)
     )
+
+
+#: incoming-batch selector for incremental dedup: doc_id % MOD == SLOT is
+#: "today's ingest" (~10% of the corpus), everything else is the standing
+#: index. Mirrored verbatim in the oracle.
+INCR_BATCH_MOD = 10
+INCR_BATCH_SLOT = 3
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    with
+    sh0 as (
+      select distinct doc_id, shingle, doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_SLOT} as is_new
+      from (
+        select doc_id,
+               unnest(list_transform(
+                 list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+                 x -> x[1] || ' ' || x[2] || ' ' || x[3])) as shingle
+        from (select doc_id, string_split(text, ' ') as t from documents)
+        where len(t) >= 3)),
+    hot as (
+      select shingle from sh0 where not is_new group by shingle
+      having count(*) > {JACCARD_HOT_SHINGLE_DF_CAP}),
+    sh as (
+      select * from sh0 where shingle not in (select shingle from hot)),
+    szs as (select doc_id, count(*) as n from sh group by doc_id),
+    cand as (
+      select n.doc_id as new_id, o.doc_id as old_id, count(*) as i
+      from sh n join sh o on n.shingle = o.shingle
+      where n.is_new and not o.is_new
+      group by all),
+    scored as (
+      select new_id, old_id,
+             round(i / (sn.n + so.n - i), 4) as jacc
+      from cand
+      join szs sn on sn.doc_id = new_id
+      join szs so on so.doc_id = old_id),
+    best as (
+      select new_id, old_id, jacc,
+             row_number() over (partition by new_id
+                                order by jacc desc, old_id) as rn
+      from scored)
+    select d.doc_id,
+           b.old_id as best_match_id,
+           b.jacc as best_jacc,
+           coalesce(b.jacc >= {CLUSTER_THRESHOLD}, false) as is_dup
+    from documents d
+    left join (select * from best where rn = 1) b on b.new_id = d.doc_id
+    where d.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_SLOT}
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: score TODAY'S batch against the standing
+    corpus index without ever re-pairing the corpus against itself.
+
+    The pattern that makes dedup tractable on a growing 100 TB corpus: the
+    posting list (shingle -> old doc) is built from the standing corpus
+    once — in production it is a persisted table maintained across days;
+    here it materializes per session — and each incoming batch only PROBES
+    it. Cost per batch is O(batch x posting length), with the hot-shingle
+    stop list (computed on the index side, applied to both sides, exactly
+    as a stored index would) capping posting length; old x old pairs are
+    never generated. Each new doc reports its best corpus match by exact
+    trigram Jaccard (rounded before the argmax, old_id tiebreak) and an
+    is_dup verdict at the clustering threshold; batch docs with no shared
+    shingle survive with a null match.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from ..functions.vectors import spread
+
+    is_new = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_SLOT
+    sh0 = (
+        spread(docs)
+        .withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(shingle_expr(3)).alias("sh_str"),
+            is_new.alias("is_new"),
+        )
+        .select(
+            "doc_id", F.xxhash64("sh_str").alias("shingle"), "is_new"
+        )
+        .distinct()
+    )
+    hot = (
+        sh0.filter(~F.col("is_new"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > JACCARD_HOT_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = track(sh0.join(F.broadcast(hot), "shingle", "left_anti"))
+    szs = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    new_sh = sh.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "shingle"
+    )
+    old_sh = sh.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "shingle"
+    )
+    cand = (
+        new_sh.join(old_sh, "shingle")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sn = szs.select(F.col("doc_id").alias("new_id"), F.col("n").alias("nn"))
+    so = szs.select(F.col("doc_id").alias("old_id"), F.col("n").alias("no"))
+    scored = (
+        cand.join(sn, "new_id")
+        .join(so, "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            F.round(
+                F.col("i") / (F.col("nn") + F.col("no") - F.col("i")), 4
+            ).alias("jacc"),
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jacc"), F.asc("old_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "old_id", "jacc")
+    )
+    batch = docs.filter(is_new).select("doc_id")
+    return batch.join(
+        best, batch.doc_id == best.new_id, "left"
+    ).select(
+        "doc_id",
+        F.col("old_id").alias("best_match_id"),
+        F.col("jacc").alias("best_jacc"),
+        F.coalesce(
+            F.col("jacc") >= CLUSTER_THRESHOLD, F.lit(False)
+        ).alias("is_dup"),
+    )

@@ -9,6 +9,7 @@ from .dedup import (  # noqa: F401
     read_documents_stream,
 )
 from .windows import (  # noqa: F401
+    ewma_stream,
     rate_anomaly_stream,
     read_events_stream,
     run_available_now,

@@ -247,3 +247,89 @@ def run_available_now(
 def _is_stateful_update(stream_df: DataFrame) -> bool:
     """applyInPandasWithState plans only support update/append output."""
     return "FlatMapGroupsInPandasWithState" in stream_df._jdf.queryExecution().logical().toString()
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``events_ewma``: the per-type hourly-rate EWMA as
+    one custom stateful operator.
+
+    EWMA is the ideal streaming statistic — the entire history folds into
+    ONE number — but hourly buckets must close before they can be folded
+    (late events within the horizon may still bump a bucket's count). So
+    state per event_type is (ewma of all CLOSED buckets, trailing open
+    buckets, horizon): each batch merges fresh events into the retained
+    buckets, re-emits the EWMA series over closed-seed + retained buckets
+    (update semantics — a late bump re-emits corrected downstream values),
+    then folds buckets falling behind the horizon into the closed seed, in
+    hour order — exactly the batch fold's order, so bounded single-batch
+    replay equals the batch query bit-for-bit before rounding. State is
+    O(event_types x 26 buckets) forever; the fold constant alpha matches
+    ``operators.timewin.EWMA_ALPHA``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.timewin import EWMA_ALPHA
+
+    a = float(EWMA_ALPHA)
+    keep_s = _ANOMALY_KEEP_HOURS * 3600
+    never = -(2**62)
+
+    def fn(key, pdf_iter, state):
+        ewma_closed, have_closed, hours, counts, horizon = (
+            state.get if state.exists else (0.0, False, [], [], never)
+        )
+        buckets = dict(zip(hours, counts))
+        for pdf in pdf_iter:
+            fresh = pdf[pdf["hour_epoch"] >= horizon]
+            for h, c in fresh["hour_epoch"].value_counts().items():
+                buckets[int(h)] = buckets.get(int(h), 0) + int(c)
+        out = {"event_type": [], "hour_epoch": [], "cnt": [], "ewma": []}
+        seed, seeded = ewma_closed, have_closed
+        for h in sorted(buckets):
+            x = float(buckets[h])
+            seed = (a * x + (1 - a) * seed) if seeded else x
+            seeded = True
+            out["event_type"].append(key[0])
+            out["hour_epoch"].append(h)
+            out["cnt"].append(buckets[h])
+            out["ewma"].append(round(seed, 4))
+        if buckets:
+            new_horizon = max(max(buckets) - keep_s, horizon)
+            for h in sorted(buckets):
+                if h < new_horizon:
+                    x = float(buckets.pop(h))
+                    ewma_closed = (
+                        (a * x + (1 - a) * ewma_closed)
+                        if have_closed
+                        else x
+                    )
+                    have_closed = True
+            horizon = new_horizon
+        state.update(
+            (
+                ewma_closed,
+                have_closed,
+                list(buckets.keys()),
+                list(buckets.values()),
+                horizon,
+            )
+        )
+        yield pd.DataFrame(out)
+
+    hourly_events = events.select(
+        "event_type",
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+    )
+    return hourly_events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "event_type string, hour_epoch long, cnt long, ewma double"
+        ),
+        stateStructType=(
+            "ewma_closed double, have_closed boolean, "
+            "hours array<long>, counts array<long>, horizon long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -46,6 +46,13 @@ ROWS_ONLY_EXPECTED = {
         ("signup", 151), ("view", 151),
     ],
     "dedup_near_minhash": [(500, 30, 25)],  # (n_docs, n_candidates, n_dups)
+    # DataSketches HLL estimates are deterministic per input set; 150
+    # distinct users at sf0.01 is below the sketch's exact-mode cutoff, so
+    # per-type and merged estimates are all exactly 150
+    "agg_hll_union": [
+        ("__all__", 150), ("click", 150), ("error", 150),
+        ("purchase", 150), ("signup", 150), ("view", 150),
+    ],
     "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
     # 64-bit codes (4 x 16-bit blocks): near-orthogonal hashes make d<=3
     # collisions rare — the discriminative regime the 16-bit query lacks

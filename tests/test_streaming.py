@@ -232,3 +232,34 @@ def test_streaming_decontamination_matches_batch(spark):
         for r in QUERIES["corpus_decontaminate"](spark, SF_SMOKE).collect()
     }
     assert got == batch
+
+
+def test_streaming_ewma_matches_batch(spark):
+    """ewma_stream equals the batch events_ewma on bounded single-batch
+    replay: same (type, hour) keys, same counts, same rounded EWMA."""
+    from distributed_system_mapreduce_spark.streaming import (
+        ewma_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = ewma_stream(read_events_stream(spark, SF_SMOKE))
+    got = {
+        (r["event_type"], r["hour_epoch"]): (r["cnt"], r["ewma"])
+        for r in run_available_now(stream, "t_ewma").collect()
+    }
+    import pyspark.sql.functions as F
+
+    batch = QUERIES["events_ewma"](spark, SF_SMOKE).withColumn(
+        "hour_epoch",
+        F.unix_seconds(F.to_timestamp("hour_start")),
+    )
+    want = {
+        (r["event_type"], r["hour_epoch"]): (r["cnt"], r["ewma"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    assert want, "fixture should produce EWMA rows"
+    for k, (cnt, ewma) in want.items():
+        assert got[k][0] == cnt, k
+        assert abs(got[k][1] - ewma) <= 1e-4, (k, got[k][1], ewma)
