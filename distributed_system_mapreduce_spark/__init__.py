@@ -19,6 +19,7 @@ from .functions import retrieval  # noqa: F401  (needs text+vectors oracles)
 from .operators import (  # noqa: F401
     aggregations,
     analytics,
+    cohorts,
     curation,
     dedup,
     extended,

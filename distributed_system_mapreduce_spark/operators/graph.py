@@ -276,3 +276,84 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("part_id"),
         F.round(F.col("rank") * F.lit(n_nodes), 6).alias("pr"),
     )
+
+
+#: minimum co-occurrence count for a "backbone" edge: pairs bought together
+#: at least twice. On a random-basket corpus this strips the Erdos-Renyi
+#: noise (one-off co-occurrences) and leaves the intentional structure —
+#: the standard market-basket support threshold.
+BACKBONE_SUPPORT = 2
+
+
+@register(
+    "graph_components",
+    oracle=f"""
+    with recursive
+    co as (
+      select a.l_partkey as src, b.l_partkey as dst
+      from lineitem a
+      join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by all
+      having count(*) >= {BACKBONE_SUPPORT}),
+    edges as (
+      select src, dst from co
+      union all
+      select dst as src, src as dst from co),
+    nodes as (select distinct src as id from edges),
+    reach as (
+      select id as src, id as dst from nodes
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src),
+    labels as (select src as id, min(dst) as label from reach group by src),
+    csizes as (select label, count(*) as component_size from labels
+               group by label)
+    select cast(component_size as int) as component_size,
+           cast(count(*) as bigint) as n_components
+    from csizes
+    group by component_size
+    order by component_size
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase BACKBONE (edges with
+    support >= {BACKBONE_SUPPORT}), reported as a component-size histogram.
+
+    Reuses the engine's pointer-jumping CC primitive
+    (operators/dedup.py::connected_components — O(log diameter) rounds,
+    lazy per-round localCheckpoints, edge-count-sized loop shuffles) on a
+    second graph, demonstrating it as a library operator rather than a
+    dedup-special. The support filter is a HAVING over the same
+    one-shuffle pair rollup the full edge build uses; the backbone is
+    orders of magnitude sparser than the raw co-occurrence graph, which is
+    exactly why a support threshold is the first thing a market-basket
+    pipeline applies at 100 TB. The DuckDB oracle is the same recursive
+    reachability closure the dedup_cluster oracle uses.
+    """
+    from .dedup import connected_components
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BACKBONE_SUPPORT)
+        .select("src", "dst")
+    )
+    labels = connected_components(_symmetric(co))
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("component_size"))
+        .groupBy(F.col("component_size").cast("int").alias("component_size"))
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("component_size")
+    )
