@@ -237,3 +237,44 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as (col_name, n_nulls, n_distinct)"
         )
     )
+
+
+@register("agg_percentile_sketch_error")  # rows-only: sketch is engine-specific
+def agg_percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine measures its own percentile sketch: exact interpolated
+    p50/p99 vs approx_percentile (Greenwald-Khanna at accuracy 1000) per
+    event type, with the absolute error — the measured quality bound that
+    justifies swapping agg_percentiles' exact per-group sort for the
+    mergeable one-pass sketch at 100 TB (same pattern as sim_ann_recall
+    for ANN and sim_quantized_recall for int8).
+
+    Rows-only: no DuckDB twin of Spark's sketch exists; the output is
+    deterministic for a fixed input set and pinned in tests/test_parity.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_exact"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99_exact"),
+            F.round(
+                F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 4
+            ).alias("p50_approx"),
+            F.round(
+                F.percentile_approx("value", F.lit(0.99), F.lit(1000)), 4
+            ).alias("p99_approx"),
+        )
+        .select(
+            "event_type",
+            "p50_exact",
+            "p50_approx",
+            F.round(F.abs(F.col("p50_exact") - F.col("p50_approx")), 4).alias(
+                "p50_abs_err"
+            ),
+            "p99_exact",
+            "p99_approx",
+            F.round(F.abs(F.col("p99_exact") - F.col("p99_approx")), 4).alias(
+                "p99_abs_err"
+            ),
+        )
+    )

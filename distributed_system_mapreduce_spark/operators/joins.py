@@ -360,3 +360,58 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("n_overlap_pairs"))
     )
+
+
+#: maximum edit distance for a fuzzy name match.
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "join_fuzzy_name",
+    oracle=f"""
+    with names as (
+      select distinct p_name as name,
+             string_split(p_name, ' ')[-1] as block
+      from part)
+    select a.name as name_a, b.name as name_b,
+           cast(levenshtein(a.name, b.name) as int) as dist
+    from names a
+    join names b on a.block = b.block and a.name < b.name
+    where levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: part names within edit distance
+    {FUZZY_MAX_DIST}, candidate-paired by a BLOCKING key (the head noun)
+    so the quadratic edit-distance work runs per block, never all-pairs.
+
+    The record-linkage shape: exact-join on a cheap blocking key (here the
+    product's last token — in production a phonetic code, sorted
+    token-prefix, or LSH bucket), THEN the expensive similarity only on
+    candidates. The name universe is deduplicated before pairing
+    (value-collapse, same trick as dedup_simhash), so cost scales with
+    distinct names per block, not row count — the difference between
+    feasible and quadratic at 100 TB. Levenshtein is the identical
+    Wagner-Fischer distance on both engines.
+    """
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )

@@ -54,6 +54,15 @@ ROWS_ONLY_EXPECTED = {
         ("purchase", 150), ("signup", 150), ("view", 150),
     ],
     "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
+    # Greenwald-Khanna sketch outputs are deterministic per input set;
+    # (type, p50_exact, p50_approx, p50_err, p99_exact, p99_approx, p99_err)
+    "agg_percentile_sketch_error": [
+        ("click", 35.31, 35.23, 0.08, 221.9675, 219.76, 2.2075),
+        ("error", 34.39, 34.24, 0.15, 236.0178, 232.27, 3.7478),
+        ("purchase", 33.95, 33.73, 0.22, 222.036, 220.13, 1.906),
+        ("signup", 35.92, 35.85, 0.07, 233.0392, 230.3, 2.7392),
+        ("view", 33.835, 33.71, 0.125, 209.8429, 209.23, 0.6129),
+    ],
     # 64-bit codes (4 x 16-bit blocks): near-orthogonal hashes make d<=3
     # collisions rare — the discriminative regime the 16-bit query lacks
     "dedup_simhash64": [(500, 17)],  # (n_docs, n_close_pairs)
