@@ -278,3 +278,56 @@ def agg_percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: buckets for the equi-depth histogram.
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "agg_equidepth_hist",
+    oracle=f"""
+    with bucketed as (
+      select value,
+             ntile({EQUIDEPTH_BUCKETS}) over (order by value, event_id)
+               as bucket
+      from events)
+    select bucket,
+           count(*) as n_rows,
+           round(min(value), 4) as lo,
+           round(max(value), 4) as hi
+    from bucketed
+    group by bucket
+    order by bucket
+    """,
+)
+def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of event values: ntile buckets
+    with their boundaries — the optimizer-statistics shape (Spark's own
+    CBO histograms are equi-depth).
+
+    The ntile is a global sort (single-partition window) — correct for
+    the statistic, and at 100 TB the same boundaries come from
+    approx_percentile edges with a broadcast range join
+    (agg_percentile_sketch_error measures that trade). The event_id
+    tiebreak makes bucket assignment total-ordered, so boundary rows
+    can't flip buckets between engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    bucketed = ev.select(
+        "value",
+        F.ntile(EQUIDEPTH_BUCKETS)
+        .over(Window.orderBy("value", "event_id"))
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

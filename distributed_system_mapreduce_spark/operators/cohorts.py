@@ -207,3 +207,129 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("p_next"),
     )
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+    with user_days as (
+      select distinct user_id, cast(date_trunc('day', ts) as date) as day
+      from events),
+    span as (select min(day) as mn, max(day) as mx from user_days),
+    cover as (
+      select user_id,
+             unnest(generate_series(day, day + interval 6 day,
+                                    interval 1 day)) as cover_day
+      from user_days),
+    wau as (
+      select cast(cover_day as date) as day,
+             count(distinct user_id) as wau7
+      from cover
+      where cast(cover_day as date) <= (select mx from span)
+      group by all),
+    dau as (
+      select day, count(*) as dau from user_days group by day)
+    select strftime(w.day, '%Y-%m-%d') as day,
+           coalesce(d.dau, 0) as dau,
+           w.wau7
+    from wau w
+    left join dau d on d.day = w.day
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users plus EXACT rolling 7-day distinct users.
+
+    Rolling distinct is not window-decomposable (distinct doesn't
+    subtract), so each (user, day) row is EXPANDED onto the <= 7 days it
+    covers — turning the rolling distinct into a plain per-day distinct
+    count at a bounded x7 row cost, the standard exact-WAU shape. Both
+    aggregations run off the same deduplicated user-day rollup (the only
+    full-data shuffle); at 100 TB the sketch alternative is a per-day HLL
+    with a 7-sketch merge (agg_hll_union shows the machinery), traded
+    here for exactness because the oracle can mirror it.
+    """
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    mx = user_days.agg(F.max("day").alias("mx"))
+    cover = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "day", F.date_add("day", 6), F.expr("interval 1 day")
+            )
+        ).alias("cover_day"),
+    )
+    wau = (
+        cover.join(F.broadcast(mx), cover.cover_day <= mx.mx)
+        .groupBy(F.col("cover_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau7"))
+    )
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau7",
+        )
+    )
+
+
+@register(
+    "dim_customer_scd2",
+    oracle="""
+    with versions as (
+      select o_custkey,
+             o_orderdate as valid_from,
+             lead(o_orderdate) over (partition by o_custkey
+                                     order by o_orderdate, o_orderkey)
+               as valid_to,
+             row_number() over (partition by o_custkey
+                                order by o_orderdate, o_orderkey) as version,
+             cast(sum(cast(o_totalprice as decimal(18, 4))) over (
+               partition by o_custkey
+               order by o_orderdate, o_orderkey
+               rows between unbounded preceding and current row)
+               as double) as lifetime_spend
+      from orders)
+    select o_custkey,
+           strftime(valid_from, '%Y-%m-%d') as valid_from,
+           strftime(valid_to, '%Y-%m-%d') as valid_to,
+           cast(version as int) as version,
+           round(lifetime_spend, 2) as lifetime_spend,
+           valid_to is null as is_current
+    from versions
+    """,
+)
+def dim_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from the order event log:
+    one validity interval per customer version, closed by the next
+    version's start (null = current row), carrying the running lifetime
+    spend.
+
+    The warehouse-standard SCD2 derivation: ONE per-customer shuffle
+    serves the lead() interval close, the version row_number, and the
+    running decimal-exact spend (all three windows share the
+    (o_orderdate, o_orderkey) sort, so Catalyst plans a single Window
+    node). Dates are emitted as strings for tz-proof parity.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "valid_to"
+        ),
+        F.row_number().over(w).alias("version"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .over(wsum)
+            .cast("double"),
+            2,
+        ).alias("lifetime_spend"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )

@@ -362,3 +362,98 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_components"))
         .orderBy("component_size")
     )
+
+
+@register(
+    "graph_assoc_rules",
+    oracle=f"""
+    with li as (select distinct l_orderkey, l_partkey from lineitem),
+    n_orders as (select count(distinct l_orderkey) as n from lineitem),
+    item_cnt as (
+      select l_partkey as part, count(*) as cnt from li group by part),
+    pair_sup as (
+      select a.l_partkey as src, b.l_partkey as dst, count(*) as support
+      from li a
+      join li b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by all
+      having count(*) >= {BACKBONE_SUPPORT}),
+    rules as (
+      select src as antecedent, dst as consequent, support,
+             round(support * 1.0 / ca.cnt, 4) as confidence,
+             round((support * 1.0 / ca.cnt)
+                   / (cb.cnt * 1.0 / (select n from n_orders)), 4) as lift
+      from pair_sup
+      join item_cnt ca on ca.part = src
+      join item_cnt cb on cb.part = dst
+      union all
+      select dst, src, support,
+             round(support * 1.0 / cb.cnt, 4),
+             round((support * 1.0 / cb.cnt)
+                   / (ca.cnt * 1.0 / (select n from n_orders)), 4)
+      from pair_sup
+      join item_cnt ca on ca.part = src
+      join item_cnt cb on cb.part = dst)
+    select antecedent, consequent, support, confidence, lift
+    from rules
+    order by lift desc, antecedent, consequent
+    limit 50
+    """,
+)
+def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over frequent co-purchase pairs:
+    confidence = P(consequent | antecedent), lift = confidence /
+    P(consequent), top-50 by lift — the Apriori output for itemsets of
+    size two, the frequent-itemset workload the MapReduce literature
+    popularized.
+
+    Reuses the tracked support rollup (one materialization serves the
+    graph family); the per-item counts are one partial-agg shuffle over
+    distinct (order, part), and the basket total is a driver scalar. Both
+    rule directions come from the SAME symmetric pair row — no second
+    pair rollup. Confidence/lift are rounded before the lift ranking
+    (antecedent/consequent tiebreaks), so top-50 membership is
+    engine-stable.
+    """
+    sup = copurchase_support(spark, sf_dir).filter(
+        F.col("support") >= BACKBONE_SUPPORT
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    item_cnt = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ca = item_cnt.select(F.col("part").alias("src"), F.col("cnt").alias("ca"))
+    cb = item_cnt.select(F.col("part").alias("dst"), F.col("cnt").alias("cb"))
+    pairs = sup.join(ca, "src").join(cb, "dst")
+    fwd = pairs.select(
+        F.col("src").alias("antecedent"),
+        F.col("dst").alias("consequent"),
+        "support",
+        F.round(F.col("support") / F.col("ca"), 4).alias("confidence"),
+        F.round(
+            (F.col("support") / F.col("ca"))
+            / (F.col("cb") / F.lit(float(n_orders))),
+            4,
+        ).alias("lift"),
+    )
+    rev = pairs.select(
+        F.col("dst").alias("antecedent"),
+        F.col("src").alias("consequent"),
+        "support",
+        F.round(F.col("support") / F.col("cb"), 4).alias("confidence"),
+        F.round(
+            (F.col("support") / F.col("cb"))
+            / (F.col("ca") / F.lit(float(n_orders))),
+            4,
+        ).alias("lift"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(50)
+    )
