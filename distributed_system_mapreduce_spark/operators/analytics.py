@@ -240,3 +240,121 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("price_ratio", "p_partkey")
         .limit(20)
     )
+
+
+@register(
+    "orders_mom_growth",
+    oracle="""
+    with monthly as (
+      select strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') as month,
+             cast(round(sum(cast(o_totalprice as decimal(18, 4))), 2)
+                  as double) as revenue,
+             count(*) as n_orders
+      from orders
+      group by all)
+    select month, revenue, n_orders,
+           round(revenue / lag(revenue) over (order by month) - 1, 4)
+             as mom_growth
+    from monthly
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup plus lag-ratio.
+
+    One partial-agg shuffle to months (the only full-data pass); the lag
+    window runs over the months-cardinality rollup — single-partition by
+    construction and bounded by the calendar, not the corpus. Revenue in
+    decimal so the growth ratio's inputs are summation-order-stable.
+    """
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 4).alias(
+            "mom_growth"
+        ),
+    )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    with per_cust as (
+      select o_custkey,
+             round(sum(cast(o_totalprice as decimal(18, 4))), 2) as revenue
+      from orders
+      group by o_custkey),
+    ranked as (
+      select o_custkey, revenue,
+             cast(sum(revenue) over (order by revenue desc, o_custkey
+                   rows between unbounded preceding and current row)
+                  / sum(revenue) over () as double) as cum_share
+      from per_cust),
+    classed as (
+      select case when cum_share <= 0.8 then 'A'
+                  when cum_share <= 0.95 then 'B'
+                  else 'C' end as abc_class,
+             cast(revenue as double) as revenue
+      from ranked)
+    select abc_class,
+           count(*) as n_customers,
+           round(sum(revenue), 2) as class_revenue
+    from classed
+    group by abc_class
+    order by abc_class
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers bucketed by cumulative
+    revenue share (A = first 80%, B = to 95%, C = tail).
+
+    The cumulative share runs over the per-customer ROLLUP (the only
+    full-data shuffle is that partial-agg), in DECIMAL — cumulative sums
+    are maximally boundary-sensitive, and decimal arithmetic makes every
+    prefix sum exact and order-independent, so class edges cannot drift
+    between engines. Ordering is total (revenue desc, custkey).
+    """
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        ).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "revenue",
+        (
+            F.sum("revenue").over(w) / F.sum("revenue").over(wall)
+        ).cast("double").alias("cum_share"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

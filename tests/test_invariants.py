@@ -269,3 +269,106 @@ def test_decontaminate_flags_only_train_docs(spark):
         assert r["doc_id"] % 10 != 0
         assert r["n_shared_ngrams"] >= 1
         assert r["n_eval_docs"] >= 1
+
+
+def test_pagerank_mass_conservation(spark):
+    """Damped PageRank on a dangle-free graph conserves rank mass: the
+    N-scaled ranks must average exactly 1.0 (within fp tolerance)."""
+    rows = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    assert rows
+    mean_pr = sum(r["pr"] for r in rows) / len(rows)
+    assert abs(mean_pr - 1.0) < 1e-6, mean_pr
+
+
+def test_graph_family_agrees_on_vertex_count(spark):
+    """Degree histogram mass, PageRank row count, and triangle_count's
+    n_nodes are three independent paths to the same vertex set."""
+    hist = QUERIES["graph_degree_hist"](spark, SF_DIR).collect()
+    n_from_hist = sum(r["n_parts"] for r in hist)
+    n_from_pr = QUERIES["graph_pagerank"](spark, SF_DIR).count()
+    tri = QUERIES["graph_triangle_count"](spark, SF_DIR).collect()[0]
+    assert n_from_hist == n_from_pr == tri["n_nodes"]
+
+
+def test_gap_fill_grid_is_complete_and_consistent(spark):
+    rows = QUERIES["events_gap_fill"](spark, SF_DIR).collect()
+    types = {r["event_type"] for r in rows}
+    hours = {r["hour_start"] for r in rows}
+    assert len(rows) == len(types) * len(hours), "grid must be dense"
+    for r in rows:
+        assert r["was_gap"] == (r["n_events"] == 0), r
+
+
+def test_ewma_bounded_by_series_extremes(spark):
+    """A convex smoother can never leave [min, max] of its inputs."""
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in QUERIES["events_ewma"](spark, SF_DIR).collect():
+        by_type[r["event_type"]].append(r)
+    for rows in by_type.values():
+        lo = min(r["cnt"] for r in rows)
+        hi = max(r["cnt"] for r in rows)
+        for r in rows:
+            assert lo - 1e-9 <= r["ewma"] <= hi + 1e-9, r
+
+
+def test_assoc_rules_measures_well_formed(spark):
+    rows = QUERIES["graph_assoc_rules"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["support"] >= 2, r
+        assert 0 < r["confidence"] <= 1, r
+        assert r["lift"] > 0, r
+
+
+def test_scd2_versions_partition_history(spark):
+    """Per customer: version count == order count, exactly one current
+    row, and each version's close date is the next version's start."""
+    from collections import defaultdict
+
+    rows = QUERIES["dim_customer_scd2"](spark, SF_DIR).collect()
+    orders_per_cust = {
+        r["o_custkey"]: r["n"]
+        for r in load(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(r)
+    assert set(by_cust) == set(orders_per_cust)
+    for ck, vs in by_cust.items():
+        vs.sort(key=lambda r: r["version"])
+        assert len(vs) == orders_per_cust[ck]
+        assert sum(1 for r in vs if r["is_current"]) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], (ck, a, b)
+
+
+def test_abc_pareto_covers_all_customers(spark):
+    rows = QUERIES["orders_abc_pareto"](spark, SF_DIR).collect()
+    assert {r["abc_class"] for r in rows} <= {"A", "B", "C"}
+    n_cust = load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_rolling_wau_dominates_dau(spark):
+    for r in QUERIES["events_rolling_dau"](spark, SF_DIR).collect():
+        assert r["wau7"] >= r["dau"], r
+
+
+def test_incremental_dedup_covers_batch(spark):
+    """Every batch doc gets exactly one verdict row; dup verdicts carry a
+    match, clean-with-no-candidate rows carry nulls."""
+    rows = QUERIES["dedup_incremental"](spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    n_batch = docs.filter((F.col("doc_id") % 10) == 3).count()
+    assert len(rows) == n_batch
+    for r in rows:
+        if r["is_dup"]:
+            assert r["best_match_id"] is not None and r["best_jacc"] >= 0.5
+        if r["best_match_id"] is None:
+            assert not r["is_dup"] and r["best_jacc"] is None
