@@ -129,6 +129,43 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count_from_pairs(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """1-row (n_triangles) for an undirected graph given (src < dst) pairs
+    and per-vertex degrees — the degree-oriented adjacency-intersection
+    core, shared by graph_triangle_count and the randomized property test
+    (tests/test_property.py pits it against brute-force enumeration).
+
+    Orients every edge toward its higher-(degree, id) endpoint, then for
+    each oriented edge (u, v) counts |N_out(u) ∩ N_out(v)| — each triangle
+    counted exactly once (its two non-closing edges share the
+    lowest-ranked vertex). The wedge-join formulation would shuffle
+    sum(outdeg^2) rows (72M at sf0.1 on this dense graph); the
+    intersection does the same merge work in-memory over two
+    <= sqrt(|E|)-length sorted arrays per edge, shuffling only O(|E|).
+    """
+    d_src = deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg"))
+    d_dst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg"))
+    e = _symmetric(pairs).join(d_src, "src").join(d_dst, "dst")
+    oriented = e.filter(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+
+    adj = track(
+        oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
+    )
+    a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    return (
+        oriented.join(a_u, oriented.src == a_u.u)
+        .join(a_v, oriented.dst == a_v.v)
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("n_triangles"))
+    )
+
+
 @register(
     "graph_triangle_count",
     oracle=f"""
@@ -156,39 +193,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = copurchase_pairs(spark, sf_dir)
     deg = _degrees(pairs)
-
-    # attach (deg, id) to both endpoints, then orient low -> high
-    d_src = deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg"))
-    d_dst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg"))
-    e = _symmetric(pairs).join(d_src, "src").join(d_dst, "dst")
-    oriented = e.filter(
-        (F.col("sdeg") < F.col("ddeg"))
-        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst")
-
-    # Out-adjacency arrays instead of a materialized wedge join: for each
-    # oriented edge (u, v) the triangles pivoting on it are
-    # |N_out(u) ∩ N_out(v)|, and each triangle is counted exactly once (its
-    # two non-closing edges share the lowest-ranked vertex). The wedge
-    # formulation would shuffle sum(outdeg^2) rows — 72M at sf0.1 on this
-    # dense graph; the intersection does the same work as an in-memory
-    # merge of two <= sqrt(|E|)-length sorted arrays per edge, with only
-    # the O(|E|) edge/adjacency shuffles.
-    adj = track(
-        oriented.groupBy("src").agg(
-            F.sort_array(F.collect_list("dst")).alias("nbrs")
-        )
-    )
-    a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    tri = (
-        oriented.join(a_u, oriented.src == a_u.u)
-        .join(a_v, oriented.dst == a_v.v)
-        .select(
-            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("t")
-        )
-        .agg(F.sum("t").alias("n_triangles"))
-    )
+    tri = triangle_count_from_pairs(pairs, deg)
 
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

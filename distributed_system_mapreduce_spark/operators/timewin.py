@@ -326,6 +326,27 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.2
 
 
+def ewma_series(values):
+    """array<double> -> array<double>: left-to-right EWMA fold (alpha =
+    EWMA_ALPHA, seeded with the first element) as a single ``aggregate``
+    higher-order expression — the shared core of events_ewma and the
+    randomized property test (tests/test_property.py pits it against a
+    plain-Python reference fold)."""
+    a = float(EWMA_ALPHA)
+    return F.aggregate(
+        values,
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x).otherwise(
+                    F.lit(a) * x + F.lit(1 - a) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+
+
 @register(
     "events_ewma",
     oracle=f"""
@@ -382,7 +403,6 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    a = float(EWMA_ALPHA)
     per_type = hourly.groupBy("event_type").agg(
         F.array_sort(
             F.collect_list(F.struct("hour_epoch", "cnt"))
@@ -391,17 +411,8 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = per_type.select(
         "event_type",
         F.col("series"),
-        F.aggregate(
-            F.transform("series", lambda s: s.cnt.cast("double")),
-            F.array().cast("array<double>"),
-            lambda acc, x: F.concat(
-                acc,
-                F.array(
-                    F.when(F.size(acc) == 0, x).otherwise(
-                        F.lit(a) * x + F.lit(1 - a) * F.element_at(acc, -1)
-                    )
-                ),
-            ),
+        ewma_series(
+            F.transform("series", lambda s: s.cnt.cast("double"))
         ).alias("ewmas"),
     )
     pos = folded.select(

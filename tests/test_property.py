@@ -115,3 +115,72 @@ def test_property_caches_released(spark):
 
     cache.clear_tracked_caches()
     assert cache.tracked_count() == 0
+
+
+def _brute_triangles(edges: list[tuple[int, int]]) -> int:
+    """Reference: enumerate all vertex triples over the adjacency set."""
+    from itertools import combinations
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for u, v, w in combinations(sorted(adj), 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Degree-oriented adjacency intersection == brute-force triple
+    enumeration on random graphs (self-loops dropped, duplicates merged)."""
+    from distributed_system_mapreduce_spark.operators.graph import (
+        _degrees,
+        triangle_count_from_pairs,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    pairs = spark.createDataFrame(canon, "src long, dst long")
+    got = triangle_count_from_pairs(pairs, _degrees(pairs)).collect()[0][
+        "n_triangles"
+    ]
+    assert got == _brute_triangles(canon), canon
+
+
+@settings(**SETTINGS)
+@given(
+    series=st.lists(
+        st.integers(0, 1000).map(float), min_size=1, max_size=50
+    )
+)
+def test_ewma_fold_matches_reference(spark, series):
+    """The aggregate-HOF fold == a plain-Python reference EWMA, element by
+    element (exact: both run the identical double recurrence)."""
+    from distributed_system_mapreduce_spark.operators.timewin import (
+        EWMA_ALPHA,
+        ewma_series,
+    )
+
+    a = float(EWMA_ALPHA)
+    ref = []
+    for x in series:
+        ref.append(x if not ref else a * x + (1 - a) * ref[-1])
+    got = (
+        spark.range(1)
+        .select(ewma_series(F.lit(series).cast("array<double>")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert got == ref
