@@ -561,3 +561,43 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle="""
+    select source,
+           count(*) as n_docs,
+           count(distinct text) as n_unique,
+           round(1.0 - count(distinct text) * 1.0 / count(*), 4)
+             as dup_rate,
+           round(avg(n_chars), 2) as avg_chars
+    from documents
+    group by source
+    order by source
+    """,
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card slice: exact-duplicate rate and size profile per source —
+    the per-provenance quality table a corpus report leads with (which
+    crawls/dumps are dirty, which are clean).
+
+    One partial-agg shuffle; the distinct-text count per source is the one
+    expensive aggregate (count(distinct) over a long string column), and
+    at 100 TB it runs over xxhash64(text) instead — same grouping shape,
+    64-bit keys (the engine's dedup family already establishes hashing
+    equivalence); exact text kept here so the oracle can mirror it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("text").alias("n_unique"),
+            F.round(
+                1.0 - F.count_distinct("text") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )

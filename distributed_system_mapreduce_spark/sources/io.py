@@ -123,3 +123,28 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def read_json_skip_bad(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON reader with bad-record capture — the Spark-native form of the
+    MapReduce model's "Skipping Bad Records" machinery (OSDI'04 §5.3:
+    deterministic crashes on individual records must not kill the job).
+
+    PERMISSIVE mode parses what it can; rows that fail the schema land
+    intact in ``_corrupt_record`` instead of failing the task, so the
+    pipeline can count / quarantine them (a production job writes them to
+    a dead-letter path and alerts on the rate). Spark's alternatives are
+    DROPMALFORMED (silent — rejected here: silent data loss at 100 TB is
+    how corpora rot) and FAILFAST (for sources contractually required to
+    be clean).
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, StructType) and "_corrupt_record" not in schema.names:
+        schema = schema.add("_corrupt_record", StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

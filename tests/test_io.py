@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from distributed_system_mapreduce_spark.sources import io as sio
+from pyspark.sql import functions as F
 from conftest import SF_SMOKE
 
 
@@ -88,3 +89,31 @@ def test_avro_gated(spark, tmp_path):
     else:
         with pytest.raises(tf.TableFormatUnavailable):
             tf.write_avro(df, str(tmp_path / "region_avro"))
+
+
+def test_read_json_skip_bad_quarantines_corrupt_rows(spark, tmp_path):
+    """OSDI'04 §4.6 parity: malformed records must not kill the job NOR
+    vanish silently — they surface in _corrupt_record for quarantine."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from distributed_system_mapreduce_spark.sources.io import read_json_skip_bad
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "not-a-number", "name": "type clash"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_json_skip_bad(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert df.count() == 4
+    assert good.count() == 2
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 2  # parse failure + type clash, both captured
+    assert all(r["_corrupt_record"] for r in bad.collect())
+    df.unpersist()
