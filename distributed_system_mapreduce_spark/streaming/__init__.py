@@ -8,6 +8,9 @@ from .dedup import (  # noqa: F401
     minhash_verified_stream,
     read_documents_stream,
 )
+from .joins import (  # noqa: F401
+    theta_range_pairs_stream,
+)
 from .windows import (  # noqa: F401
     ewma_stream,
     rate_anomaly_stream,

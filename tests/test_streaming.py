@@ -12,6 +12,8 @@ from distributed_system_mapreduce_spark.streaming import (
     tumbling_counts_stream,
 )
 
+from pyspark.sql import functions as F
+
 from conftest import SF_SMOKE
 
 
@@ -263,3 +265,26 @@ def test_streaming_ewma_matches_batch(spark):
     for k, (cnt, ewma) in want.items():
         assert got[k][0] == cnt, k
         assert abs(got[k][1] - ewma) <= 1e-4, (k, got[k][1], ewma)
+
+
+def test_stream_stream_theta_join_matches_batch(spark):
+    """The stream-stream interval self-join's per-user pair counts equal
+    batch join_theta_range on bounded replay."""
+    from distributed_system_mapreduce_spark.streaming import (
+        run_available_now,
+        theta_range_pairs_stream,
+    )
+
+    stream = theta_range_pairs_stream(spark, SF_SMOKE)
+    pairs = run_available_now(stream, "t_ss_join", mode="append")
+    got = {
+        (r["user_id"], r["n_pairs"])
+        for r in pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["n_pairs"])
+        for r in QUERIES["join_theta_range"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
