@@ -73,6 +73,19 @@ def text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(vocab, "lang")
 
 
+def tf_table(docs):
+    """Tracked (doc_id, source, word, tf) term-frequency table — ONE corpus
+    tokenize serves tf-idf source ranking, per-doc keyword extraction, and
+    document frequency (tf rows are unique per (doc, word), so df = row
+    count per word; no second scan)."""
+    tok = tokens(docs).select("doc_id", "source", "word")
+    return track(
+        tok.groupBy("doc_id", "source", "word").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    )
+
+
 @register(
     "text_tfidf_top",
     oracle="""
@@ -102,15 +115,7 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot flip top-10 membership between engines.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = tokens(docs).select("doc_id", "source", "word")
-    # tracked persist: document frequency is derivable FROM the tf table
-    # (tf rows are unique per (doc, word), so df = row count per word) —
-    # one corpus tokenize feeds both, instead of two full scans.
-    tf = track(
-        tok.groupBy("doc_id", "source", "word").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
-    )
+    tf = tf_table(docs)
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
@@ -679,4 +684,60 @@ def text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_len").cast("bigint").alias("chunk_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "text_keywords_per_doc",
+    oracle="""
+    with tok as (
+      select doc_id, word
+      from (select doc_id, unnest(string_split(text, ' ')) as word
+            from documents)
+      where word <> ''),
+    tf as (select doc_id, word, count(*) as tf from tok group by all),
+    dfreq as (select word, count(distinct doc_id) as df from tok
+              group by word),
+    total as (select count(*) as n from documents),
+    scored as (
+      select doc_id, word,
+             round(tf * ln(n / df), 6) as score
+      from tf join dfreq using (word), total)
+    select doc_id, word, score, rank from (
+      select *, row_number() over (partition by doc_id
+                                   order by score desc, word) as rank
+      from scored)
+    where rank <= 3
+    """,
+)
+def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 terms per DOCUMENT by tf-idf — the
+    per-item tagging op (search facets, weak labels, card summaries) that
+    complements text_tfidf_top's corpus-level view.
+
+    Reads the same tracked tf table as text_tfidf_top (one tokenize per
+    session serves both plus document frequency); the per-doc ranking is a
+    row_number window over the tf rows — partitioned by doc_id, so the
+    window shuffle is the table's natural key, no skew. Scores rounded
+    before ranking, word tiebreak: top-3 membership engine-stable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = tf_table(docs)
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
     )
