@@ -257,3 +257,56 @@ def fake_media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 _register_multimodal_queries()
+
+
+def _register_multimodal_dedup() -> None:
+    from pyspark.sql import SparkSession
+
+    from ..registry import register
+    from ..sources.io import load
+
+    @register(
+        "multimodal_dedup",
+        oracle="""
+        select case when doc_id % 3 = 0 then 'image'
+                    when doc_id % 3 = 1 then 'audio'
+                    else 'video' end as media_type,
+               count(*) as n_items,
+               count(distinct text) as n_unique,
+               round(1.0 - count(distinct text) * 1.0 / count(*), 4)
+                 as dup_rate
+        from documents
+        group by media_type
+        order by media_type
+        """,
+    )
+    def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Binary-content dedup over the media table: per media type, how
+        many blobs are byte-identical copies — the first pass every media
+        corpus runs (CDN mirrors, re-uploads, cropped-free copies).
+
+        The engine hashes the BINARY column (md5 over the blob bytes,
+        map-side JVM) and counts distinct digests — at 100 TB the digest
+        (16 bytes) shuffles instead of the blob (megabytes), which is the
+        entire point of hash-keyed media dedup. The oracle counts distinct
+        source text instead: the fake blob IS the text's UTF-8 bytes, so
+        the two counts agree by construction while the engine-side plan
+        exercises the real binary path.
+        """
+        docs = load(spark, sf_dir, "documents")
+        media = fake_media_from_documents(docs)
+        return (
+            media.select("media_type", F.md5("data").alias("digest"))
+            .groupBy("media_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.count_distinct("digest").alias("n_unique"),
+                F.round(
+                    1.0 - F.count_distinct("digest") / F.count(F.lit(1)), 4
+                ).alias("dup_rate"),
+            )
+            .orderBy("media_type")
+        )
+
+
+_register_multimodal_dedup()

@@ -333,3 +333,49 @@ def dim_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lifetime_spend"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_funnel_paths",
+    oracle="""
+    with ordered as (
+      select user_id, event_type,
+             lead(event_type, 1) over w as t2,
+             lead(event_type, 2) over w as t3
+      from events
+      window w as (partition by user_id order by ts, event_id))
+    select event_type || ' > ' || t2 || ' > ' || t3 as path,
+           count(*) as n_paths
+    from ordered
+    where t3 is not null
+    group by path
+    order by n_paths desc, path
+    limit 10
+    """,
+)
+def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step event sequences across user
+    streams — the raw material behind funnel discovery (which journeys
+    actually happen, before anyone defines a funnel).
+
+    Both lead() windows share the transition matrix's (user; ts, event_id)
+    sort — one per-user shuffle, one Window node; the path rollup keys on
+    at most types^3 strings. Count ties in the top-10 are broken by path
+    text, so membership is engine-stable.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        ordered.select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(10)
+    )

@@ -462,3 +462,77 @@ def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
         .limit(50)
     )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+    with {_PAIRS_SQL},
+    inter as (
+      select p.src, p.dst, count(*) as i
+      from pairs p
+      join edges eu on eu.src = p.src
+      join edges ev on ev.src = p.dst and ev.dst = eu.dst
+      group by p.src, p.dst),
+    scored as (
+      select i.src, i.dst, i.i,
+             round(i.i * 1.0 / (du.deg + dv.deg - i.i), 4) as jacc
+      from inter i
+      join deg du on du.id = i.src
+      join deg dv on dv.id = i.dst)
+    select src, dst, i as n_common, jacc
+    from scored
+    order by jacc desc, src, dst
+    limit 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers also bought" similarity: top-20 co-purchase pairs by
+    neighbor-set Jaccard (common neighbors / union of neighborhoods) —
+    the item-item collaborative-filtering score.
+
+    Candidates are ONLY existing edges (never all vertex pairs), and the
+    common-neighbor count is an in-memory ``array_intersect`` of the two
+    endpoints' sorted adjacency arrays — the same O(|E|)-shuffle shape as
+    triangle counting, against the oracle's wedge triple-join. Jaccard is
+    rounded before the top-20 ranking with (src, dst) tiebreaks.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    adj = track(
+        _symmetric(pairs)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
+    a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    d_u = deg.select(F.col("id").alias("u"), F.col("deg").alias("deg_u"))
+    d_v = deg.select(F.col("id").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        pairs.withColumnRenamed("src", "u")
+        .withColumnRenamed("dst", "v")
+        .join(a_u, "u")
+        .join(a_v, "v")
+        .join(d_u, "u")
+        .join(d_v, "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("n_common"),
+            "deg_u",
+            "deg_v",
+        )
+        .select(
+            "src",
+            "dst",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")),
+                4,
+            ).alias("jacc"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jacc"), F.asc("src"), F.asc("dst")
+    ).limit(20)
