@@ -358,3 +358,113 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    select 'lineitem_orphan_orderkey' as check_name,
+           (select count(*) from lineitem
+            where l_orderkey not in (select o_orderkey from orders))
+             as n_violations
+    union all
+    select 'orders_orphan_custkey',
+           (select count(*) from orders
+            where o_custkey not in (select c_custkey from customer))
+    union all
+    select 'orderkey_not_unique',
+           (select count(*) from (
+              select o_orderkey from orders
+              group by o_orderkey having count(*) > 1))
+    union all
+    select 'discount_out_of_range',
+           (select count(*) from lineitem
+            where l_discount < 0 or l_discount > 1)
+    union all
+    select 'quantity_nonpositive',
+           (select count(*) from lineitem where l_quantity <= 0)
+    union all
+    select 'totalprice_null',
+           (select count(*) - count(o_totalprice) from orders)
+    order by check_name
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the dbt-test shape): referential
+    integrity, uniqueness, range, and null checks as ONE report frame —
+    violations counted, never sampled.
+
+    Each check is the scale-correct plan for its class: orphan checks are
+    LEFT ANTI joins (ship only the probe key, AQE-sized — never an IN
+    subquery materialized on the driver); uniqueness is a partial-agg
+    groupBy + HAVING; range/null checks are map-side conditional counts
+    fused into one scan per table. The report is a union of 1-row
+    aggregates — driver-tiny regardless of corpus size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey")
+            .join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.select("o_custkey")
+            .join(
+                cust.select("c_custkey"),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "orderkey_not_unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "discount_out_of_range",
+            li.agg(
+                F.sum(
+                    (
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                    ).cast("bigint")
+                ).alias("n")
+            ),
+        ),
+        one(
+            "quantity_nonpositive",
+            li.agg(
+                F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("n")
+            ),
+        ),
+        one(
+            "totalprice_null",
+            orders.agg(
+                F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias(
+                    "n"
+                )
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
