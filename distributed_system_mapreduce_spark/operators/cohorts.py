@@ -379,3 +379,84 @@ def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    with tagged as (
+      select user_id, event_type, ts, event_id,
+             last_value(case when event_type <> 'purchase' then event_type end
+                        ignore nulls) over w as touch_type,
+             last_value(case when event_type <> 'purchase' then ts end
+                        ignore nulls) over w as touch_ts
+      from events
+      window w as (partition by user_id order by ts, event_id
+                   rows between unbounded preceding and 1 preceding)),
+    conv as (
+      select coalesce(
+               case when touch_ts >= ts - interval 24 hour then touch_type end,
+               'direct') as channel
+      from tagged
+      where event_type = 'purchase')
+    select channel,
+           count(*) as n_conversions,
+           round(count(*) * 1.0 / sum(count(*)) over (), 4) as share
+    from conv
+    group by channel
+    order by channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the user's
+    most recent non-purchase event within a 24h lookback ('direct' when
+    none) — the marketing rollup every event warehouse serves.
+
+    One per-user window shuffle carries BOTH the last touch type and its
+    timestamp (last_value ignore-nulls over a rows-preceding frame, the
+    same sort the sessionizer uses); the lookback check and channel
+    fallback are map-side. No self-join of purchases against the event
+    stream — the as-of lookup rides the window, which is what keeps this
+    linear at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    non_purchase_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    tagged = ev.select(
+        "event_type",
+        "ts",
+        F.last(non_purchase, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(non_purchase_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    conv = tagged.select(
+        F.coalesce(
+            F.when(
+                F.col("touch_ts")
+                >= F.col("ts") - F.expr("interval 24 hours"),
+                F.col("touch_type"),
+            ),
+            F.lit("direct"),
+        ).alias("channel")
+    )
+    wall = Window.partitionBy()
+    return (
+        conv.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .select(
+            "channel",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions")
+                / F.sum("n_conversions").over(wall),
+                4,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
