@@ -1162,3 +1162,158 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+#: k-means parameters — mirrored verbatim in the unrolled oracle SQL.
+KMEANS_K = 4
+KMEANS_ITERS = 3
+#: centroid coordinates are rounded to this many digits after every update
+#: on BOTH engines, so the next round's assignments compare identical
+#: quantized centroids — the same determinism armor as the PCA query's
+#: quantized Gram matrix.
+KMEANS_ROUND = 6
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs (like the PageRank
+    oracle): deterministic init from the K smallest vec_ids, assignment by
+    squared-L2 argmin with cluster-index tiebreak, per-dim means rounded
+    to KMEANS_ROUND before the next assignment."""
+    k, iters, nd, rnd = KMEANS_K, KMEANS_ITERS, EMBED_DIM, KMEANS_ROUND
+    parts = [
+        f"""
+    e as (
+      select vec_id,
+             list_transform(embedding, x -> cast(x as double)) as e
+      from embeddings),
+    c0 as (
+      select row_number() over (order by vec_id) - 1 as cluster,
+             list_transform(e, x -> round(x, {rnd})) as c
+      from e
+      order by vec_id
+      limit {k})"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""
+    d{it} as (
+      select e.vec_id, e.e, {prev}.cluster,
+             list_sum(list_transform(
+               list_zip(e.e, {prev}.c),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) as dist
+      from e cross join {prev}),
+    a{it} as (
+      select vec_id, e, cluster, dist
+      from (select *, row_number() over (partition by vec_id
+                                         order by dist, cluster) as rn
+            from d{it})
+      where rn = 1),
+    m{it} as (
+      select cluster, r.i as dim, avg(e[r.i]) as v
+      from a{it} cross join range(1, {nd + 1}) r(i)
+      group by cluster, r.i),
+    c{it} as (
+      select cluster, list(round(v, {rnd}) order by dim) as c
+      from m{it}
+      group by cluster)"""
+        )
+    return f"""
+    with {",".join(parts)}
+    select a.cluster,
+           count(*) as n_vecs,
+           round(sum(a.dist), 2) as inertia,
+           round(sqrt(list_sum(list_transform(c.c, x -> x * x))), 4)
+             as centroid_norm
+    from a{iters} a
+    join c{iters - 1} c using (cluster)
+    group by a.cluster, c.c
+    order by a.cluster
+    """
+
+
+@register("embed_kmeans", oracle=_kmeans_oracle())
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm, k=4, 3 synchronous rounds)
+    over the embedding corpus — the canonical iterative-ML workload, in
+    the exact shape MLlib runs it: centroids live on the DRIVER (k x dim
+    scalars, the bounded artifact class this module already uses for the
+    centroid-norms query), each round broadcasts them into one
+    assignment-plus-partial-aggregation pass over the data.
+
+    Determinism armor: init is the K smallest vec_ids; assignment breaks
+    distance ties by cluster index; per-dim means are rounded to
+    {KMEANS_ROUND} digits before the next round on both engines, so every
+    round's assignments compare identical quantized centroids. Clusters
+    report size, inertia (vs the final round's input centroids, rounded),
+    and centroid norm. An empty cluster keeps its previous centroid
+    (k << n makes this unreachable on real corpora; the guard keeps the
+    loop total).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [
+        [round(float(x), KMEANS_ROUND) for x in r["e"]] for r in init
+    ]
+
+    def dist_to(c: list) -> "F.Column":
+        carr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    assigned = None
+    entry_cents = cents
+    for _ in range(KMEANS_ITERS):
+        entry_cents = cents
+        choices = F.array(
+            *[
+                F.struct(dist_to(c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(choices)
+        assigned = emb.select(
+            "vec_id",
+            "e",
+            best["i"].alias("cluster"),
+            best["d"].alias("dist"),
+        )
+        means = assigned.groupBy("cluster").agg(
+            *[
+                F.avg(F.element_at("e", d + 1)).alias(f"m{d}")
+                for d in range(EMBED_DIM)
+            ]
+        )
+        got = {
+            r["cluster"]: [
+                round(float(r[f"m{d}"]), KMEANS_ROUND)
+                for d in range(EMBED_DIM)
+            ]
+            for r in means.collect()
+        }
+        cents = [got.get(i, cents[i]) for i in range(KMEANS_K)]
+
+    # inertia and norms report against the centroids the FINAL assignment
+    # used (the oracle's c_{iters-1}) — the standard per-round objective
+    norms = F.array(
+        *[
+            F.lit(round(sum(x * x for x in c) ** 0.5, 4))
+            for c in entry_cents
+        ]
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dist"), 2).alias("inertia"),
+        )
+        .withColumn(
+            "centroid_norm", F.element_at(norms, F.col("cluster") + 1)
+        )
+        .orderBy("cluster")
+    )
