@@ -1254,6 +1254,13 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     init = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    if len(init) < KMEANS_K:
+        # same guard class as embed_pca_top_component's empty-table check
+        # (ADVICE r3): fail loudly instead of iterating on a ragged
+        # centroid list
+        raise ValueError(
+            f"embed_kmeans needs >= {KMEANS_K} vectors, got {len(init)}"
+        )
     cents = [
         [round(float(x), KMEANS_ROUND) for x in r["e"]] for r in init
     ]

@@ -372,3 +372,26 @@ def test_incremental_dedup_covers_batch(spark):
             assert r["best_match_id"] is not None and r["best_jacc"] >= 0.5
         if r["best_match_id"] is None:
             assert not r["is_dup"] and r["best_jacc"] is None
+
+
+def test_kmeans_partitions_corpus_and_guards_small_input(spark, tmp_path):
+    rows = QUERIES["embed_kmeans"](spark, SF_DIR).collect()
+    n_total = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    assert all(r["inertia"] > 0 and r["centroid_norm"] > 0 for r in rows)
+
+    # fewer vectors than k must raise the loud guard, not iterate over a
+    # ragged centroid list (the embed_pca empty-table bug class)
+    import pytest as _pytest
+
+    from distributed_system_mapreduce_spark.functions.vectors import (
+        embed_kmeans,
+    )
+
+    tiny = spark.createDataFrame(
+        [(0, [0.1] * 64, 0), (1, [0.2] * 64, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tiny.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with _pytest.raises(ValueError, match="needs >= 4 vectors"):
+        embed_kmeans(spark, str(tmp_path))
