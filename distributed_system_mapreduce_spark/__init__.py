@@ -104,6 +104,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       embed_outliers
     #   r6: dedup_simhash64, sim_quantized_topk, sample_weighted_mix,
     #       pipeline_sequence_pack
+    #   r7: graph_pagerank, graph_triangle_count, dedup_incremental,
+    #       embed_kmeans
+    #   r8: sql_market_share, events_retention_cohort, events_gap_fill,
+    #       data_quality_checks
     "pipeline_train_corpus",
     "corpus_decontaminate",
     "sample_stratified",

@@ -439,21 +439,23 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("c") > 1)
             .agg(F.count(F.lit(1)).alias("n")),
         ),
-        one(
-            "discount_out_of_range",
-            li.agg(
-                F.sum(
-                    (
-                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
-                    ).cast("bigint")
-                ).alias("n")
-            ),
-        ),
-        one(
-            "quantity_nonpositive",
-            li.agg(
-                F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("n")
-            ),
+        # both lineitem range checks ride ONE scan/aggregate, unpivoted to
+        # their two report rows afterward
+        li.agg(
+            F.sum(
+                (
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ).cast("bigint")
+            ).alias("disc"),
+            F.sum((F.col("l_quantity") <= 0).cast("bigint")).alias("qty"),
+        ).select(
+            F.expr(
+                "stack(2, 'discount_out_of_range', disc,"
+                " 'quantity_nonpositive', qty)"
+                " as (check_name, n_violations)"
+            )
+        ).select(
+            "check_name", F.col("n_violations").cast("bigint")
         ),
         one(
             "totalprice_null",
