@@ -741,3 +741,99 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+#: minimum bigram count for a collocation candidate (PMI is unstable on
+#: singletons) — mirrored in the oracle.
+PMI_MIN_COUNT = 5
+
+
+@register(
+    "text_collocations",
+    oracle=f"""
+    with
+    uni as (
+      select unnest(string_split(text, ' ')) as word from documents),
+    ucnt as (select word, count(*) as c from uni group by word),
+    n_uni as (select cast(count(*) as double) as n from uni),
+    big as (
+      select unnest(list_transform(
+               list_zip(t[1:len(t)-1], t[2:len(t)]),
+               x -> struct_pack(w1 := x[1], w2 := x[2]))) as b
+      from (select string_split(text, ' ') as t from documents)
+      where len(t) >= 2),
+    bcnt as (select b.w1 as w1, b.w2 as w2, count(*) as c
+             from big group by b.w1, b.w2),
+    n_big as (select cast(count(*) as double) as n from big)
+    select w1, w2, bcnt.c as n_pair,
+           round(ln((bcnt.c / (select n from n_big))
+                 / ((u1.c / (select n from n_uni))
+                    * (u2.c / (select n from n_uni)))), 4) as pmi
+    from bcnt
+    join ucnt u1 on u1.word = w1
+    join ucnt u2 on u2.word = w2
+    where bcnt.c >= {PMI_MIN_COUNT}
+    order by pmi desc, w1, w2
+    limit 20
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 word bigrams by pointwise mutual
+    information (PMI = ln of observed-vs-independent bigram probability) —
+    the lexical-association statistic behind phrase detection and
+    tokenizer-merge candidates.
+
+    One tokenize pass feeds the unigram rollup, one bigram HOF pass feeds
+    the pair rollup (both partial-agg shuffles keyed on words); the two
+    corpus totals are 1-row broadcast scalars and the PMI join runs over
+    the VOCABULARY-sized rollups, not the corpus. Low-count pairs are
+    floored (PMI explodes on singletons) and PMI is rounded before the
+    top-20 ranking with word tiebreaks.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.withColumn("toks", F.split("text", " "))
+    uni = toked.select(F.explode("toks").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).cast("double").alias("n_uni"))
+    bigrams = F.expr(
+        """
+        transform(sequence(1, size(toks) - 1),
+                  i -> struct(element_at(toks, i) as w1,
+                              element_at(toks, i + 1) as w2))
+        """
+    )
+    big = (
+        toked.filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_COUNT)
+    )
+    n_big = big.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
+    u1 = ucnt.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_big"))
+                    / (
+                        (F.col("c1") / F.col("n_uni"))
+                        * (F.col("c2") / F.col("n_uni"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)

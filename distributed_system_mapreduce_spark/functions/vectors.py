@@ -1324,3 +1324,53 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+#: similarity floor for range search — mirrored in the oracle.
+RANGE_SEARCH_TAU = 0.12
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    with q as (select embedding::DOUBLE[] as q_emb from embeddings
+               where vec_id = 0)
+    select vec_id,
+           round(list_dot_product(embedding::DOUBLE[], q_emb), 4) as score
+    from embeddings, q
+    where vec_id <> 0
+      and round(list_dot_product(embedding::DOUBLE[], q_emb), 4)
+            >= {RANGE_SEARCH_TAU}
+    order by score desc, vec_id
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range similarity search: EVERY vector scoring >= tau against the
+    query — the other fundamental ANN query type (top-k asks "the best k",
+    range asks "all above the bar"; dedup thresholds and recall-sensitive
+    retrieval want the latter, where k is unknowable a priori).
+
+    Same plan skeleton as sim_topk_query — broadcast 1-row query, scan
+    side never shuffles, JVM higher-order dot product — but the
+    post-filter replaces the top-k heap: output size is data-dependent,
+    so there is no TakeOrdered short-circuit to lean on, and at 100 TB
+    the range predicate is exactly what the IVF/LSH bucket pruning
+    (sim_ann_*) pre-filters for. Scores rounded before the threshold so
+    the boundary row set is engine-stable.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        spread(emb.filter(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") >= RANGE_SEARCH_TAU)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
