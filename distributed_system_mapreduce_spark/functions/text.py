@@ -837,3 +837,52 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    with uni as (
+      select unnest(string_split(text, ' ')) as word from documents),
+    wc as (select word, count(*) as c from uni group by word),
+    ranked as (
+      select ln(row_number() over (order by c desc, word)) as lr,
+             ln(c) as lf
+      from wc)
+    select cast(count(*) as bigint) as vocab,
+           round(regr_slope(lf, lr), 4) as zipf_slope,
+           round(regr_intercept(lf, lr), 4) as zipf_intercept,
+           round(corr(lf, lr), 4) as log_log_corr
+    from ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log-frequency vs log-rank over the
+    corpus vocabulary (natural text sits near slope -1; synthetic or
+    templated corpora flatten) — a one-number corpus-health diagnostic a
+    pretraining data card reports.
+
+    The regression runs over the VOCABULARY (one word rollup, one rank
+    window over vocab-sized rows), not the corpus; slope/intercept use
+    Spark's regr_slope/regr_intercept — the same Welford-style moment
+    aggregates DuckDB implements, rounded to absorb accumulation-order
+    noise. Rank ties break by word so both engines rank identically.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = wc.select(
+        F.log(
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("word")))
+        ).alias("lr"),
+        F.log("c").alias("lf"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.regr_slope("lf", "lr"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("lf", "lr"), 4).alias("zipf_intercept"),
+        F.round(F.corr("lf", "lr"), 4).alias("log_log_corr"),
+    )

@@ -460,3 +460,66 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "events_user_features",
+    oracle="""
+    select user_id,
+           count(*) as n_events,
+           count(distinct event_type) as n_types,
+           round(sum(case when event_type = 'purchase' then value
+                          else 0 end), 2) as purchase_value,
+           cast(datediff('second', max(ts),
+                         (select max(ts) from events)) as bigint)
+             as recency_s,
+           case when count(*) > 1
+                then cast(floor(datediff('second', min(ts), max(ts))
+                                / (count(*) - 1)) as bigint)
+                else null end as mean_gap_s
+    from events
+    group by user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature rollup — the feature-store extraction job:
+    activity volume, breadth, purchase value, recency against the corpus
+    frontier, and mean inter-event gap.
+
+    ONE partial-agg shuffle produces every feature: the mean gap needs no
+    lag window (for a fixed count it is span/(n-1), an algebraic identity
+    over min/max), and recency subtracts a 1-row broadcast frontier
+    scalar. This collapse-to-one-aggregation is what makes thousand-
+    feature extraction jobs feasible — windows only where order genuinely
+    matters.
+    """
+    ev = load(spark, sf_dir, "events")
+    frontier = ev.agg(F.max("ts").alias("frontier"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("purchase_value"),
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+    )
+    gap = (
+        F.unix_seconds("last_ts") - F.unix_seconds("first_ts")
+    ) / (F.col("n_events") - 1)
+    return per_user.crossJoin(F.broadcast(frontier)).select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "purchase_value",
+        (
+            F.unix_seconds("frontier") - F.unix_seconds("last_ts")
+        ).alias("recency_s"),
+        F.when(F.col("n_events") > 1, F.floor(gap).cast("bigint")).alias(
+            "mean_gap_s"
+        ),
+    )
