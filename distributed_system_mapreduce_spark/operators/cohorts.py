@@ -523,3 +523,58 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gap_s"
         ),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    with firsts as (
+      select o_custkey,
+             min(date_trunc('month', o_orderdate)) as cohort_month
+      from orders
+      group by o_custkey),
+    rev as (
+      select f.cohort_month,
+             datediff('month', f.cohort_month,
+                      date_trunc('month', o.o_orderdate)) as month_offset,
+             cast(o.o_totalprice as decimal(18, 4)) as rev
+      from orders o
+      join firsts f on f.o_custkey = o.o_custkey)
+    select strftime(cohort_month, '%Y-%m-%d') as cohort_month,
+           cast(month_offset as int) as month_offset,
+           count(*) as n_orders,
+           cast(round(sum(rev), 2) as double) as cohort_revenue
+    from rev
+    group by all
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohorts: lifetime value accrual by acquisition month x
+    month offset — the money-side complement of events_retention_cohort's
+    user counts (finance reads this matrix cumulatively as LTV curves).
+
+    Same two-shuffle shape as the retention cohort (per-customer first
+    month, then the months² rollup), with revenue in decimal so cohort
+    cells are summation-order-exact. Month offsets via month-truncated
+    datediff — both engines count month-boundary crossings identically on
+    truncated dates.
+    """
+    orders = load(spark, sf_dir, "orders")
+    mo = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(mo).alias("cohort_month")
+    )
+    rev = orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            F.months_between(mo, F.col("cohort_month"))
+        ).cast("int").alias("month_offset"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("rev"),
+    )
+    return rev.groupBy(
+        F.date_format("cohort_month", "yyyy-MM-dd").alias("cohort_month"),
+        "month_offset",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("rev"), 2).cast("double").alias("cohort_revenue"),
+    )

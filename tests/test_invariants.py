@@ -395,3 +395,49 @@ def test_kmeans_partitions_corpus_and_guards_small_input(spark, tmp_path):
     tiny.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     with _pytest.raises(ValueError, match="needs >= 4 vectors"):
         embed_kmeans(spark, str(tmp_path))
+
+
+def test_zipf_fit_reads_synthetic_corpus_as_flat(spark):
+    """Frequency must still decrease with rank (slope < 0), but the
+    synthetic near-uniform 31-word fixture should read as FLAT (slope far
+    from natural text's -1) — exactly the templated-corpus signal the
+    diagnostic exists to raise."""
+    r = QUERIES["text_zipf_fit"](spark, SF_DIR).collect()[0]
+    assert r["vocab"] > 0
+    assert -0.6 < r["zipf_slope"] < 0, r
+    assert r["log_log_corr"] < 0, r
+
+
+def test_user_features_cover_all_users(spark):
+    rows = QUERIES["events_user_features"](spark, SF_DIR).collect()
+    n_users = load(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(rows) == n_users
+    for r in rows:
+        assert r["recency_s"] >= 0, r
+        assert r["n_events"] >= 1
+        if r["n_events"] == 1:
+            assert r["mean_gap_s"] is None
+
+
+def test_cohort_ltv_consistent_with_retention_shape(spark):
+    """Offset-0 cells exist for every cohort and total orders reconcile."""
+    rows = QUERIES["orders_cohort_ltv"](spark, SF_DIR).collect()
+    n_orders = load(spark, SF_DIR, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    cohorts = {r["cohort_month"] for r in rows}
+    zero_offsets = {r["cohort_month"] for r in rows if r["month_offset"] == 0}
+    assert cohorts == zero_offsets
+
+
+def test_range_search_is_exactly_the_above_threshold_set(spark):
+    """Range search == brute-force top-k query scores filtered at tau."""
+    from distributed_system_mapreduce_spark.functions.vectors import (
+        RANGE_SEARCH_TAU,
+    )
+
+    got = {
+        (r["vec_id"], r["score"])
+        for r in QUERIES["sim_range_search"](spark, SF_DIR).collect()
+    }
+    assert got, "fixture should produce in-range vectors"
+    assert all(s >= RANGE_SEARCH_TAU for _, s in got)
