@@ -564,3 +564,68 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jacc"), F.asc("src"), F.asc("dst")
     ).limit(20)
+
+
+#: k for the k-core peel, applied to the support-thresholded BACKBONE:
+#: the 2-core strips pendant trees in cascading rounds and leaves the
+#: cyclic skeleton. (On the FULL near-Erdos-Renyi co-purchase graph the
+#: k-core transition is sharp — any k near the mean degree collapses to
+#: an empty core in 2-3 rounds, measured at sf0.01 — so the sparse
+#: backbone is where the peel does meaningful work.)
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 50
+
+
+@register("graph_kcore")  # rows-only: iterative peel has no SQL fixpoint
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={KCORE_K} on the backbone): repeatedly peel
+    vertices of degree < k until none remain — the density-filter workload
+    (community cores, spam-cluster seeds) whose "recompute degrees after
+    deletion" loop no single SQL query expresses, making it the graph twin
+    of the connected-components driver loop.
+
+    Each round is one degree rollup over the surviving edge list plus a
+    semi-join keeping edges with BOTH endpoints alive; the convergence
+    scalar is the surviving-edge count (strictly decreasing until
+    fixpoint). Round cost shrinks with the graph; peeled frames are
+    re-persisted and the predecessor released each round, so the loop
+    holds one generation of state (the CC loop's lifecycle). DuckDB has
+    no terminating-fixpoint recursion with aggregation, so the query is
+    rows-only; the sf0.01 output is pinned in tests/test_parity.py.
+    """
+    backbone = (
+        copurchase_support(spark, sf_dir)
+        .filter(F.col("support") >= BACKBONE_SUPPORT)
+        .select("src", "dst")
+    )
+    edges = _symmetric(backbone).persist()
+    n_edges = edges.count()
+    rounds = 0
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        nxt = (
+            edges.join(alive, "src", "left_semi")
+            .join(
+                alive.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .persist()
+        )
+        n_next = nxt.count()
+        edges.unpersist()
+        edges = nxt
+        rounds += 1
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {KCORE_MAX_ROUNDS} rounds"
+        )
+    core_nodes = edges.select("src").distinct().count()
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(KCORE_K, core_nodes, n_edges // 2, rounds)],
+        "k int, n_core_nodes long, n_core_edges long, n_rounds int",
+    )
