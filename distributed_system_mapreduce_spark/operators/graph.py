@@ -316,6 +316,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 BACKBONE_SUPPORT = 2
 
 
+#: session-scoped memo of backbone component labels — the CC output plan
+#: reads run-specific checkpoint RDDs, so (like the corpus near-dup labels
+#: in operators/dedup.py) it is memoized per (session, corpus) and its
+#: checkpoint blocks are released through the cache registry's memo
+#: clearer, not leaked for the session lifetime.
+_BACKBONE_CC_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _clear_backbone_cc_memo() -> int:
+    from .dedup import _release_checkpoint
+
+    n = len(_BACKBONE_CC_MEMO)
+    for df in _BACKBONE_CC_MEMO.values():
+        _release_checkpoint(df)
+    _BACKBONE_CC_MEMO.clear()
+    return n
+
+
+from ..cache import register_memo_clearer  # noqa: E402
+
+register_memo_clearer(_clear_backbone_cc_memo)
+
+
+def backbone_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) components of the support-thresholded co-purchase
+    backbone, memoized per (session, corpus)."""
+    from .dedup import _session_key, connected_components
+
+    key = (_session_key(spark), sf_dir, BACKBONE_SUPPORT)
+    labels = _BACKBONE_CC_MEMO.get(key)
+    if labels is not None:
+        return labels
+    co = (
+        copurchase_support(spark, sf_dir)
+        .filter(F.col("support") >= BACKBONE_SUPPORT)
+        .select("src", "dst")
+    )
+    # persist the symmetric edge list for the loop's lifetime: every CC
+    # round joins against it, and without the persist each round would
+    # re-run the O(|lineitem|) pair rollup (measured: 18.6 s -> ~2 s at
+    # sf0.1). Dropped as soon as the labels plan only reads checkpoints —
+    # same lifecycle as corpus_cc_labels.
+    edges = _symmetric(co).persist()
+    labels = connected_components(edges)
+    edges.unpersist()
+    _BACKBONE_CC_MEMO[key] = labels
+    return labels
+
+
 @register(
     "graph_components",
     oracle=f"""
@@ -361,21 +410,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline applies at 100 TB. The DuckDB oracle is the same recursive
     reachability closure the dedup_cluster oracle uses.
     """
-    from .dedup import connected_components
-
-    co = (
-        copurchase_support(spark, sf_dir)
-        .filter(F.col("support") >= BACKBONE_SUPPORT)
-        .select("src", "dst")
-    )
-    # persist the symmetric edge list for the loop's lifetime: every CC
-    # round joins against it, and without the persist each round would
-    # re-run the O(|lineitem|) pair rollup (measured: 18.6 s -> ~2 s at
-    # sf0.1). Dropped as soon as the labels plan only reads checkpoints —
-    # same lifecycle as corpus_cc_labels.
-    edges = _symmetric(co).persist()
-    labels = connected_components(edges)
-    edges.unpersist()
+    labels = backbone_cc_labels(spark, sf_dir)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("component_size"))
@@ -598,7 +633,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= BACKBONE_SUPPORT)
         .select("src", "dst")
     )
-    edges = _symmetric(backbone).persist()
+    from .dedup import _release_checkpoint
+
+    # localCheckpoint, not persist: each round's frame must become a flat
+    # LogicalRDD, or the semi-join lineage compounds and even RENDERING
+    # the cached plan's name OOMs the driver after enough rounds (hit at
+    # sf0.1). Lazy checkpoints cost one job per round (the count is the
+    # materializing action) and the predecessor's blocks are released as
+    # soon as the new generation is live — the CC loop's exact lifecycle.
+    edges = _symmetric(backbone).localCheckpoint(eager=False)
     n_edges = edges.count()
     rounds = 0
     for _ in range(KCORE_MAX_ROUNDS):
@@ -610,10 +653,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 alive.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
             .select("src", "dst")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
-        edges.unpersist()
+        _release_checkpoint(edges)
         edges = nxt
         rounds += 1
         if n_next == n_edges:
@@ -624,7 +667,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"k-core peel did not converge in {KCORE_MAX_ROUNDS} rounds"
         )
     core_nodes = edges.select("src").distinct().count()
-    edges.unpersist()
+    _release_checkpoint(edges)
     return spark.createDataFrame(
         [(KCORE_K, core_nodes, n_edges // 2, rounds)],
         "k int, n_core_nodes long, n_core_edges long, n_rounds int",
