@@ -97,21 +97,32 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r2: join_asof, dedup_cluster, agg_percentiles, funnel_conversion
     #   r3: dedup_survivors, pipeline_dedup_corpus, text_bm25_topk,
     #       sim_ann_recall
-    # Rotation queue (VERDICT r3 "Next round" #4 — follow mechanically):
     #   r4: pipeline_train_corpus, corpus_decontaminate, sample_stratified,
     #       text_unigram_logprob
-    #   r5: hybrid_rrf_topk, dedup_exact_substring, events_rate_anomaly,
-    #       embed_outliers
-    #   r6: dedup_simhash64, sim_quantized_topk, sample_weighted_mix,
-    #       pipeline_sequence_pack
-    #   r7: graph_pagerank, graph_triangle_count, dedup_incremental,
-    #       embed_kmeans
-    #   r8: sql_market_share, events_retention_cohort, events_gap_fill,
-    #       data_quality_checks
-    "pipeline_train_corpus",
-    "corpus_decontaminate",
-    "sample_stratified",
-    "text_unigram_logprob",
+    # Rotation queue (re-ranked per VERDICT r4 #5: value over recency, so
+    # every operator family has at least one driver-verified row by r8):
+    #   r5: hybrid_rrf_topk (fused retrieval flagship),
+    #       dedup_exact_substring (substring-dedup flagship),
+    #       events_rate_anomaly (streaming-twin anomaly family),
+    #       embed_outliers (embedding-stats family)
+    #   r6: graph_components (graph family's foundational primitive),
+    #       sim_quantized_topk (quantization lever, int8-exact scoring),
+    #       events_user_features (feature-engineering family),
+    #       pipeline_sequence_pack (packing — last unverified pipeline stage)
+    #   r7: graph_pagerank (iterative-loop witness), dedup_simhash64
+    #       (bit-block LSH family), embed_kmeans (clustering family),
+    #       events_series_topk (time-series similarity, new in r5)
+    #   r8: sql_market_share (TPC-H-style multiway), dedup_incremental
+    #       (batch-probes-index), events_retention_cohort (cohort family),
+    #       data_quality_checks (validation family)
+    #   (dropped from queue, lower value: sample_weighted_mix — stratified
+    #    cousin already banked r4; graph_triangle_count — same plan shape
+    #    as graph_common_neighbors; events_gap_fill — exercised transitively
+    #    by events_series_topk's dense grid.)
+    "hybrid_rrf_topk",
+    "dedup_exact_substring",
+    "events_rate_anomaly",
+    "embed_outliers",
 )
 
 
