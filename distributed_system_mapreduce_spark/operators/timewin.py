@@ -429,3 +429,161 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.series.cnt").alias("cnt"),
         F.round(F.col("z.ewma"), 4).alias("ewma"),
     )
+
+
+#: Series-similarity knobs — mirrored verbatim in the oracle SQL below.
+SERIES_TOP_USERS = 40
+SERIES_TOP_PAIRS = 20
+
+
+@register(
+    "events_series_topk",
+    oracle=f"""
+    with daily as (
+      select user_id, cast(ts as date) as day,
+             cast(count(*) as bigint) as cnt
+      from events
+      group by all),
+    totals as (
+      select user_id,
+             cast(sum(cnt) as bigint) as sx,
+             cast(sum(cnt * cnt) as bigint) as sx2
+      from daily
+      group by user_id),
+    top as (
+      select * from totals
+      order by sx desc, user_id asc
+      limit {SERIES_TOP_USERS}),
+    span as (
+      select date_diff('day', min(cast(ts as date)),
+                       max(cast(ts as date))) + 1 as n_days
+      from events),
+    co as (
+      select a.user_id as user_a, b.user_id as user_b,
+             cast(sum(a.cnt * b.cnt) as bigint) as sxy,
+             count(*) as co_days
+      from daily a
+      join daily b on a.day = b.day and a.user_id < b.user_id
+      where a.user_id in (select user_id from top)
+        and b.user_id in (select user_id from top)
+      group by 1, 2),
+    scored as (
+      select user_a, user_b, co_days,
+             (cast(n_days as double) * cast(sxy as double)
+              - cast(ta.sx as double) * cast(tb.sx as double))
+             / sqrt((cast(n_days as double) * cast(ta.sx2 as double)
+                     - cast(ta.sx as double) * cast(ta.sx as double))
+                    * (cast(n_days as double) * cast(tb.sx2 as double)
+                       - cast(tb.sx as double) * cast(tb.sx as double)))
+               as corr
+      from co
+      join top ta on co.user_a = ta.user_id
+      join top tb on co.user_b = tb.user_id, span
+      where (cast(n_days as double) * cast(ta.sx2 as double)
+             - cast(ta.sx as double) * cast(ta.sx as double)) > 0
+        and (cast(n_days as double) * cast(tb.sx2 as double)
+             - cast(tb.sx as double) * cast(tb.sx as double)) > 0)
+    select user_a, user_b, co_days, round(corr, 6) as corr_r
+    from scored
+    order by round(corr, 6) desc, user_a, user_b
+    limit {SERIES_TOP_PAIRS}
+    """,
+)
+def events_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: the top-k most correlated pairs of
+    users by their aligned daily activity-count vectors (Pearson r over the
+    full day span, zero-filled implicitly).
+
+    The trick that makes this both scale-safe and bit-exact: Pearson
+    correlation over the dense day grid is computed from integer sufficient
+    statistics only — per-user ``sum(cnt)`` / ``sum(cnt^2)`` and pairwise
+    ``sum(cnt_a * cnt_b)`` — so the dense grid never materializes (days
+    where either series is zero contribute nothing to any sum), and both
+    engines evaluate the identical double expression over exact BIGINT
+    inputs, giving bit-identical r before rounding.
+
+    Scale shape (100 TB):
+    - ``daily`` is one map-side-combined shuffle collapsing the corpus to
+      |users| x |days| rows.
+    - Candidate entities are bounded up front: the top ``SERIES_TOP_USERS``
+      most active users via TakeOrdered (no single-partition window), so
+      the pairwise stage handles at most N*D rows — broadcastable at any
+      corpus size.
+    - Pair candidates come from the co-activity equi-join on ``day`` (never
+      an all-pairs cross join); a pair with zero co-active days has r < 0
+      and cannot reach the positive top-k, so restricting to co-active
+      pairs is lossless for the result (the oracle applies the identical
+      restriction).
+    - Zero-variance series (constant daily count across the whole span) are
+      filtered identically on both engines rather than relying on div-by-
+      zero semantics, which differ between Spark (NULL) and DuckDB.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = daily.groupBy("user_id").agg(
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+    )
+    top = totals.orderBy(F.desc("sx"), F.asc("user_id")).limit(
+        SERIES_TOP_USERS
+    )
+    span = ev.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).alias("n_days")
+    )
+    tdaily = daily.join(F.broadcast(top.select("user_id")), "user_id")
+    co = (
+        tdaily.alias("a")
+        .join(
+            F.broadcast(tdaily.alias("b")),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("sxy"),
+            F.count(F.lit(1)).alias("co_days"),
+        )
+    )
+    stats_a = top.select(
+        F.col("user_id").alias("user_a"),
+        F.col("sx").alias("sxa"),
+        F.col("sx2").alias("sx2a"),
+    )
+    stats_b = top.select(
+        F.col("user_id").alias("user_b"),
+        F.col("sx").alias("sxb"),
+        F.col("sx2").alias("sx2b"),
+    )
+    n = F.col("n_days").cast("double")
+    var_a = n * F.col("sx2a").cast("double") - F.col("sxa").cast(
+        "double"
+    ) * F.col("sxa").cast("double")
+    var_b = n * F.col("sx2b").cast("double") - F.col("sxb").cast(
+        "double"
+    ) * F.col("sxb").cast("double")
+    corr = (
+        n * F.col("sxy").cast("double")
+        - F.col("sxa").cast("double") * F.col("sxb").cast("double")
+    ) / F.sqrt(var_a * var_b)
+    scored = (
+        co.join(F.broadcast(stats_a), "user_a")
+        .join(F.broadcast(stats_b), "user_b")
+        .crossJoin(F.broadcast(span))
+        .filter((var_a > 0) & (var_b > 0))
+        .select(
+            "user_a",
+            "user_b",
+            "co_days",
+            F.round(corr, 6).alias("corr_r"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("corr_r"), F.asc("user_a"), F.asc("user_b")
+    ).limit(SERIES_TOP_PAIRS)
