@@ -97,8 +97,15 @@ def _symmetric(pairs: DataFrame) -> DataFrame:
 
 
 def _degrees(pairs: DataFrame) -> DataFrame:
-    """(id, deg) for every vertex with at least one edge."""
-    return (
+    """(id, deg) for every vertex with at least one edge.
+
+    Tracked-persisted like the edge rollup it derives from: the frame is
+    vertex-sized (one row per part) and read by four graph queries plus
+    every PageRank round's initializer — without the cache each caller
+    re-runs the symmetric-union aggregation over the full edge table
+    (CacheManager dedupes the identical plan across call sites).
+    """
+    return track(
         _symmetric(pairs)
         .groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -273,22 +280,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = copurchase_pairs(spark, sf_dir)
     deg = _degrees(pairs)
-    # edge list with the source's out-degree attached once, cached for reuse
-    # across all 8 rounds
+    # Edge-proportional round sizing, same heuristic as the CC loop
+    # (operators/dedup.py): one partition per ~200k directed edges, floor 1,
+    # cap = session default. Without it each of the 8 rounds schedules a
+    # full shuffle.partitions-wide stage (32-200 tasks) over a rank frame
+    # that at sf0.1 is 1-2 partitions of real work — fixed scheduling
+    # overhead was ~60% of the query. Sizing is applied with EXPLICIT
+    # repartitions on the loop keys, never by mutating session config.
+    n_dir_edges = 2 * pairs.count()
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(default_parts, n_dir_edges // 200_000 + 1))
+    # Edge list with the source's out-degree attached once, hash-placed on
+    # DST (the round's aggregation key) and cached for reuse across all 8
+    # rounds. Placement on dst is the round-cost trick: the rank frame is
+    # vertex-sized, so AQE broadcasts it into the join, the broadcast join
+    # preserves the streamed (edge) side's dst-hash placement, and the
+    # groupBy("dst") then needs NO exchange — each round is a single
+    # edge-proportional stage (loop_parts tasks) plus a broadcast build,
+    # instead of a full shuffle.partitions-wide shuffle. At cluster scale,
+    # where the vertex frame outgrows broadcast, AQE falls back to a
+    # shuffled join and the round degrades gracefully to the standard
+    # two-shuffle Pregel shape.
     edges_w = track(
-        _symmetric(pairs).join(
-            deg.select(F.col("id").alias("src"), "deg"), "src"
-        )
+        _symmetric(pairs)
+        .join(deg.select(F.col("id").alias("src"), "deg"), "src")
+        .repartition(loop_parts, "dst")
     )
     n_nodes = float(deg.count())  # bounded driver scalar (like the CC loop)
 
     # Every vertex of the symmetric graph has degree >= 1, so every vertex
     # receives at least one contribution each round — no "left join against
     # the node list" re-anchoring is needed, which halves the per-round
-    # work to one equi-join + one partially-aggregated shuffle. The rank
-    # frame stays vertex-sized, so AQE broadcasts it into the cached edge
-    # list locally; on a cluster it would flip to a shuffled join with the
-    # edge side already partitioned by src.
+    # work to one equi-join + one aggregated shuffle.
     ranks = deg.select("id", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(PR_ITERS):
         ranks = (
@@ -611,42 +634,39 @@ KCORE_K = 2
 KCORE_MAX_ROUNDS = 50
 
 
-@register("graph_kcore")  # rows-only: iterative peel has no SQL fixpoint
-def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (k={KCORE_K} on the backbone): repeatedly peel
-    vertices of degree < k until none remain — the density-filter workload
-    (community cores, spam-cluster seeds) whose "recompute degrees after
-    deletion" loop no single SQL query expresses, making it the graph twin
-    of the connected-components driver loop.
+def kcore_peel(
+    edges_sym: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS
+) -> tuple[DataFrame, int, int]:
+    """Peel a SYMMETRIC edge list to its k-core fixpoint.
+
+    Returns (surviving symmetric edges as a live localCheckpoint — caller
+    releases, surviving directed-edge count, peel rounds). Shared by the
+    registered backbone queries (any k) and the randomized property test,
+    which pits it against a plain-Python reference peel on Erdos-Renyi
+    graphs.
 
     Each round is one degree rollup over the surviving edge list plus a
     semi-join keeping edges with BOTH endpoints alive; the convergence
     scalar is the surviving-edge count (strictly decreasing until
     fixpoint). Round cost shrinks with the graph; peeled frames are
     re-persisted and the predecessor released each round, so the loop
-    holds one generation of state (the CC loop's lifecycle). DuckDB has
-    no terminating-fixpoint recursion with aggregation, so the query is
-    rows-only; the sf0.01 output is pinned in tests/test_parity.py.
+    holds one generation of state (the CC loop's lifecycle).
+
+    localCheckpoint, not persist: each round's frame must become a flat
+    LogicalRDD, or the semi-join lineage compounds and even RENDERING
+    the cached plan's name OOMs the driver after enough rounds (hit at
+    sf0.1). Lazy checkpoints cost one job per round (the count is the
+    materializing action) and the predecessor's blocks are released as
+    soon as the new generation is live.
     """
-    backbone = (
-        copurchase_support(spark, sf_dir)
-        .filter(F.col("support") >= BACKBONE_SUPPORT)
-        .select("src", "dst")
-    )
     from .dedup import _release_checkpoint
 
-    # localCheckpoint, not persist: each round's frame must become a flat
-    # LogicalRDD, or the semi-join lineage compounds and even RENDERING
-    # the cached plan's name OOMs the driver after enough rounds (hit at
-    # sf0.1). Lazy checkpoints cost one job per round (the count is the
-    # materializing action) and the predecessor's blocks are released as
-    # soon as the new generation is live — the CC loop's exact lifecycle.
-    edges = _symmetric(backbone).localCheckpoint(eager=False)
+    edges = edges_sym.localCheckpoint(eager=False)
     n_edges = edges.count()
     rounds = 0
-    for _ in range(KCORE_MAX_ROUNDS):
+    for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        alive = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        alive = deg.filter(F.col("deg") >= k).select("src")
         nxt = (
             edges.join(alive, "src", "left_semi")
             .join(
@@ -664,11 +684,50 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_edges = n_next
     else:
         raise RuntimeError(
-            f"k-core peel did not converge in {KCORE_MAX_ROUNDS} rounds"
+            f"k-core peel did not converge in {max_rounds} rounds"
         )
+    return edges, n_edges, rounds
+
+
+def _kcore_summary(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(k, core nodes, core edges, rounds) of the backbone's k-core."""
+    from .dedup import _release_checkpoint
+
+    backbone = (
+        copurchase_support(spark, sf_dir)
+        .filter(F.col("support") >= BACKBONE_SUPPORT)
+        .select("src", "dst")
+    )
+    edges, n_edges, rounds = kcore_peel(_symmetric(backbone), k)
     core_nodes = edges.select("src").distinct().count()
     _release_checkpoint(edges)
     return spark.createDataFrame(
-        [(KCORE_K, core_nodes, n_edges // 2, rounds)],
+        [(k, core_nodes, n_edges // 2, rounds)],
         "k int, n_core_nodes long, n_core_edges long, n_rounds int",
     )
+
+
+@register("graph_kcore")  # rows-only: iterative peel has no SQL fixpoint
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={KCORE_K} on the backbone): repeatedly peel
+    vertices of degree < k until none remain — the density-filter workload
+    (community cores, spam-cluster seeds) whose "recompute degrees after
+    deletion" loop no single SQL query expresses, making it the graph twin
+    of the connected-components driver loop. The 2-core strips pendant
+    trees and leaves the cyclic skeleton. DuckDB has no terminating-
+    fixpoint recursion with aggregation, so the query is rows-only; the
+    sf0.01 output is pinned in tests/test_parity.py.
+    """
+    return _kcore_summary(spark, sf_dir, KCORE_K)
+
+
+@register("graph_kcore_k3")  # rows-only: iterative peel has no SQL fixpoint
+def graph_kcore_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the backbone — one peel step denser than graph_kcore's
+    cyclic skeleton: vertices must keep >= 3 surviving neighbors, which
+    additionally dissolves isolated cycles and exposes the clique-ish
+    community cores. Same peel (kcore_peel), different k; pinned rows-only
+    like its k=2 sibling, and property-tested against a brute-force
+    reference peel on random graphs in tests/test_property.py.
+    """
+    return _kcore_summary(spark, sf_dir, 3)

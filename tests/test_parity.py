@@ -54,9 +54,10 @@ ROWS_ONLY_EXPECTED = {
         ("purchase", 150), ("signup", 150), ("view", 150),
     ],
     "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
-    # 2-core of the support>=2 backbone: the peel's fixpoint is
+    # k-core of the support>=2 backbone: the peel's fixpoint is
     # order-invariant, so (k, core nodes, core edges, rounds) is exact
     "graph_kcore": [(2, 1562, 3315, 4)],
+    "graph_kcore_k3": [(3, 1055, 2346, 9)],
     # Greenwald-Khanna sketch outputs are deterministic per input set;
     # (type, p50_exact, p50_approx, p50_err, p99_exact, p99_approx, p99_err)
     "agg_percentile_sketch_error": [

@@ -184,3 +184,53 @@ def test_ewma_fold_matches_reference(spark, series):
         .collect()[0]["e"]
     )
     assert got == ref
+
+
+def _brute_kcore(edges: list[tuple[int, int]], k: int) -> tuple[int, int]:
+    """Reference: iterate 'drop vertices with degree < k' to fixpoint on an
+    adjacency dict; returns (core nodes, core edges)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        weak = [v for v, ns in adj.items() if len(ns) < k]
+        if not weak:
+            break
+        for v in weak:
+            for n in adj[v]:
+                adj[n].discard(v)
+            del adj[v]
+    n_edges = sum(len(ns) for ns in adj.values()) // 2
+    return len(adj), n_edges
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(2, 4),
+)
+def test_kcore_peel_matches_brute_force(spark, edges, k):
+    """The distributed semi-join peel reaches the same fixpoint as a plain
+    adjacency-dict peel on random graphs, for any k — the k-core is unique,
+    so (core nodes, core edges) must agree exactly."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+    from distributed_system_mapreduce_spark.operators.graph import (
+        _symmetric,
+        kcore_peel,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    pairs = spark.createDataFrame(canon, "src long, dst long")
+    core, n_dir_edges, _rounds = kcore_peel(_symmetric(pairs), k)
+    got = (core.select("src").distinct().count(), n_dir_edges // 2)
+    _release_checkpoint(core)
+    assert got == _brute_kcore(canon, k), (canon, k)
