@@ -175,3 +175,90 @@ def test_ewma_stays_jvm_side(spark):
     plan = explain_str(QUERIES["events_ewma"](spark, SF_DIR), mode="simple")
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide sweep (VERDICT r4 #3): every registered query's physical plan
+# is screened for the two scale-killers — cartesian joins and Python row
+# evaluation — not just the ~15 queries with bespoke guards above.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from distributed_system_mapreduce_spark.registry import QUERIES as _ALL
+
+#: sf for plan construction: plan SHAPE (join strategy class, Python nodes)
+#: is structural, not size-dependent — non-equi joins can only ever plan as
+#: BNLJ/cartesian, and Python nodes are in the logical plan — so the
+#: cheapest fixture suffices.
+_PLAN_SF = "/root/testdata/sf0.001"
+
+#: Queries whose plans legitimately contain a BroadcastNestedLoopJoin: every
+#: entry is a crossJoin against a ONE-ROW aggregate (corpus size, avgdl,
+#: span, vocabulary totals, query point, ...) — a scalar combine, constant
+#: work at any corpus size. Anything NOT listed here that grows a BNLJ is a
+#: quadratic-at-scale regression and fails the sweep.
+_SCALAR_COMBINE_BNLJ = {
+    "dedup_cluster",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_simhash64",
+    "events_gap_fill",
+    "events_rolling_dau",
+    "events_series_topk",
+    "events_user_features",
+    "filter_above_avg",
+    "funnel_conversion",
+    "graph_triangle_count",
+    "hybrid_rrf_topk",
+    "knn_label_vote",
+    "pipeline_dedup_corpus",
+    "pipeline_train_corpus",
+    "sim_ann_ivf",
+    "sim_ann_ivf_mp",
+    "sim_ann_recall",
+    "sim_quantized_recall",
+    "sim_quantized_topk",
+    "sim_range_search",
+    "sim_topk_query",
+    "text_bm25_topk",
+    "text_collocations",
+    "text_keywords_per_doc",
+    "text_tfidf_top",
+    "text_unigram_logprob",
+}
+
+#: Queries where Arrow-batched Python IS the design (per-bucket cosine via
+#: applyInPandas; the size-guarded all-pairs fallback; multimodal fake-codec
+#: decode via mapInPandas). Row-at-a-time BatchEvalPython is banned even
+#: here.
+_ARROW_BATCH_OK = {
+    "dedup_embed_cosine",
+    "multimodal_frame_sample",
+    "multimodal_media_features",
+    "sim_topk_pairs",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL))
+def test_registry_plan_sweep(name, spark):
+    plan = explain_str(_ALL[name](spark, _PLAN_SF), mode="simple")
+    assert "CartesianProduct" not in plan, f"{name}: raw cartesian"
+    if name not in _SCALAR_COMBINE_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: undeclared nested-loop join"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan"
+    )
+    if name not in _ARROW_BATCH_OK:
+        for tok in ("ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+            assert tok not in plan, f"{name}: undeclared Python node {tok}"
+
+
+def test_plan_sweep_whitelists_are_not_stale(spark):
+    """Every whitelisted name must still exist — a renamed/removed query
+    silently shrinking the sweep's deny-list is itself a regression."""
+    assert _SCALAR_COMBINE_BNLJ <= set(_ALL), _SCALAR_COMBINE_BNLJ - set(_ALL)
+    assert _ARROW_BATCH_OK <= set(_ALL), _ARROW_BATCH_OK - set(_ALL)
