@@ -14,9 +14,40 @@ Usage: python correctness_full.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import subprocess
 import sys
+
+
+def _provenance() -> dict:
+    """Pin WHAT tree the artifact was generated from (VERDICT r4 #7): the
+    current git HEAD plus a sha256 over the package + entry sources, so a
+    future reader can detect a stale artifact without rerunning the sweep
+    (the tree hash also catches uncommitted edits, which HEAD alone
+    misses)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=root, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        head = None
+    digest = hashlib.sha256()
+    paths = [os.path.join(root, "__spark_entry__.py")]
+    pkg = os.path.join(root, "distributed_system_mapreduce_spark")
+    for dirpath, _dirs, files in sorted(os.walk(pkg)):
+        paths.extend(
+            os.path.join(dirpath, f) for f in sorted(files)
+            if f.endswith(".py")
+        )
+    for p in paths:
+        digest.update(os.path.relpath(p, root).encode())
+        with open(p, "rb") as fh:
+            digest.update(fh.read())
+    return {"git_head": head, "source_sha256": digest.hexdigest()}
 
 
 def main() -> None:
@@ -67,6 +98,7 @@ def main() -> None:
         results[name] = rec
 
     out = {
+        "provenance": _provenance(),
         "sf_dir": sf_dir,
         "queries_n": len(QUERIES),
         "oracled_n": sum(1 for n in QUERIES if n in ORACLES),
