@@ -661,8 +661,22 @@ def kcore_peel(
     """
     from .dedup import _release_checkpoint
 
-    edges = edges_sym.localCheckpoint(eager=False)
-    n_edges = edges.count()
+    # Edge-proportional round sizing (the CC loop's heuristic): the peel
+    # input is usually a heavily-filtered backbone — thousands of edges,
+    # not millions — so without explicit sizing every round schedules
+    # shuffle.partitions-wide stages of near-empty tasks. Each generation
+    # is re-placed on src at loop_parts; localCheckpoint preserves the
+    # placement, so the next round's degree rollup and src semi-join need
+    # no exchange. The sizing count runs the (cheap, usually cached)
+    # upstream once before generation 0 is checkpointed.
+    n_edges = edges_sym.count()
+    spark = edges_sym.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(default_parts, n_edges // 200_000 + 1))
+    edges = edges_sym.repartition(loop_parts, "src").localCheckpoint(
+        eager=False
+    )
+    edges.count()  # materialize generation 0
     rounds = 0
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -673,6 +687,7 @@ def kcore_peel(
                 alive.withColumnRenamed("src", "dst"), "dst", "left_semi"
             )
             .select("src", "dst")
+            .repartition(loop_parts, "src")
             .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
