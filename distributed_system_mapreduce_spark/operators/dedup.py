@@ -1271,3 +1271,120 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jacc") >= CLUSTER_THRESHOLD, F.lit(False)
         ).alias("is_dup"),
     )
+
+
+#: Winnowing parameters (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the
+#: MOSS fingerprinting algorithm): k-char grams hashed with md5 (available
+#: and bit-identical on both engines), sliding window of WINNOW_W gram
+#: hashes, the minimum of each window selected. Guarantee: any shared
+#: substring of length >= WINNOW_W + WINNOW_K - 1 yields at least one
+#: shared fingerprint; expected density of selected grams is 2/(W+1).
+WINNOW_K = 8
+WINNOW_W = 8
+#: stop-fingerprint cap: a fingerprint present in more than this many docs
+#: is boilerplate (the stopword analog) and is dropped BEFORE the self-join
+#: — the skew guard that keeps posting lists bounded at corpus scale.
+WINNOW_MAX_DF = 50
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): the DISTINCT winnowed fingerprint set per document —
+    md5 over each WINNOW_K-char gram, minimum per WINNOW_W-gram sliding
+    window. Pure higher-order array expressions (transform / sequence /
+    slice / array_min): zero Python, zero shuffle. Shared by dedup_winnow
+    and the randomized property test, which checks the selected set
+    grams-for-grams against a plain-Python reference winnow and the
+    planted-substring detection guarantee."""
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {WINNOW_K - 1}, 1)),"
+            f" i -> md5(substring({text_col}, i, {WINNOW_K})))"
+        ).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)),"
+                f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+            )
+        ).alias("fp"),
+    )
+
+
+@register(
+    "dedup_winnow",
+    oracle=f"""
+    with hashed as (
+      select doc_id,
+             [md5(substring(text, i, {WINNOW_K}))
+              for i in generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1))] as hs
+      from documents),
+    fps as (
+      select distinct doc_id, fp
+      from (select doc_id,
+                   unnest([list_min(hs[j:j+{WINNOW_W - 1}])
+                           for j in generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1))]) as fp
+            from hashed)),
+    kept as (select fp from fps group by fp having count(*) <= {WINNOW_MAX_DF}),
+    pairs as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as n_shared
+      from fps a join fps b on a.fp = b.fp and a.doc_id < b.doc_id
+      where a.fp in (select fp from kept)
+      group by 1, 2
+      having count(*) >= {WINNOW_MIN_SHARED})
+    select doc_a, doc_b, n_shared from pairs
+    order by n_shared desc, doc_a, doc_b
+    limit 20
+    """,
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): the top
+    partially-overlapping doc pairs by count of shared selected k-gram
+    hashes — the rolling-hash fingerprinting family member, complementary
+    to MinHash (set resemblance) and exact-substring dedup (long literal
+    spans): winnowing certifies LOCAL overlap with a guaranteed detection
+    floor (any shared run of >= W+K-1 chars shares a fingerprint) at a
+    guaranteed density (~2/(W+1) of grams selected).
+
+    Spark shape, JVM-only: per-doc gram hashing and window minima are
+    higher-order array expressions (transform/sequence/slice/array_min)
+    — zero shuffle until the per-doc DISTINCT fingerprint set explodes
+    into postings. Pair generation is the inverted-index self-equi-join
+    on the fingerprint, after dropping fingerprints with document
+    frequency above WINNOW_MAX_DF (boilerplate guard: bounds every
+    posting list, so the join is skew-safe at corpus scale). md5 is
+    bit-identical across engines and VARCHAR min is lexicographic on
+    both, so the selected fingerprint sets — and therefore the pair
+    counts — match the oracle exactly.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs)
+    kept = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp")
+    )
+    postings = fps.join(kept, "fp", "left_semi")
+    pairs = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return pairs.orderBy(
+        F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(20)

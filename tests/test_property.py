@@ -234,3 +234,49 @@ def test_kcore_peel_matches_brute_force(spark, edges, k):
     got = (core.select("src").distinct().count(), n_dir_edges // 2)
     _release_checkpoint(core)
     assert got == _brute_kcore(canon, k), (canon, k)
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    """Reference: md5 each k-char gram, min per w-gram window, distinct."""
+    import hashlib
+
+    n = max(len(text) - k + 1, 1)
+    hs = [
+        hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()
+        for i in range(n)
+    ]
+    return {
+        min(hs[j : j + w]) for j in range(max(len(hs) - w + 1, 1))
+    }
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.text(alphabet="abcd ", min_size=1, max_size=60),
+    b=st.text(alphabet="abcd ", min_size=1, max_size=60),
+    planted=st.text(alphabet="abcd ", min_size=15, max_size=25),
+)
+def test_winnow_fingerprints_match_reference_and_detect_overlap(
+    spark, a, b, planted
+):
+    """The higher-order-function winnow selects EXACTLY the reference
+    fingerprint set, and two docs sharing a planted substring of length
+    >= W + K - 1 share at least one fingerprint (the Schleimer et al.
+    detection guarantee)."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    t1, t2 = a + planted + a, b + planted + b
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {1: set(), 2: set()}
+    for r in winnow_fingerprints(docs).collect():
+        got[r["doc_id"]].add(r["fp"])
+    assert got[1] == _py_winnow(t1, WINNOW_K, WINNOW_W)
+    assert got[2] == _py_winnow(t2, WINNOW_K, WINNOW_W)
+    assert len(planted) >= WINNOW_W + WINNOW_K - 1
+    assert got[1] & got[2], (t1, t2)
