@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import ORACLES, register
+from ..sources.io import load
 from .text import text_bm25_topk
 from .vectors import sim_topk_query
 
@@ -77,3 +78,122 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("id"))
         .limit(10)
     )
+
+
+#: MMR (Carbonell & Goldstein, SIGIR 1998) knobs. LAMBDA weighs relevance,
+#: DIV weighs the diversity penalty; DIV is its own literal (NOT computed as
+#: 1 - LAMBDA) so both engines parse the identical double constant.
+MMR_LAMBDA = 0.7
+MMR_DIV = 0.3
+MMR_K = 5
+MMR_POOL = 20
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs (the PageRank-unroll trick:
+    DuckDB has no iterative argmax, so the five selection steps are
+    generated textually with the same constants and double arithmetic as
+    the driver-side greedy)."""
+    steps = ["""
+    s1 as (
+      select vec_id, rel, round({lam} * rel, 4) as mmr, 1 as rnk
+      from cand order by {lam} * rel desc, vec_id limit 1),
+    sel1 as (select vec_id from s1)""".format(lam=MMR_LAMBDA)]
+    for j in range(2, MMR_K + 1):
+        steps.append(f"""
+    s{j} as (
+      select c.vec_id, c.rel,
+             round({MMR_LAMBDA} * c.rel - {MMR_DIV} * m.mx, 4) as mmr,
+             {j} as rnk
+      from cand c join (
+        select p.a_id as vec_id, max(p.s) as mx from pw p
+        where p.b_id in (select vec_id from sel{j - 1}) group by p.a_id) m
+        using (vec_id)
+      where c.vec_id not in (select vec_id from sel{j - 1})
+      order by {MMR_LAMBDA} * c.rel - {MMR_DIV} * m.mx desc, c.vec_id
+      limit 1),
+    sel{j} as (select vec_id from sel{j - 1}
+               union all select vec_id from s{j})""")
+    union = " union all ".join(f"select * from s{j}" for j in range(1, MMR_K + 1))
+    return f"""
+    with q as (select embedding::DOUBLE[] as q_emb
+               from embeddings where vec_id = 0),
+    cand as (
+      select vec_id,
+             round(list_dot_product(embedding::DOUBLE[], q_emb), 4) as rel
+      from embeddings, q where vec_id <> 0
+      order by rel desc, vec_id limit {MMR_POOL}),
+    pw as (
+      select a.vec_id as a_id, b.vec_id as b_id,
+             round(list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) as s
+      from embeddings a join embeddings b on a.vec_id <> b.vec_id
+      where a.vec_id in (select vec_id from cand)
+        and b.vec_id in (select vec_id from cand)),{",".join(steps)}
+    select cast(rnk as int) as rnk, vec_id, rel, mmr
+    from ({union}) order by rnk
+    """
+
+
+@register("sim_mmr_topk", oracle=_mmr_oracle())
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 for query vector 0:
+    greedily pick argmax of LAMBDA*relevance - DIV*max_sim_to_selected —
+    the standard rerank that keeps a retrieval (or curation sampling)
+    window from filling up with near-duplicates of one hit.
+
+    Scale shape: the DISTRIBUTED stage is exactly sim_topk_query's
+    (broadcast query vector + TakeOrdered over the corpus) producing a
+    constant MMR_POOL-sized candidate window; candidate-pair similarities
+    are one broadcast self-join over those MMR_POOL vectors. The greedy
+    argmax itself runs driver-side over (MMR_POOL + MMR_POOL^2) collected
+    scalars — bounded by construction like the k-means centroid pull, not
+    by corpus size. Both engines order steps by the identical unrounded
+    double composite over 4dp-rounded inputs (vec_id tiebreak), and the
+    output rounds Spark-side so round semantics match the oracle.
+    """
+    from .vectors import dot
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 4).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    cvec = emb.join(F.broadcast(cand.select("vec_id")), "vec_id", "left_semi")
+    a = cvec.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = cvec.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    pw = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot(F.col("a_emb"), F.col("b_emb")), 4).alias("s"),
+        )
+    )
+    rel = {r["vec_id"]: r["rel"] for r in cand.collect()}  # MMR_POOL rows
+    sims = {(r["a_id"], r["b_id"]): r["s"] for r in pw.collect()}
+
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for rnk in range(1, MMR_K + 1):
+        best_id, best_score = None, None
+        for vid in sorted(set(rel) - set(chosen)):
+            mx = max((sims[(vid, s)] for s in chosen), default=0.0)
+            score = MMR_LAMBDA * rel[vid] - MMR_DIV * mx
+            if best_score is None or score > best_score:
+                best_id, best_score = vid, score
+        selected.append((rnk, best_id, rel[best_id], best_score))
+        chosen.append(best_id)
+    out = spark.createDataFrame(
+        selected, "rnk int, vec_id long, rel double, mmr double"
+    )
+    return out.select("rnk", "vec_id", "rel", F.round("mmr", 4).alias("mmr"))
