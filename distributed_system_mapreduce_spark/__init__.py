@@ -99,13 +99,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       sim_ann_recall
     #   r4: pipeline_train_corpus, corpus_decontaminate, sample_stratified,
     #       text_unigram_logprob
+    #   r5: hybrid_rrf_topk, dedup_exact_substring, events_rate_anomaly,
+    #       embed_outliers
     # Rotation queue (re-ranked per VERDICT r4 #5: value over recency, so
     # every operator family has at least one driver-verified row by r8):
-    #   r5: hybrid_rrf_topk (fused retrieval flagship),
-    #       dedup_exact_substring (substring-dedup flagship),
-    #       events_rate_anomaly (streaming-twin anomaly family),
-    #       embed_outliers (embedding-stats family)
-    #   r6: graph_components (graph family's foundational primitive),
+    #   r6 (active): graph_components (graph family's foundational primitive),
     #       sim_quantized_topk (quantization lever, int8-exact scoring),
     #       events_user_features (feature-engineering family),
     #       pipeline_sequence_pack (packing — last unverified pipeline stage)
@@ -119,10 +117,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
     #    by events_series_topk's dense grid.)
-    "hybrid_rrf_topk",
-    "dedup_exact_substring",
-    "events_rate_anomaly",
-    "embed_outliers",
+    "graph_components",
+    "sim_quantized_topk",
+    "events_user_features",
+    "pipeline_sequence_pack",
 )
 
 
