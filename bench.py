@@ -57,17 +57,34 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # --subset q1,q2,... : inner-loop mode for perf work on specific
+    # queries (VERDICT r6 #9) — runs only the named queries, skips
+    # BENCH_DETAIL.json (so a partial sweep never clobbers the full-run
+    # artifact the judge reads) and tags the summary {"subset": true}.
+    # The driver's contract run passes no args and is unaffected.
+    subset: frozenset[str] | None = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--subset":
+        if len(argv) < 2:
+            sys.exit("usage: bench.py [--subset q1,q2,...]")
+        subset = frozenset(argv[1].split(","))
+
     from distributed_system_mapreduce_spark.registry import QUERIES
     from distributed_system_mapreduce_spark.session import get_spark
+
+    if subset is not None:
+        unknown = subset - QUERIES.keys()
+        if unknown:
+            sys.exit(f"unknown queries: {sorted(unknown)}")
+        QUERIES = {k: v for k, v in QUERIES.items() if k in subset}
 
     spark = get_spark("dsmr-bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen path once so per-query numbers measure the
     # queries, not first-touch class loading
-    QUERIES["scan_lineitem"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    warm = QUERIES.get("scan_lineitem") or next(iter(QUERIES.values()))
+    warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # best-of-3 per query, passes INTERLEAVED (3 full-suite sweeps, min per
     # query). The host is shared and a single sample can read 2-3x slow
@@ -129,14 +146,17 @@ def main() -> None:
         "caches_released": caches_released,
         "cached_after_release": cached_after_release,
     }
+    if subset is not None:
+        summary["subset"] = True
     detail = {"detail": "per_query_min_seconds", "queries": timings, **summary}
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass  # detail file is best-effort; stdout lines are the contract
+    if subset is None:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass  # detail file is best-effort; stdout lines are the contract
     print(json.dumps(detail))
     # compact summary printed LAST — this is the line the driver must parse
     print(json.dumps(summary))

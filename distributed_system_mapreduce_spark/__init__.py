@@ -101,13 +101,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       text_unigram_logprob
     #   r5: hybrid_rrf_topk, dedup_exact_substring, events_rate_anomaly,
     #       embed_outliers
+    #   r6: graph_components, sim_quantized_topk, events_user_features,
+    #       pipeline_sequence_pack
     # Rotation queue (re-ranked per VERDICT r4 #5: value over recency, so
     # every operator family has at least one driver-verified row by r8):
-    #   r6 (active): graph_components (graph family's foundational primitive),
-    #       sim_quantized_topk (quantization lever, int8-exact scoring),
-    #       events_user_features (feature-engineering family),
-    #       pipeline_sequence_pack (packing — last unverified pipeline stage)
-    #   r7: graph_pagerank (iterative-loop witness), dedup_simhash64
+    #   r7 (active): graph_pagerank (iterative-loop witness), dedup_simhash64
     #       (bit-block LSH family), embed_kmeans (clustering family),
     #       events_series_topk (time-series similarity, new in r5)
     #   r8: sql_market_share (TPC-H-style multiway), dedup_incremental
@@ -117,10 +115,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
     #    by events_series_topk's dense grid.)
-    "graph_components",
-    "sim_quantized_topk",
-    "events_user_features",
-    "pipeline_sequence_pack",
+    "graph_pagerank",
+    "dedup_simhash64",
+    "embed_kmeans",
+    "events_series_topk",
 )
 
 

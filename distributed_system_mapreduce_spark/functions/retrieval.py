@@ -181,19 +181,37 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel = {r["vec_id"]: r["rel"] for r in cand.collect()}  # MMR_POOL rows
     sims = {(r["a_id"], r["b_id"]): r["s"] for r in pw.collect()}
-
-    selected: list[tuple[int, int, float, float]] = []
-    chosen: list[int] = []
-    for rnk in range(1, MMR_K + 1):
-        best_id, best_score = None, None
-        for vid in sorted(set(rel) - set(chosen)):
-            mx = max((sims[(vid, s)] for s in chosen), default=0.0)
-            score = MMR_LAMBDA * rel[vid] - MMR_DIV * mx
-            if best_score is None or score > best_score:
-                best_id, best_score = vid, score
-        selected.append((rnk, best_id, rel[best_id], best_score))
-        chosen.append(best_id)
+    selected = mmr_greedy(rel, sims, MMR_K, MMR_LAMBDA, MMR_DIV)
     out = spark.createDataFrame(
         selected, "rnk int, vec_id long, rel double, mmr double"
     )
     return out.select("rnk", "vec_id", "rel", F.round("mmr", 4).alias("mmr"))
+
+
+def mmr_greedy(
+    rel: dict,
+    sims: dict,
+    k: int,
+    lam: float,
+    div: float,
+) -> list[tuple[int, int, float, float]]:
+    """Driver-side MMR greedy over the bounded candidate window: at each
+    rank pick argmax of ``lam*rel - div*max_sim_to_selected`` (vec_id
+    ascending tiebreak via the sorted scan + strict ``>``). Missing pair
+    similarities default to 0.0 (the oracle's left-join semantics), and a
+    pool smaller than ``k`` yields fewer rows instead of raising — both
+    degenerate paths pinned by tests/test_property.py."""
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for rnk in range(1, k + 1):
+        best_id, best_score = None, None
+        for vid in sorted(set(rel) - set(chosen)):
+            mx = max((sims.get((vid, s), 0.0) for s in chosen), default=0.0)
+            score = lam * rel[vid] - div * mx
+            if best_score is None or score > best_score:
+                best_id, best_score = vid, score
+        if best_id is None:
+            break
+        selected.append((rnk, best_id, rel[best_id], best_score))
+        chosen.append(best_id)
+    return selected

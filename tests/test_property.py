@@ -237,12 +237,13 @@ def test_kcore_peel_matches_brute_force(spark, edges, k):
 
 
 def _py_winnow(text: str, k: int, w: int) -> set:
-    """Reference: md5 each k-char gram, min per w-gram window, distinct."""
+    """Reference: md5 each k-char gram truncated to the top-60-bit BIGINT
+    (first 15 hex chars), min per w-gram window, distinct."""
     import hashlib
 
     n = max(len(text) - k + 1, 1)
     hs = [
-        hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()
+        int(hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
         for i in range(n)
     ]
     return {
@@ -280,3 +281,47 @@ def test_winnow_fingerprints_match_reference_and_detect_overlap(
     assert got[2] == _py_winnow(t2, WINNOW_K, WINNOW_W)
     assert len(planted) >= WINNOW_W + WINNOW_K - 1
     assert got[1] & got[2], (t1, t2)
+
+
+@settings(**SETTINGS)
+@given(
+    n_cand=st.integers(min_value=0, max_value=8),
+    k=st.integers(min_value=1, max_value=10),
+    rels=st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+        min_size=8,
+        max_size=8,
+    ),
+    drop_pairs=st.booleans(),
+)
+def test_mmr_greedy_degenerate_pools(n_cand, k, rels, drop_pairs):
+    """VERDICT r6 #3: the MMR greedy must survive (a) candidate pools
+    smaller than k — return fewer ranks, never KeyError — and (b) missing
+    pair-similarity rows — default 0.0, the oracle's left-join semantics.
+    Also pins the invariants that hold regardless: ranks are 1..len,
+    selections are distinct, and rank 1 is the max-relevance candidate
+    (lowest id on ties)."""
+    from distributed_system_mapreduce_spark.functions.retrieval import (
+        mmr_greedy,
+    )
+
+    rel = {i + 1: round(rels[i], 4) for i in range(n_cand)}
+    sims = (
+        {}
+        if drop_pairs
+        else {
+            (a, b): 0.5
+            for a in rel
+            for b in rel
+            if a != b
+        }
+    )
+    out = mmr_greedy(rel, sims, k, 0.7, 0.3)
+    assert len(out) == min(k, n_cand)
+    assert [r[0] for r in out] == list(range(1, len(out) + 1))
+    ids = [r[1] for r in out]
+    assert len(set(ids)) == len(ids)
+    if out:
+        best_rel = max(rel.values())
+        expect_first = min(v for v, r in rel.items() if r == best_rel)
+        assert ids[0] == expect_first
