@@ -530,17 +530,20 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_pair_scores(emb_d).filter(F.col("score") >= 0.35)
 
 
-def shingle_hashes(docs: DataFrame) -> DataFrame:
+def shingle_hashes(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, hs): distinct xxhash64'd word-trigram shingles per doc.
 
     Map-side only (split → shingle → hash inside one projection); shared by
     the batch MinHash pipeline and the streaming incremental dedup.
+    ``carry`` names extra input columns to keep (the TTL'd streaming dedup
+    carries the event-time epoch).
     """
     return (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .withColumn("toks", F.split("text", " "))
         .select(
             "doc_id",
+            *carry,
             F.array_distinct(
                 F.transform(shingle_expr(3), lambda s: F.xxhash64(s))
             ).alias("hs"),

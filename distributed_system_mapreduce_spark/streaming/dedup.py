@@ -21,6 +21,18 @@ collides past the cap stops emitting new pairs against the overflow —
 at corpus scale such a bucket means a degenerate band (all-identical
 boilerplate) that a real pipeline routes to a frequency-capped side channel,
 the same hot-key guard as the batch path's skew note.
+
+State is also bounded in TIME (VERDICT r6 #5, carried since r4): when the
+stream has an event-time column, pass ``ts_col``/``ttl_seconds`` and each
+bucket evicts members older than the bucket's event-time horizon minus the
+TTL — the same explicit-horizon watermark analogue ``rate_anomaly_stream``
+uses (streaming/windows.py). An always-on ingest then holds
+O(arrival-rate × TTL) state per bucket forever, instead of leaking one
+fingerprint set per cold document for the session lifetime. Rows arriving
+later than ``horizon - ttl`` are dropped, mirroring ``withWatermark``'s
+late-data semantics; with ``ttl_seconds=None`` (the default) behavior is
+the original unbounded one and bounded replay still equals the batch LSH
+join exactly.
 """
 
 from __future__ import annotations
@@ -30,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.dedup import banded_keys, shingle_hashes
 
 MAX_BUCKET_MEMBERS = 10_000
+
+#: horizon sentinel before any event-time is seen (far below any epoch)
+_NEVER = -(2**62)
 
 _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
@@ -59,40 +74,82 @@ def dedup_exact_stream(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates_stream(docs: DataFrame) -> DataFrame:
+def minhash_candidates_stream(
+    docs: DataFrame,
+    ts_col: str | None = None,
+    ttl_seconds: int | None = None,
+) -> DataFrame:
     """(a_id, b_id) near-duplicate candidate pairs, emitted incrementally.
 
-    Keyed by LSH band bucket; state = doc_ids already seen in the bucket.
-    On bounded input the union of emitted pairs equals the batch band-join
-    candidate set exactly (asserted in tests/test_streaming.py).
+    Keyed by LSH band bucket; state = doc_ids already seen in the bucket
+    plus their admit epochs and the bucket's event-time horizon. With
+    ``ts_col``/``ttl_seconds`` set, members whose epoch falls behind
+    ``horizon - ttl`` are evicted before each comparison and late rows
+    beyond the same cutoff are dropped (module docstring). On bounded
+    input with no TTL the union of emitted pairs equals the batch
+    band-join candidate set exactly (asserted in tests/test_streaming.py).
     """
     import pandas as pd
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    banded = banded_keys(shingle_hashes(docs))
+    if ts_col is not None:
+        docs = docs.withColumn("ts_epoch", F.col(ts_col).cast("long"))
+        banded = banded_keys(
+            shingle_hashes(docs, carry=("ts_epoch",)), carry=("ts_epoch",)
+        )
+    else:
+        banded = banded_keys(shingle_hashes(docs)).withColumn(
+            "ts_epoch", F.lit(0).cast("long")
+        )
 
     def fn(key, pdf_iter, state):
-        members: list = list(state.get[0]) if state.exists else []
+        members: list = []
+        epochs: list = []
+        horizon = _NEVER
+        if state.exists:
+            members = list(state.get[0])
+            epochs = list(state.get[1])
+            horizon = state.get[2]
         out_a: list = []
         out_b: list = []
+        rows: list = []
         for pdf in pdf_iter:
-            # sort for run-stable pair emission within a micro-batch
-            for doc_id in sorted(pdf["doc_id"].tolist()):
-                if doc_id in members:
-                    continue
-                for m in members:
-                    lo, hi = (m, doc_id) if m < doc_id else (doc_id, m)
-                    out_a.append(lo)
-                    out_b.append(hi)
-                if len(members) < MAX_BUCKET_MEMBERS:
-                    members.append(doc_id)
-        state.update((members,))
+            rows.extend(zip(pdf["ts_epoch"].tolist(), pdf["doc_id"].tolist()))
+        # event-time then doc_id order: run-stable emission AND the horizon
+        # advances monotonically inside the batch, so within-batch aging is
+        # deterministic under replay
+        for ts, doc_id in sorted(rows):
+            ts = int(ts)
+            if ttl_seconds is not None:
+                if ts < horizon - ttl_seconds:
+                    continue  # late beyond the watermark analogue: drop
+                horizon = max(horizon, ts)
+                cutoff = horizon - ttl_seconds
+                # admissible-but-late rows can append epochs out of order,
+                # so test the min, not the front
+                if epochs and min(epochs) < cutoff:
+                    keep = [i for i, e in enumerate(epochs) if e >= cutoff]
+                    members = [members[i] for i in keep]
+                    epochs = [epochs[i] for i in keep]
+            else:
+                horizon = max(horizon, ts)
+            if doc_id in members:
+                continue
+            for m in members:
+                lo, hi = (m, doc_id) if m < doc_id else (doc_id, m)
+                out_a.append(lo)
+                out_b.append(hi)
+            if len(members) < MAX_BUCKET_MEMBERS:
+                members.append(doc_id)
+                epochs.append(ts)
+        state.update((members, epochs, horizon))
         yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
 
     return banded.groupBy("band_id", "band_key").applyInPandasWithState(
         fn,
         outputStructType="a_id long, b_id long",
-        stateStructType="members array<long>",
+        stateStructType="members array<long>, epochs array<long>, horizon long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -101,7 +158,11 @@ def minhash_candidates_stream(docs: DataFrame) -> DataFrame:
 NEAR_DUP_THRESHOLD = 0.5
 
 
-def minhash_verified_stream(docs: DataFrame) -> DataFrame:
+def minhash_verified_stream(
+    docs: DataFrame,
+    ts_col: str | None = None,
+    ttl_seconds: int | None = None,
+) -> DataFrame:
     """(a_id, b_id, jacc) VERIFIED near-duplicate pairs, incrementally.
 
     The full streaming twin of the batch pipeline in
@@ -110,11 +171,14 @@ def minhash_verified_stream(docs: DataFrame) -> DataFrame:
     document is checked against the corpus without re-reading it:
 
     - key: (band_id, band_key) — the same LSH band buckets as batch;
-    - state: the (doc_id, shingle-hash set) of every doc previously
-      admitted to the bucket, capped at ``MAX_BUCKET_MEMBERS`` (a bucket
-      past the cap is a degenerate band — hot-key guard as in the
-      candidate stream above). Shingle sets are 64-bit hashes, never text,
-      so state size is O(members × shingles) longs per bucket;
+    - state: the (doc_id, shingle-hash set, admit epoch) of every doc
+      previously admitted to the bucket, capped at ``MAX_BUCKET_MEMBERS``
+      (a bucket past the cap is a degenerate band — hot-key guard as in
+      the candidate stream above) and, with ``ts_col``/``ttl_seconds``
+      set, aged out past the bucket's event-time horizon minus the TTL
+      (module docstring — the always-on-ingest state bound). Shingle sets
+      are 64-bit hashes, never text, so state size is
+      O(members × shingles) longs per bucket;
     - emit: a pair the moment the new doc's exact Jaccard against a state
       member reaches ``NEAR_DUP_THRESHOLD``.
 
@@ -126,48 +190,88 @@ def minhash_verified_stream(docs: DataFrame) -> DataFrame:
     ``dropDuplicates`` with a watermark, or an idempotent upsert sink.
     """
     import pandas as pd
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    banded = banded_keys(shingle_hashes(docs), carry=("hs",))
+    if ts_col is not None:
+        docs = docs.withColumn("ts_epoch", F.col(ts_col).cast("long"))
+        banded = banded_keys(
+            shingle_hashes(docs, carry=("ts_epoch",)),
+            carry=("ts_epoch", "hs"),
+        )
+    else:
+        banded = banded_keys(
+            shingle_hashes(docs), carry=("hs",)
+        ).withColumn("ts_epoch", F.lit(0).cast("long"))
 
     def fn(key, pdf_iter, state):
         ids: list = []
         sets: list = []
+        epochs: list = []
+        horizon = _NEVER
         if state.exists:
             ids = list(state.get[0])
             sets = [set(s) for s in state.get[1]]
+            epochs = list(state.get[2])
+            horizon = state.get[3]
         out_a: list = []
         out_b: list = []
         out_j: list = []
+        rows: list = []
         for pdf in pdf_iter:
-            # sort for run-stable emission order within a micro-batch
-            for doc_id, hs in sorted(
-                zip(pdf["doc_id"].tolist(), pdf["hs"].tolist())
-            ):
-                if doc_id in ids:
-                    continue
-                # plain-int set: state serialization can't pickle numpy
-                # scalars arriving in the Arrow batch
-                s = {int(h) for h in hs}
-                for mid, ms in zip(ids, sets):
-                    inter = len(s & ms)
-                    union = len(s) + len(ms) - inter
-                    jacc = round(inter / union, 4) if union else 0.0
-                    if jacc >= NEAR_DUP_THRESHOLD:
-                        lo, hi = (mid, doc_id) if mid < doc_id else (doc_id, mid)
-                        out_a.append(lo)
-                        out_b.append(hi)
-                        out_j.append(jacc)
-                if len(ids) < MAX_BUCKET_MEMBERS:
-                    ids.append(doc_id)
-                    sets.append(s)
-        state.update((ids, [list(s) for s in sets]))
+            rows.extend(
+                zip(
+                    pdf["ts_epoch"].tolist(),
+                    pdf["doc_id"].tolist(),
+                    pdf["hs"].tolist(),
+                )
+            )
+        # event-time then doc_id order: run-stable emission AND monotone
+        # within-batch horizon, so aging is deterministic under replay
+        for ts, doc_id, hs in sorted(rows, key=lambda r: (r[0], r[1])):
+            ts = int(ts)
+            if ttl_seconds is not None:
+                if ts < horizon - ttl_seconds:
+                    continue  # late beyond the watermark analogue: drop
+                horizon = max(horizon, ts)
+                cutoff = horizon - ttl_seconds
+                # admissible-but-late rows can append epochs out of order,
+                # so test the min, not the front
+                if epochs and min(epochs) < cutoff:
+                    keep = [i for i, e in enumerate(epochs) if e >= cutoff]
+                    ids = [ids[i] for i in keep]
+                    sets = [sets[i] for i in keep]
+                    epochs = [epochs[i] for i in keep]
+            else:
+                horizon = max(horizon, ts)
+            if doc_id in ids:
+                continue
+            # plain-int set: state serialization can't pickle numpy
+            # scalars arriving in the Arrow batch
+            s = {int(h) for h in hs}
+            for mid, ms in zip(ids, sets):
+                inter = len(s & ms)
+                union = len(s) + len(ms) - inter
+                jacc = round(inter / union, 4) if union else 0.0
+                if jacc >= NEAR_DUP_THRESHOLD:
+                    lo, hi = (mid, doc_id) if mid < doc_id else (doc_id, mid)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_j.append(jacc)
+            if len(ids) < MAX_BUCKET_MEMBERS:
+                ids.append(doc_id)
+                sets.append(s)
+                epochs.append(ts)
+        state.update((ids, [list(s) for s in sets], epochs, horizon))
         yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "jacc": out_j})
 
     return banded.groupBy("band_id", "band_key").applyInPandasWithState(
         fn,
         outputStructType="a_id long, b_id long, jacc double",
-        stateStructType="ids array<long>, shingle_sets array<array<long>>",
+        stateStructType=(
+            "ids array<long>, shingle_sets array<array<long>>,"
+            " epochs array<long>, horizon long"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -288,3 +288,62 @@ def test_stream_stream_theta_join_matches_batch(spark):
         for r in QUERIES["join_theta_range"](spark, SF_SMOKE).collect()
     }
     assert got == want and want
+
+
+def test_streaming_minhash_ttl_evicts_and_drops_late(spark, tmp_path):
+    """VERDICT r6 #5 (r4 stretch #8): band-bucket members age out past the
+    stream's event-time horizon minus the TTL, and rows arriving later than
+    that cutoff are dropped — so an always-on ingest holds bounded state.
+
+    Two micro-batches (maxFilesPerTrigger=1, files ordered by mtime):
+      batch 1: doc 1 (t=1000) and doc 2 (t=1500) — near-dups, both inside
+               the 600 s TTL window -> pair (1,2) emitted;
+      batch 2: doc 4 (t=500) is an EXACT copy of doc 1's text but arrives
+               later than horizon(1500) - ttl(600) -> dropped, no pair;
+               doc 3 (t=1_000_000) advances the horizon far past every
+               member -> all evicted, no pair despite being a near-dup.
+    """
+    import time
+
+    from distributed_system_mapreduce_spark.streaming import (
+        run_available_now,
+    )
+    from distributed_system_mapreduce_spark.streaming.dedup import (
+        minhash_verified_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    d = tmp_path / "docs_ttl"
+    spark.createDataFrame(
+        [(1, base, 1000), (2, base + " iota", 1500)],
+        "doc_id long, text string, ts long",
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    time.sleep(0.2)  # distinct mtimes => deterministic file-batch order
+    spark.createDataFrame(
+        [(3, base + " kappa", 1_000_000), (4, base, 500)],
+        "doc_id long, text string, ts long",
+    ).coalesce(1).write.parquet(str(d / "f2"))
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    stream = minhash_verified_stream(docs, ts_col="ts", ttl_seconds=600)
+    got = run_available_now(stream, "t_dedup_ttl", mode="append")
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    assert pairs == {(1, 2)}
+
+    # control: same corpus, no TTL -> every near-dup pair survives,
+    # proving the eviction (not band luck) removed the others above
+    docs2 = (
+        spark.readStream.schema("doc_id long, text string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    stream2 = minhash_verified_stream(docs2)
+    got2 = run_available_now(stream2, "t_dedup_nottl", mode="append")
+    pairs2 = {(r["a_id"], r["b_id"]) for r in got2.collect()}
+    assert pairs2 == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
