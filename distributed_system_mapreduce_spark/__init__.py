@@ -111,6 +111,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r8: sql_market_share (TPC-H-style multiway), dedup_incremental
     #       (batch-probes-index), events_retention_cohort (cohort family),
     #       data_quality_checks (validation family)
+    #   r9: agg_approx_error (hash-checked HLL++ quality bound — promotes
+    #       the one §2 rows-only row to a measured-quality driver row,
+    #       VERDICT r6 #8), dedup_winnow (re-verify post r7 BIGINT rework),
+    #       sim_mmr_topk (re-verify post r7 hardening), text_collocations
+    #       (PMI family)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

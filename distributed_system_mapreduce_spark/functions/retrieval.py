@@ -152,6 +152,23 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     double composite over 4dp-rounded inputs (vec_id tiebreak), and the
     output rounds Spark-side so round semantics match the oracle.
     """
+    cand, pw = mmr_pools(spark, sf_dir)
+    rel = {r["vec_id"]: r["rel"] for r in cand.collect()}  # MMR_POOL rows
+    sims = {(r["a_id"], r["b_id"]): r["s"] for r in pw.collect()}
+    selected = mmr_greedy(rel, sims, MMR_K, MMR_LAMBDA, MMR_DIV)
+    out = spark.createDataFrame(
+        selected, "rnk int, vec_id long, rel double, mmr double"
+    )
+    return out.select("rnk", "vec_id", "rel", F.round("mmr", 4).alias("mmr"))
+
+
+def mmr_pools(spark: SparkSession, sf_dir: str):
+    """(cand, pw): sim_mmr_topk's two DISTRIBUTED stages as DataFrames —
+    the MMR_POOL-sized relevance window (broadcast query vector +
+    TakeOrdered, sim_topk_query's shape) and the pool×pool pair-similarity
+    table (broadcast self-join over MMR_POOL vectors). Exposed so the
+    registry-wide plan sweep screens the iterative query's internal plans,
+    not just its LocalTableScan result (VERDICT r6 #7)."""
     from .vectors import dot
 
     emb = load(spark, sf_dir, "embeddings")
@@ -179,13 +196,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot(F.col("a_emb"), F.col("b_emb")), 4).alias("s"),
         )
     )
-    rel = {r["vec_id"]: r["rel"] for r in cand.collect()}  # MMR_POOL rows
-    sims = {(r["a_id"], r["b_id"]): r["s"] for r in pw.collect()}
-    selected = mmr_greedy(rel, sims, MMR_K, MMR_LAMBDA, MMR_DIV)
-    out = spark.createDataFrame(
-        selected, "rnk int, vec_id long, rel double, mmr double"
-    )
-    return out.select("rnk", "vec_id", "rel", F.round("mmr", 4).alias("mmr"))
+    return cand, pw
 
 
 def mmr_greedy(

@@ -497,28 +497,35 @@ def lloyd_centroids(
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
     )
     for _ in range(iters):
-        assign = ivf_assign(emb_d, cents, round_scores=False)
-        mean = (
-            assign.select("cent_id", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("cent_id", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cent_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("raw")
-            )
-            .select(
-                "cent_id",
-                F.transform(
-                    "raw", lambda x: x / l2_norm(F.col("raw"))
-                ).alias("cent_emb"),
-            )
-        )
+        mean = lloyd_recompute(ivf_assign(emb_d, cents, round_scores=False))
         rows = mean.collect()  # k x dim doubles — bounded, driver-sized
         cents = spark.createDataFrame(rows, "cent_id long, cent_emb array<double>")
     return cents
+
+
+def lloyd_recompute(assign: DataFrame) -> DataFrame:
+    """ONE Lloyd recompute stage: per-cell elementwise mean (posexplode →
+    partial-agg shuffle of k·dim rows), L2-renormalized. The loop body of
+    :func:`lloyd_centroids`, exposed so the registry-wide plan sweep can
+    screen the iterative trainer's per-round plan (VERDICT r6 #7)."""
+    return (
+        assign.select("cent_id", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cent_id", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("raw")
+        )
+        .select(
+            "cent_id",
+            F.transform(
+                "raw", lambda x: x / l2_norm(F.col("raw"))
+            ).alias("cent_emb"),
+        )
+    )
 
 
 def kmeans_parallel_centroids(
@@ -821,6 +828,29 @@ PCA_ITERS = 100
 PCA_QUANT_DP = 9
 
 
+def gram_partials(emb: DataFrame) -> DataFrame:
+    """(g array<double>, n bigint): one flattened dim² XᵀX partial per Arrow
+    batch plus its row count — :func:`gram_matrix`'s distributed stage,
+    exposed so the registry-wide plan sweep can screen the PCA pipeline's
+    mapInPandas plan (VERDICT r6 #7)."""
+    import numpy as np
+    import pandas as pd
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["e"].to_numpy())
+            g = x.T @ x
+            yield pd.DataFrame(
+                {"g": [g.reshape(-1).tolist()], "n": [len(pdf)]}
+            )
+
+    return emb.select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).mapInPandas(partial_gram, schema="g array<double>, n bigint")
+
+
 def gram_matrix(emb: DataFrame) -> "tuple[list[list[float]], int]":
     """(dim×dim Gram matrix Σ_i x_i x_iᵀ, row count) of an embedding table,
     one pass over the data.
@@ -839,24 +869,7 @@ def gram_matrix(emb: DataFrame) -> "tuple[list[list[float]], int]":
     """
     import math
 
-    import numpy as np
-    import pandas as pd
-
-    def partial_gram(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["e"].to_numpy())
-            g = x.T @ x
-            yield pd.DataFrame(
-                {"g": [g.reshape(-1).tolist()], "n": [len(pdf)]}
-            )
-
-    partials = track(
-        emb.select(
-            F.col("embedding").cast("array<double>").alias("e")
-        ).mapInPandas(partial_gram, schema="g array<double>, n bigint")
-    )
+    partials = track(gram_partials(emb))
     n = partials.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
     flat = (
         partials.select(F.posexplode("g").alias("pos", "val"))

@@ -262,3 +262,78 @@ def test_plan_sweep_whitelists_are_not_stale(spark):
     silently shrinking the sweep's deny-list is itself a regression."""
     assert _SCALAR_COMBINE_BNLJ <= set(_ALL), _SCALAR_COMBINE_BNLJ - set(_ALL)
     assert _ARROW_BATCH_OK <= set(_ALL), _ARROW_BATCH_OK - set(_ALL)
+
+
+# ---------------------------------------------------------------------------
+# Iterative-query internals (VERDICT r6 #7): driver-loop queries return a
+# LocalTableScan, so the sweep above never sees the stages that actually run
+# at scale — the per-round peel/assign/recompute frames and the candidate
+# pools. Each family exposes its loop body as a helper; screen those plans
+# with the same assertions (explicit per-frame allowances for bounded
+# broadcast grids and declared Arrow batches).
+# ---------------------------------------------------------------------------
+
+def _internal_frames(spark):
+    from distributed_system_mapreduce_spark.functions.retrieval import (
+        mmr_pools,
+    )
+    from distributed_system_mapreduce_spark.functions.vectors import (
+        gram_partials,
+        ivf_assign,
+        lloyd_recompute,
+    )
+    from distributed_system_mapreduce_spark.operators.graph import (
+        _symmetric,
+        copurchase_pairs,
+        kcore_round,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    edges = _symmetric(copurchase_pairs(spark, _PLAN_SF))
+    emb = load(spark, _PLAN_SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+    )
+    assign = ivf_assign(emb, cents, round_scores=False)
+    cand, pw = mmr_pools(spark, _PLAN_SF)
+    return {
+        # label: (frame, allow_bnlj, allow_arrow)
+        "kcore_round": (kcore_round(edges, 2, 4), False, False),
+        "kmeans_assign": (assign, True, False),  # k-row broadcast grid
+        "kmeans_recompute": (lloyd_recompute(assign), True, False),
+        "mmr_cand_pool": (cand, True, False),  # 1-row query broadcast
+        "mmr_pair_pool": (pw, True, False),  # pool x pool, MMR_POOL-bounded
+        "pca_gram_partials": (gram_partials(emb), False, True),
+    }
+
+
+@pytest.mark.parametrize(
+    "label",
+    [
+        "kcore_round",
+        "kmeans_assign",
+        "kmeans_recompute",
+        "mmr_cand_pool",
+        "mmr_pair_pool",
+        "pca_gram_partials",
+    ],
+)
+def test_iterative_internal_plan_sweep(label, spark):
+    frame, allow_bnlj, allow_arrow = _internal_frames(spark)[label]
+    plan = explain_str(frame, mode="simple")
+    assert "CartesianProduct" not in plan, f"{label}: raw cartesian"
+    if not allow_bnlj:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{label}: undeclared nested-loop join"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{label}: row-at-a-time Python UDF in the plan"
+    )
+    if not allow_arrow:
+        for tok in ("ArrowEvalPython", "MapInPandas",
+                    "FlatMapGroupsInPandas"):
+            assert tok not in plan, f"{label}: undeclared Python node {tok}"
