@@ -30,11 +30,18 @@ from ..cache import register_memo_clearer, track
 from ..registry import register
 from ..sources.io import load
 
-#: (a, b) parameters for the k MinHash permutations h_j(x) = (a*x + b) mod P,
-#: fixed primes so signatures are deterministic across runs.
-MINHASH_PERMS: tuple[tuple[int, int], ...] = tuple(
-    (2 * j + 3, 104729 + 7919 * j) for j in range(16)
-)
+#: number of MinHash permutations. Each permutation j is the seeded hash
+#: h_j(x) = xxhash64(j, x) — k INDEPENDENT hash functions, not an affine
+#: family (a_j*x + b_j) mod P. The affine family with small multipliers has
+#: correlated minima: an element whose reduced value x is tiny (x ≲ 10^4,
+#: probability ~n_shingles/2^31 per doc) is the argmin under EVERY
+#: permutation simultaneously, collapsing the whole signature onto one
+#: shingle — at corpus scale that is a measurable recall hole for near-dups
+#: that differ in exactly that shingle. Found empirically by
+#: dedup_minhash_est_error: a 0.947-Jaccard fixture pair estimated at 0.2
+#: under the affine family; seeded xxhash64 restores the e[est] = jacc
+#: guarantee (verified by that query's oracle-pinned tolerance check).
+MINHASH_N_PERMS = 16
 MINHASH_PRIME = 2_147_483_647
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 
@@ -89,14 +96,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: test-scale output is byte-identical with or without the guard.
 JACCARD_HOT_SHINGLE_DF_CAP = 1000
 
-def _jaccard_pairs_cte(src: str = "documents") -> str:
+def _jaccard_pairs_cte(
+    src: str = "documents", df_cap: int | None = None
+) -> str:
     """DuckDB CTE prefix shared by the ngram-jaccard oracles: exact trigram
     Jaccard over every pair sharing a shingle (string shingles — the Spark
     side hashes them, which is value-identical for counting purposes).
     Mirrors the Spark side's hot-shingle stop-list so parity holds at any
     SF. ``src`` is the relation (table or earlier CTE with doc_id + text)
     to shingle — the funnel pipeline runs it over its quality-filtered,
-    exact-deduped survivor set instead of raw ``documents``."""
+    exact-deduped survivor set instead of raw ``documents``. ``df_cap``
+    overrides the stop-list document-frequency cap (the estimator-quality
+    oracle passes a huge cap = no stop-list, matching its uncapped Spark
+    side)."""
+    cap = JACCARD_HOT_SHINGLE_DF_CAP if df_cap is None else df_cap
     return f"""
     sh0 as (
       select distinct doc_id, shingle from (
@@ -108,7 +121,7 @@ def _jaccard_pairs_cte(src: str = "documents") -> str:
         where len(t) >= 3)),
     hot as (
       select shingle from sh0 group by shingle
-      having count(*) > {JACCARD_HOT_SHINGLE_DF_CAP}),
+      having count(*) > {cap}),
     sh as (
       select * from sh0 where shingle not in (select shingle from hot)),
     szs as (select doc_id, count(*) as n from sh group by doc_id),
@@ -557,19 +570,23 @@ def banded_keys(hashed: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     Pure projections — safe on batch and streaming DataFrames alike.
     ``carry`` names extra input columns to keep alongside the keys (the
     streaming verify stage carries ``hs`` so state can hold shingle sets).
+    Permutation j is the seeded hash xxhash64(j, shingle_hash) — see the
+    MINHASH_N_PERMS note for why an affine family is NOT used here.
     """
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(
-            F.pmod(h, F.lit(MINHASH_PRIME)) * F.lit(a) + F.lit(b),
-            F.lit(MINHASH_PRIME),
-        )
+    # NB: the seed must be bound via a factory, NOT `lambda h, j=j: ...` —
+    # a second parameter (even a defaulted one) makes PySpark treat the
+    # lambda as transform's (element, index) form and silently replaces
+    # the captured seed with the element-index column, collapsing every
+    # permutation onto one hash family.
+    def _perm(seed: int):
+        return lambda h: F.xxhash64(F.lit(seed), h)
 
     sig_cols = [
-        F.array_min(F.transform("hs", _perm(a, b))).alias(f"sig{j}")
-        for j, (a, b) in enumerate(MINHASH_PERMS)
+        F.array_min(F.transform("hs", _perm(j))).alias(f"sig{j}")
+        for j in range(MINHASH_N_PERMS)
     ]
     sigs = hashed.select("doc_id", *carry, *sig_cols)
-    rows_per_band = len(MINHASH_PERMS) // MINHASH_BANDS
+    rows_per_band = MINHASH_N_PERMS // MINHASH_BANDS
     band_entries = [
         F.struct(
             F.lit(k).alias("band_id"),
@@ -591,7 +608,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline (all higher-order functions, map-side until the band join):
       1. word-trigram shingles per doc;
       2. 16-permutation MinHash signature: sig_j = min over shingles of
-         (a_j * xxhash64(shingle) + b_j) mod P;
+         xxhash64(j, xxhash64(shingle)) — independent seeded hashes (see
+         the MINHASH_N_PERMS note);
       3. 4 bands × 4 rows: band key = hash of the band's signature slice;
       4. candidate pairs = equi-join on (band_id, band_key)  — O(docs×bands)
          shuffle, never O(docs²);
@@ -618,8 +636,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = track(spread(docs).transform(shingle_hashes))
     # the band join carries ONLY (band, key, id) — shingle arrays rejoin
     # after candidate dedup, so the shuffle stays O(docs x bands) ids.
-    # (a*h + b stays in long range because banded_keys reduces h mod P first
-    # — ANSI overflow checking is on in Spark 4)
     banded = banded_keys(hashed)
 
     a = banded.alias("a")
@@ -649,6 +665,114 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return n_docs.crossJoin(summary)
+
+
+#: estimator-quality query parameters: a WIDER signature than the LSH
+#: pipeline's 16 perms (64 perms → estimator std ≤ 1/(2·√64) ≈ 0.0625 at
+#: the worst-case Jaccard), checked against exact Jaccard on pairs at or
+#: above MINHASH_EST_MIN_JACC with a 4-sigma tolerance. Seeds are offset
+#: by 1000 so the estimator's hash family is independent of the LSH
+#: pipeline's seeds 0..15.
+MINHASH_EST_N_PERMS = 64
+MINHASH_EST_SEED_BASE = 1000
+MINHASH_EST_MIN_JACC = 0.3
+MINHASH_EST_TOL = 0.25
+
+
+def minhash_signature(
+    hashed: DataFrame, n_perms: int, seed_base: int = 0
+) -> DataFrame:
+    """(doc_id, sig array<long>): the full MinHash signature as one array —
+    one ``array_min`` per seeded-xxhash64 permutation over the shingle-hash
+    column (independent hash functions; see the MINHASH_N_PERMS note), all
+    JVM-side. ``banded_keys`` keeps its own per-band slices; this builder
+    serves consumers that need component-wise signature agreement (the
+    estimator-quality query)."""
+    # seed bound via factory — see the banded_keys note on why a defaulted
+    # second lambda parameter silently becomes transform's index column
+    def _perm(seed: int):
+        return lambda h: F.xxhash64(F.lit(seed), h)
+
+    sig = F.array(
+        *[F.array_min(F.transform("hs", _perm(seed_base + j))) for j in range(n_perms)]
+    ).alias("sig")
+    return hashed.select("doc_id", sig)
+
+
+@register(
+    "dedup_minhash_est_error",
+    oracle=f"""
+    with {_jaccard_pairs_cte(df_cap=2**31)}
+    select a_id, b_id, jacc, true as within_bound
+    from jpairs
+    where jacc >= {MINHASH_EST_MIN_JACC}
+    order by a_id, b_id
+    """,
+)
+def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash estimator quality: for every pair with exact
+    trigram Jaccard >= {MINHASH_EST_MIN_JACC}, the 64-permutation
+    signature-agreement estimate must land within MINHASH_EST_TOL (4
+    sigma) of the exact value — and that claim is hash-CHECKED: the
+    oracle pins ``within_bound = true`` per pair, so a broken permutation
+    family or signature builder mismatches. The sketch values themselves
+    are xxhash64-dependent (dedup_near_minhash is rows-only for that
+    reason); this is the same promoted-quality pattern as
+    agg_approx_error and sim_ann_recall, completing the trio for the
+    engine's third sketch family.
+
+    Scale shape: the exact-pair table is the inverted-index equi-join
+    (jaccard_pairs, uncapped here so both engines measure the SAME sets
+    the signatures sketch); signatures are computed only for documents
+    that appear in a surviving pair (semi-join first), and the agreement
+    count is one zip_with/filter per pair — JVM higher-order, no Python.
+    At 100 TB this runs on a sampled pair set; the fixture corpus IS the
+    sample here.
+    """
+    from ..functions.vectors import spread
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        jaccard_pairs(docs, df_cap=2**31)
+        .filter(F.col("jacc") >= MINHASH_EST_MIN_JACC)
+        .select("a_id", "b_id", "jacc")
+    )
+    ids = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    hashed = shingle_hashes(
+        spread(docs.join(ids, "doc_id", "left_semi"))
+    )
+    sigs = minhash_signature(
+        hashed, MINHASH_EST_N_PERMS, seed_base=MINHASH_EST_SEED_BASE
+    )
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    m = MINHASH_EST_N_PERMS
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(m)
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jacc",
+            (F.abs(est - F.col("jacc")) <= F.lit(MINHASH_EST_TOL)).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
 
 
 SIMHASH_BITS = 16

@@ -45,7 +45,11 @@ ROWS_ONLY_EXPECTED = {
         ("click", 151), ("error", 151), ("purchase", 151),
         ("signup", 151), ("view", 151),
     ],
-    "dedup_near_minhash": [(500, 30, 25)],  # (n_docs, n_candidates, n_dups)
+    # (n_docs, n_candidates, n_dups) under the seeded-xxhash64 permutation
+    # family (r7): 25 candidates / 25 verified dups — the old affine family
+    # produced 30 candidates for the same 25 dups, its correlated-minima
+    # false positives (MINHASH_N_PERMS note in operators/dedup.py)
+    "dedup_near_minhash": [(500, 25, 25)],
     # DataSketches HLL estimates are deterministic per input set; 150
     # distinct users at sf0.01 is below the sketch's exact-mode cutoff, so
     # per-type and merged estimates are all exactly 150

@@ -295,13 +295,21 @@ def test_streaming_minhash_ttl_evicts_and_drops_late(spark, tmp_path):
     stream's event-time horizon minus the TTL, and rows arriving later than
     that cutoff are dropped — so an always-on ingest holds bounded state.
 
+    All four docs share IDENTICAL text, so they land in exactly the same
+    band buckets under ANY permutation family — eviction and late-drop are
+    what's under test here (near-dup matching has its own batch-equality
+    tests), and bucket co-location by construction keeps the fixture
+    independent of the MinHash hash family (the r7 affine→seeded-xxhash64
+    swap broke the old near-dup fixture precisely because per-bucket
+    horizons diverge when docs stop sharing every band).
+
     Two micro-batches (maxFilesPerTrigger=1, files ordered by mtime):
-      batch 1: doc 1 (t=1000) and doc 2 (t=1500) — near-dups, both inside
-               the 600 s TTL window -> pair (1,2) emitted;
-      batch 2: doc 4 (t=500) is an EXACT copy of doc 1's text but arrives
-               later than horizon(1500) - ttl(600) -> dropped, no pair;
+      batch 1: doc 1 (t=1000) and doc 2 (t=1500), both inside the 600 s
+               TTL window -> pair (1,2) emitted;
+      batch 2: doc 4 (t=500) arrives later than horizon(1500) - ttl(600)
+               -> dropped in every bucket, no pair;
                doc 3 (t=1_000_000) advances the horizon far past every
-               member -> all evicted, no pair despite being a near-dup.
+               member -> all evicted, no pair despite identical text.
     """
     import time
 
@@ -315,12 +323,12 @@ def test_streaming_minhash_ttl_evicts_and_drops_late(spark, tmp_path):
     base = "alpha beta gamma delta epsilon zeta eta theta"
     d = tmp_path / "docs_ttl"
     spark.createDataFrame(
-        [(1, base, 1000), (2, base + " iota", 1500)],
+        [(1, base, 1000), (2, base, 1500)],
         "doc_id long, text string, ts long",
     ).coalesce(1).write.parquet(str(d / "f1"))
     time.sleep(0.2)  # distinct mtimes => deterministic file-batch order
     spark.createDataFrame(
-        [(3, base + " kappa", 1_000_000), (4, base, 500)],
+        [(3, base, 1_000_000), (4, base, 500)],
         "doc_id long, text string, ts long",
     ).coalesce(1).write.parquet(str(d / "f2"))
 
@@ -335,8 +343,9 @@ def test_streaming_minhash_ttl_evicts_and_drops_late(spark, tmp_path):
     pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
     assert pairs == {(1, 2)}
 
-    # control: same corpus, no TTL -> every near-dup pair survives,
-    # proving the eviction (not band luck) removed the others above
+    # control: same corpus, no TTL -> every pair survives (identical text
+    # => identical buckets, jacc 1.0), proving the eviction — not band
+    # luck — removed the others above
     docs2 = (
         spark.readStream.schema("doc_id long, text string, ts long")
         .option("maxFilesPerTrigger", 1)
