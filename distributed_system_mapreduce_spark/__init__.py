@@ -116,6 +116,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       VERDICT r6 #8), dedup_winnow (re-verify post r7 BIGINT rework),
     #       sim_mmr_topk (re-verify post r7 hardening), text_collocations
     #       (PMI family)
+    #   r10: dedup_minhash_est_error (hash-checked MinHash quality, new r7),
+    #       agg_cms_heavy_hitters (hash-checked count-min bound, new r7),
+    #       orders_rfm_segments (segmentation family),
+    #       events_transition_matrix (Markov family)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

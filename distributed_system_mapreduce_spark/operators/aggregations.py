@@ -330,6 +330,108 @@ def agg_percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-min sketch parameters (Cormode & Muthukrishnan, J. Algorithms '05):
+#: CMS_D independent seeded-xxhash64 rows x CMS_W buckets. The whole sketch
+#: is D*W counters (4096 longs = 32 KB — broadcastable, mergeable by
+#: element-wise sum, the streaming-friendly shape). eps = e/W gives the
+#: classic one-sided guarantee exact <= est <= exact + eps*N with
+#: probability 1 - e^-D per key; with fixed seeds the fixture outcome is
+#: deterministic. Seeds offset from the MinHash families (0..15 LSH,
+#: 1000.. estimator) so the sketch rows are independent of them.
+CMS_D = 4
+CMS_W = 1024
+CMS_SEED_BASE = 7000
+#: absolute heavy-hitter cutoff on events-per-user — events.user_id counts
+#: concentrate around ~67 at every SF (users scale with rows), so an
+#: absolute cutoff in the upper tail yields a non-empty, SF-stable result.
+CMS_HH_MIN_COUNT = 80
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    select user_id, cast(count(*) as bigint) as exact_cnt,
+           true as within_bound
+    from events
+    group by user_id
+    having count(*) >= {CMS_HH_MIN_COUNT}
+    order by user_id
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a hash-CHECKED count-min sketch error bound — the
+    fourth measured-quality sketch family (after HLL++ agg_approx_error,
+    Greenwald-Khanna agg_percentile_sketch_error, MinHash
+    dedup_minhash_est_error): for every user whose exact event count
+    reaches CMS_HH_MIN_COUNT, the sketch estimate must satisfy the CMS
+    guarantee ``exact <= est <= exact + ceil(e/W * N)``, and the oracle
+    pins ``within_bound = true`` per key so a broken hash row, bucket
+    join, or min-combine hash-mismatches. Estimates themselves are
+    xxhash64-dependent (no DuckDB twin), the quality claim is not — the
+    same split as the other three families.
+
+    Plan shape (the 100 TB path): one groupBy builds per-key counts
+    (map-side partial combine); each key fans out to its D (row, bucket)
+    cells; the sketch is a D*W-row rollup — 32 KB, broadcast back for the
+    estimate lookup, so the only corpus-sized shuffle is the first
+    groupBy. At ingest scale the same sketch is built WITHOUT the per-key
+    groupBy (update cells directly per event, merge sketches
+    associatively); this query keeps exact counts alongside precisely to
+    measure the bound that justifies dropping them.
+    """
+    from ..cache import track
+
+    ev = load(spark, sf_dir, "events")
+    counts = track(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    # D (row_id, bucket) cells per key — projections only, no extra shuffle
+    cells = counts.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.pmod(
+                            F.xxhash64(F.lit(CMS_SEED_BASE + i), "user_id"),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "exact_cnt", "cell.row_id", "cell.bucket")
+    sketch = cells.groupBy("row_id", "bucket").agg(
+        F.sum("exact_cnt").alias("bucket_sum")
+    )
+    est = (
+        cells.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.max("exact_cnt").alias("exact_cnt"),
+            F.min("bucket_sum").alias("est"),
+        )
+    )
+    n_total = counts.agg(F.sum("exact_cnt").alias("n_total"))  # 1 row
+    bound = F.ceil(F.lit(2.718281828459045 / CMS_W) * F.col("n_total"))
+    return (
+        est.filter(F.col("exact_cnt") >= CMS_HH_MIN_COUNT)
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (
+                (F.col("est") >= F.col("exact_cnt"))
+                & (F.col("est") - F.col("exact_cnt") <= bound)
+            ).alias("within_bound"),
+        )
+        .orderBy("user_id")
+    )
+
+
 #: buckets for the equi-depth histogram.
 EQUIDEPTH_BUCKETS = 10
 

@@ -199,6 +199,7 @@ _PLAN_SF = "/root/testdata/sf0.001"
 #: work at any corpus size. Anything NOT listed here that grows a BNLJ is a
 #: quadratic-at-scale regression and fails the sweep.
 _SCALAR_COMBINE_BNLJ = {
+    "agg_cms_heavy_hitters",
     "dedup_cluster",
     "dedup_near_minhash",
     "dedup_simhash",
