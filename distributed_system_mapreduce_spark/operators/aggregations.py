@@ -347,6 +347,31 @@ CMS_SEED_BASE = 7000
 CMS_HH_MIN_COUNT = 80
 
 
+def cms_cells(df: DataFrame, key: str) -> DataFrame:
+    """Input columns + (row_id, bucket): the D count-min cell coordinates
+    each row's ``key`` hashes to. Pure projection + explode — no shuffle,
+    safe on batch and streaming DataFrames alike (the streaming sketch in
+    streaming/sketches.py shares this builder, which is what makes the
+    batch/stream equality test meaningful)."""
+    return df.withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.pmod(
+                            F.xxhash64(F.lit(CMS_SEED_BASE + i), key),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ),
+    ).select(*df.columns, "cell.row_id", "cell.bucket")
+
+
 @register(
     "agg_cms_heavy_hitters",
     oracle=f"""
@@ -386,24 +411,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
     # D (row_id, bucket) cells per key — projections only, no extra shuffle
-    cells = counts.select(
-        "user_id",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_id"),
-                        F.pmod(
-                            F.xxhash64(F.lit(CMS_SEED_BASE + i), "user_id"),
-                            F.lit(CMS_W),
-                        ).alias("bucket"),
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("cell"),
-    ).select("user_id", "exact_cnt", "cell.row_id", "cell.bucket")
+    cells = cms_cells(counts, "user_id")
     sketch = cells.groupBy("row_id", "bucket").agg(
         F.sum("exact_cnt").alias("bucket_sum")
     )

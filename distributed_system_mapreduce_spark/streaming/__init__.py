@@ -11,6 +11,9 @@ from .dedup import (  # noqa: F401
 from .joins import (  # noqa: F401
     theta_range_pairs_stream,
 )
+from .sketches import (  # noqa: F401
+    cms_sketch_stream,
+)
 from .windows import (  # noqa: F401
     ewma_stream,
     rate_anomaly_stream,

@@ -267,6 +267,58 @@ def test_streaming_ewma_matches_batch(spark):
         assert abs(got[k][1] - ewma) <= 1e-4, (k, got[k][1], ewma)
 
 
+def test_streaming_cms_sketch_matches_batch(spark):
+    """The ingest-path count-min sketch (per-event cell updates, no per-key
+    rollup) replayed over the bounded events stream equals the batch-built
+    sketch cell for cell — the merge-associativity claim
+    agg_cms_heavy_hitters' docstring makes — and every user's estimate
+    from the replayed sketch dominates their exact count."""
+    from distributed_system_mapreduce_spark.operators.aggregations import (
+        cms_cells,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        cms_sketch_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = cms_sketch_stream(read_events_stream(spark, SF_SMOKE))
+    got = run_available_now(stream, "t_cms_sketch")
+    stream_cells = {
+        (r["row_id"], r["bucket"]): r["cell_count"] for r in got.collect()
+    }
+
+    ev = load(spark, SF_SMOKE, "events")
+    batch_cells = {
+        (r["row_id"], r["bucket"]): r["cell_count"]
+        for r in cms_cells(ev.select("user_id"), "user_id")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+        .collect()
+    }
+    assert stream_cells == batch_cells and stream_cells
+
+    # one-sided CMS guarantee off the replayed sketch: est >= exact per user
+    exact = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    key_cells = {
+        (r["user_id"], r["row_id"], r["bucket"])
+        for r in cms_cells(
+            ev.select("user_id").distinct(), "user_id"
+        ).collect()
+    }
+    for uid, cnt in exact.items():
+        est = min(
+            stream_cells[(row, bucket)]
+            for u, row, bucket in key_cells
+            if u == uid
+        )
+        assert est >= cnt, (uid, est, cnt)
+
+
 def test_stream_stream_theta_join_matches_batch(spark):
     """The stream-stream interval self-join's per-user pair counts equal
     batch join_theta_range on bounded replay."""
