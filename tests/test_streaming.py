@@ -267,6 +267,66 @@ def test_streaming_ewma_matches_batch(spark):
         assert abs(got[k][1] - ewma) <= 1e-4, (k, got[k][1], ewma)
 
 
+def test_streaming_dedup_checkpoint_recovery(spark, tmp_path):
+    """Stateful dedup state survives a query RESTART from its checkpoint —
+    the durability half of the always-on-ingest story: the file-source log
+    replays only unseen files and the restored band-bucket state still
+    knows every previously admitted document.
+
+    Phase 1: docs 1,2 (identical text) -> pair (1,2), query stopped.
+    Phase 2: doc 3 appended, a NEW query object on the SAME checkpoint and
+    durable parquet sink (the memory sink refuses checkpoint recovery):
+    it must process ONLY doc 3 — identical text collides in all 4 bands,
+    so every pair appears exactly 4 times (the documented once-per-band
+    at-least-once emission) and (1,2) staying at 4 proves f1 was not
+    re-processed — and pairing doc 3 against docs it never saw in this
+    run is impossible unless state crossed the restart."""
+    import time
+    from collections import Counter
+
+    from distributed_system_mapreduce_spark.streaming.dedup import (
+        minhash_verified_stream,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    src = tmp_path / "docs_ckpt"
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "pairs_out")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        docs = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            minhash_verified_stream(docs)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return Counter(
+            (r["a_id"], r["b_id"])
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    spark.createDataFrame([(1, base), (2, base)], schema).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    assert run_once() == {(1, 2): 4}
+
+    time.sleep(0.2)
+    spark.createDataFrame([(3, base)], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    assert run_once() == {(1, 2): 4, (1, 3): 4, (2, 3): 4}
+
+
 def test_streaming_cms_sketch_matches_batch(spark):
     """The ingest-path count-min sketch (per-event cell updates, no per-key
     rollup) replayed over the bounded events stream equals the batch-built
