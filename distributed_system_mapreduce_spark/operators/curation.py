@@ -402,6 +402,77 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: epoch-shuffle parameters: the seed folds into the hash input so each
+#: training epoch gets an independent permutation from the same one-line
+#: change; shard count is the write-parallelism knob (a real run sets it
+#: to the target file count — hundreds at 100 TB; 16 keeps the fixture
+#: non-degenerate).
+EPOCH_SHUFFLE_SEED = 17
+EPOCH_SHUFFLE_SHARDS = 16
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    with keyed as (
+      select doc_id,
+             cast('0x' || substr(md5(cast(doc_id as varchar) ||
+                                     ':{EPOCH_SHUFFLE_SEED}'), 1, 15)
+                  as bigint) as skey
+      from documents)
+    select cast(skey % {EPOCH_SHUFFLE_SHARDS} as bigint) as shard_id,
+           cast(row_number() over (
+             partition by skey % {EPOCH_SHUFFLE_SHARDS}
+             order by skey, doc_id) as bigint) as pos,
+           doc_id
+    from keyed
+    order by shard_id, pos
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the seeded pseudo-random permutation
+    that turns a curated corpus into training-order shards — change
+    EPOCH_SHUFFLE_SEED and every epoch reads a fresh, reproducible order
+    with zero data movement beyond this one pass.
+
+    Scale shape: a GLOBAL row_number would funnel the corpus through one
+    partition, so the permutation is sharded — shard = hash % SHARDS is
+    one hash-partition shuffle, positions are per-shard window sorts that
+    run in parallel, and a training job reads shard files in (shard, pos)
+    order. The shuffle key is the md5→BIGINT parity pair (identical
+    bytes on any engine — same scheme as ``_md5_order``), seed folded
+    into the hash input, doc_id tiebreak; the oracle mirrors it exactly,
+    so the entire permutation — not just its multiset — is hash-checked.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    skey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(f":{EPOCH_SHUFFLE_SEED}"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select("doc_id", skey.alias("skey")).withColumn(
+        "shard_id", F.pmod(F.col("skey"), F.lit(EPOCH_SHUFFLE_SHARDS))
+    )
+    w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "shard_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("shard_id", "pos")
+    )
+
+
 def _train_corpus_oracle() -> str:
     """Full-pipeline oracle: funnel CTEs (quality → exact → jaccard → CC)
     from operators.dedup, a name-prefixed decontamination block (the shared

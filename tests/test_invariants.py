@@ -441,3 +441,32 @@ def test_range_search_is_exactly_the_above_threshold_set(spark):
     }
     assert got, "fixture should produce in-range vectors"
     assert all(s >= RANGE_SEARCH_TAU for _, s in got)
+
+
+def test_epoch_shuffle_is_a_seed_dependent_permutation(spark):
+    """pipeline_epoch_shuffle emits every doc exactly once with contiguous
+    per-shard positions, and reordering genuinely depends on the seed (a
+    different seed yields a different permutation over the same id set)."""
+    from distributed_system_mapreduce_spark.operators import curation as cur
+
+    rows = QUERIES["pipeline_epoch_shuffle"](spark, SF_DIR).collect()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(cur.EPOCH_SHUFFLE_SHARDS))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    order_a = [(r["shard_id"], r["pos"], r["doc_id"]) for r in rows]
+    old = cur.EPOCH_SHUFFLE_SEED
+    try:
+        cur.EPOCH_SHUFFLE_SEED = old + 1
+        rows_b = QUERIES["pipeline_epoch_shuffle"](spark, SF_DIR).collect()
+    finally:
+        cur.EPOCH_SHUFFLE_SEED = old
+    order_b = [(r["shard_id"], r["pos"], r["doc_id"]) for r in rows_b]
+    assert {r[2] for r in order_a} == {r[2] for r in order_b}
+    assert order_a != order_b
