@@ -470,3 +470,80 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("check_name")
+
+
+@register(
+    "part_skyline_brand",
+    oracle="""
+    select p_brand, p_partkey,
+           p_retailprice, cast(p_size as int) as p_size
+    from part a
+    where not exists (
+      select 1 from part b
+      where b.p_brand = a.p_brand
+        and b.p_retailprice <= a.p_retailprice
+        and b.p_size <= a.p_size
+        and (b.p_retailprice < a.p_retailprice or b.p_size < a.p_size))
+    order by p_brand, p_retailprice, p_size, p_partkey
+    """,
+)
+def part_skyline_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline (Pareto frontier) over (retailprice, size): the
+    parts no same-brand part beats on BOTH price and size — the classic
+    skyline operator (Borzsonyi et al., ICDE 2001) for "cheapest AND
+    smallest" product search.
+
+    The oracle states the O(n^2) NOT-EXISTS definition; the engine plan is
+    the sort-filter-skyline decomposition, which is linear after one
+    aggregation: (1) groupBy (brand, price) -> min(size) collapses the
+    input to distinct price points per brand with map-side partial combine
+    (only dominated-within-price survivors shuffle); (2) a window over
+    price order per brand takes the strictly-preceding running min of
+    size — a price point is on the frontier iff its min size undercuts
+    every cheaper point (rows preceding = strictly cheaper, since step 1
+    left one row per price); (3) the tiny frontier broadcast-joins back to
+    the scan to recover the winning part rows, ties included. At 100 TB
+    the window runs per brand over |distinct prices| rows, not raw rows —
+    no global single-partition order anywhere; for continuous prices an
+    optional pre-bucketing or per-partition local-skyline pass (a
+    correctness-preserving prune: skyline(S) is a subset of the union of
+    partition skylines) caps step 2's input further.
+    """
+    part = load(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    price_pts = part.groupBy("p_brand", "p_retailprice").agg(
+        F.min("p_size").alias("min_size")
+    )
+    w_prev = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = price_pts.withColumn(
+        "prev_min", F.min("min_size").over(w_prev)
+    ).filter(
+        F.col("prev_min").isNull() | (F.col("min_size") < F.col("prev_min"))
+    )
+    fr = frontier.select(
+        F.col("p_brand").alias("f_brand"),
+        F.col("p_retailprice").alias("f_price"),
+        F.col("min_size").alias("f_size"),
+    )
+    return (
+        part.join(
+            F.broadcast(fr),
+            on=[
+                part.p_brand == fr.f_brand,
+                part.p_retailprice == fr.f_price,
+                part.p_size == fr.f_size,
+            ],
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+        .orderBy("p_brand", "p_retailprice", "p_size", "p_partkey")
+    )

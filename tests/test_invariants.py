@@ -470,3 +470,35 @@ def test_epoch_shuffle_is_a_seed_dependent_permutation(spark):
     order_b = [(r["shard_id"], r["pos"], r["doc_id"]) for r in rows_b]
     assert {r[2] for r in order_a} == {r[2] for r in order_b}
     assert order_a != order_b
+
+
+def test_skyline_is_exactly_the_non_dominated_set(spark):
+    """part_skyline_brand is sound (no same-brand part strictly dominates a
+    returned row) and complete (every excluded part is dominated by some
+    returned row) against the quadratic definition at smoke SF."""
+    rows = QUERIES["part_skyline_brand"](spark, SF_SMOKE).collect()
+    parts = load(spark, SF_SMOKE, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    assert rows
+
+    def dominates(a, b):
+        return (
+            a.p_retailprice <= b.p_retailprice
+            and a.p_size <= b.p_size
+            and (a.p_retailprice < b.p_retailprice or a.p_size < b.p_size)
+        )
+
+    by_brand: dict = {}
+    for p in parts:
+        by_brand.setdefault(p.p_brand, []).append(p)
+    sky_keys = {(r.p_brand, r.p_partkey) for r in rows}
+    for r in rows:
+        assert not any(dominates(p, r) for p in by_brand[r.p_brand]), r
+    sky_by_brand: dict = {}
+    for r in rows:
+        sky_by_brand.setdefault(r.p_brand, []).append(r)
+    for p in parts:
+        if (p.p_brand, p.p_partkey) in sky_keys:
+            continue
+        assert any(dominates(s, p) for s in sky_by_brand[p.p_brand]), p
