@@ -547,3 +547,190 @@ def part_skyline_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "p_retailprice", "p_size", "p_partkey")
     )
+
+
+#: compaction planner: simulated file inventory granularity and target
+#: compacted size (chars stand in for bytes at fixture scale; a real
+#: planner reads the table's file manifest).
+COMPACT_FILE_MOD = 6
+COMPACT_TARGET = 3000
+
+
+@register(
+    "compact_file_bins",
+    oracle=f"""
+    with files as (
+      select source, cast(doc_id % {COMPACT_FILE_MOD} as bigint) as file_id,
+             cast(sum(n_chars) as bigint) as bytes
+      from documents group by 1, 2),
+    planned as (
+      select source, file_id, bytes,
+             cast(coalesce(sum(bytes) over (
+               partition by source order by file_id
+               rows between unbounded preceding and 1 preceding), 0)
+                  as bigint) as start_off
+      from files)
+    select source, file_id, bytes,
+           cast(start_off // {COMPACT_TARGET} as bigint) as bin_id
+    from planned
+    order by source, file_id
+    """,
+)
+def compact_file_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: assign each data file to a
+    target-size output bin by running start offset — the maintenance
+    operation (Delta OPTIMIZE / Iceberg rewrite_data_files bin-packing)
+    that keeps a 100 TB table readable after streaming or per-partition
+    ingest leaves thousands of under-sized files.
+
+    The planner's input is METADATA — one row per file (here simulated by
+    rolling documents up to ``doc_id % {COMPACT_FILE_MOD}`` "files" with
+    summed char sizes; a real run reads the table manifest), so even a
+    100 TB table yields only millions of planner rows. Bin assignment is
+    first-fit by start offset: a prefix-sum window per table partition
+    (source) — no global sort, no single-partition funnel — and
+    ``bin_id = start_offset div target`` groups consecutive files into
+    ~target-sized rewrite tasks, each of which becomes one independent
+    compaction job reading only its own files.
+    """
+    files = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            "source",
+            F.pmod(F.col("doc_id"), F.lit(COMPACT_FILE_MOD))
+            .cast("bigint")
+            .alias("file_id"),
+        )
+        .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        files.withColumn(
+            "start_off", F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint")
+        )
+        .select(
+            "source",
+            "file_id",
+            "bytes",
+            F.floor(F.col("start_off") / COMPACT_TARGET).cast("bigint").alias("bin_id"),
+        )
+        .orderBy("source", "file_id")
+    )
+
+
+#: z-order geometry: 8 bits per dimension -> 16-bit Morton key, binned in
+#: runs of 64 consecutive codes (= 1024 layout bins max).
+ZORDER_BITS = 8
+ZORDER_BIN = 64
+
+
+def _morton_terms(x: str, y: str, div_op: str) -> str:
+    """Bit-interleave (x, y) into a Morton code with pure integer
+    arithmetic — ``div_op`` is the engine's integer-division operator
+    (Spark SQL ``div``, DuckDB ``//``) so the SAME formula runs on both."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)})")
+        terms.append(f"((({y} {div_op} {1 << i}) % 2) * {1 << (2 * i)})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_cluster",
+    oracle=f"""
+    with stats as (
+      select min(o_custkey) as min_ck, max(o_custkey) as max_ck,
+             min(cast(o_orderdate as date)) as min_d,
+             max(cast(o_orderdate as date)) as max_d
+      from orders),
+    scaled as (
+      select cast(floor((o_custkey - min_ck) * {1 << ZORDER_BITS}.0
+                        / (max_ck - min_ck + 1)) as bigint) as x,
+             cast(floor(datediff('day', min_d, cast(o_orderdate as date))
+                        * {1 << ZORDER_BITS}.0
+                        / (datediff('day', min_d, max_d) + 1)) as bigint) as y,
+             o_custkey, cast(o_orderdate as date) as od
+      from orders cross join stats),
+    coded as (
+      select ({_morton_terms("x", "y", "//")}) as z, o_custkey, od
+      from scaled)
+    select cast(z // {ZORDER_BIN} as bigint) as zbin,
+           cast(count(*) as bigint) as n_orders,
+           cast(max(o_custkey) - min(o_custkey) as bigint) as ck_span,
+           cast(datediff('day', min(od), max(od)) as bigint) as date_span_days
+    from coded
+    group by 1 order by 1
+    """,
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering of orders on
+    (o_custkey, o_orderdate): the multi-dimensional data-layout key behind
+    Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort orders, which lets min-max
+    file skipping prune on BOTH dimensions at once.
+
+    Each dimension is scaled to {1 << ZORDER_BITS} buckets from its
+    min/max (a 1-row aggregate crossJoined back — broadcast, no second
+    scan shuffle), the bucket indices are bit-interleaved into a Morton
+    code with pure integer arithmetic (identical formula on both engines
+    via ``_morton_terms``), and rows are grouped into runs of
+    {ZORDER_BIN} consecutive codes — the stand-ins for output files. The
+    output reports each bin's row count and its custkey/date spans: the
+    locality evidence — every bin covers a NARROW rectangle of the
+    (customer, date) space, which is exactly what makes min-max skipping
+    effective on either predicate. At 100 TB the same key feeds
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` and the bins
+    become the written files; the planner here is one fact-table shuffle
+    on the bin key.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    stats = orders.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_d"),
+    )
+    n = 1 << ZORDER_BITS
+    scaled = (
+        orders.crossJoin(F.broadcast(stats))
+        .withColumn("od", F.col("o_orderdate").cast("date"))
+        .select(
+            F.floor(
+                (F.col("o_custkey") - F.col("min_ck"))
+                * F.lit(float(n))
+                / (F.col("max_ck") - F.col("min_ck") + 1)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.floor(
+                F.datediff("od", "min_d")
+                * F.lit(float(n))
+                / (F.datediff("max_d", "min_d") + 1)
+            )
+            .cast("bigint")
+            .alias("y"),
+            "o_custkey",
+            "od",
+        )
+    )
+    coded = scaled.select(
+        F.expr(_morton_terms("x", "y", "div")).alias("z"), "o_custkey", "od"
+    )
+    return (
+        coded.groupBy(
+            F.floor(F.col("z") / ZORDER_BIN).cast("bigint").alias("zbin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("o_custkey") - F.min("o_custkey"))
+            .cast("bigint")
+            .alias("ck_span"),
+            F.datediff(F.max("od"), F.min("od"))
+            .cast("bigint")
+            .alias("date_span_days"),
+        )
+        .orderBy("zbin")
+    )

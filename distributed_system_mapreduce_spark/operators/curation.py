@@ -672,3 +672,69 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: weighted reservoir: keep K docs per source, probability proportional to
+#: document length (the "sample long documents more" mixture knob).
+RESERVOIR_K = 8
+
+#: 2^60: the md5->BIGINT parity pair keeps 15 hex chars, so skey is uniform
+#: on [0, 2^60) and (skey+1)/2^60 is uniform on (0, 1] — never 0, so ln()
+#: is always defined.
+_U_DENOM = 1 << 60
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    with keyed as (
+      select source, doc_id, n_chars,
+             round(ln((cast('0x' || substr(md5(cast(doc_id as varchar)), 1, 15)
+                            as bigint) + 1) / {_U_DENOM}.0)
+                   / n_chars, 12) as es_key
+      from documents),
+    ranked as (
+      select *, cast(row_number() over (
+        partition by source order by es_key desc, doc_id) as int) as rank
+      from keyed)
+    select source, cast(rank as int) as rank, doc_id,
+           cast(n_chars as bigint) as n_chars
+    from ranked where rank <= {RESERVOIR_K}
+    order by source, rank
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample without replacement: K documents per
+    source with inclusion probability proportional to length — the
+    Efraimidis-Spirakis (IPL 2006) one-pass algorithm, derandomized.
+
+    E-S draws u_i ~ U(0,1] per item and keeps the top-K by u_i^(1/w_i);
+    equivalently by ln(u_i)/w_i, which avoids pow() entirely. Here u_i is
+    not a PRNG draw but the md5→BIGINT hash of the row key mapped onto
+    (0, 1] — uniform, engine-portable, and reproducible, so the "random"
+    sample is a pure function of the data (same armor as ``_md5_order``:
+    no sampler state, any re-run or backfill selects identical rows). The
+    E-S key is rounded to 12 dp BEFORE ranking with a doc_id tiebreak
+    (SURVEY §7.3.1 round-before-rank), making the selection stable across
+    engines and partitionings.
+
+    Scale shape: one shuffle on the stratum key, per-stratum top-K window
+    — identical to ``sample_stratified``; the weights add one projection.
+    A true streaming reservoir (applyInPandasWithState keeping a K-heap
+    per source) would emit the same set, because the E-S key is
+    order-independent.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    skey = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    u = (skey + F.lit(1)).cast("double") / F.lit(float(_U_DENOM))
+    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        docs.withColumn("es_key", es_key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select("source", F.col("rank").cast("int").alias("rank"), "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    )

@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -414,4 +414,124 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("a.name", "b.name").alias("dist"),
         )
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+#: Bloom prefilter geometry: M bits in M/64 longs, k=2 seeded hashes. At
+#: ~300 BUILDING customers and M=4096 the filter runs ~14% occupancy →
+#: false-positive rate (1-e^(-kn/M))^k ≈ 2%; a production run sizes M from
+#: the dim-side count (10 bits/key ≈ 1% FPP) — still kilobytes at millions
+#: of keys, which is why the bitmap ships as a broadcast while the fact
+#: table never moves.
+BLOOM_BITS = 4096
+BLOOM_SEEDS = (101, 202)
+
+
+def _bloom_positions(key: Column) -> "list[Column]":
+    """k seeded xxhash64 bit positions in [0, BLOOM_BITS) for a join key.
+
+    Engine-internal only (the final exact join removes false positives), so
+    the hash needs no oracle parity — xxhash64 stays JVM-side and codegen'd.
+    """
+    # the seed MUST be a long literal: xxhash64 hashes by input type, and
+    # the probe side writes `{seed}L` in SQL — an int-typed seed here would
+    # place the dim's bits at entirely different positions.
+    return [
+        F.pmod(F.xxhash64(F.lit(seed).cast("long"), key), F.lit(BLOOM_BITS))
+        for seed in BLOOM_SEEDS
+    ]
+
+
+def bloom_candidates(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(pruned fact rows, filtered dim) for ``join_bloom_pruned``.
+
+    Split out so tests can measure pruning effectiveness (candidate count
+    vs raw fact count) independently of the final exact join.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+        .select("c_custkey")
+    )
+
+    # (1) dim keys -> M-bit bitmap: explode k positions, fold into words.
+    pos = dim.select(
+        F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias("pos")
+    )
+    words = (
+        pos.groupBy((F.col("pos") / 64).cast("int").alias("word_idx"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("word"))
+        .collect()
+    )
+    filled = [0] * (BLOOM_BITS // 64)
+    for r in words:
+        filled[r["word_idx"]] = r["word"]
+    bitmap = F.array(*[F.lit(w).cast("long") for w in filled])
+
+    # (2) fact-side membership test: every seeded position's bit set.
+    # SQL-expr form because shiftright's shift amount is a computed column
+    # (the pyspark function wrapper only accepts a literal int there).
+    m = BLOOM_BITS
+    probe = orders.withColumn("_bloom", bitmap)
+    tests = []
+    for seed in BLOOM_SEEDS:
+        h = f"pmod(xxhash64({seed}L, o_custkey), {m})"
+        tests.append(
+            f"((shiftright(element_at(_bloom, cast({h} / 64 as int) + 1), "
+            f"cast({h} % 64 as int)) & 1L) = 1L)"
+        )
+    return probe.filter(F.expr(" and ".join(tests))).drop("_bloom"), dim
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_orders,
+           cast(round(sum(cast(o_totalprice as decimal(18,4))), 2) as double)
+             as total_revenue
+    from orders
+    join customer on o_custkey = c_custkey
+    where c_mktsegment = 'BUILDING' and c_acctbal > 0
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-pruned dimension join: revenue by order priority for
+    positive-balance BUILDING-segment customers, with the fact side pruned
+    by an explicit Bloom bitmap BEFORE any join or shuffle.
+
+    This makes the runtime-filter mechanics Spark applies internally
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, Delta/Iceberg DPP)
+    explicit and testable: (1) the filtered dim's keys aggregate into an
+    M-bit bitmap as M/64 longs via per-word `bit_or` — a map-side-combined
+    aggregation whose output is BOUNDED BY M, not by dim cardinality;
+    (2) the ≤64-long bitmap becomes an array literal (at cluster scale: a
+    broadcast variable) and every fact row tests its k seeded bit
+    positions with shift/AND expressions — whole-stage-codegen'd, no
+    Python, no join; (3) only surviving rows (true matches + ~2% false
+    positives) enter the exact broadcast join that removes false
+    positives, so the result is exactly the plain join the oracle states.
+    At 100 TB the fact scan discards ~all non-matching rows at the
+    scan/filter stage instead of shuffling them toward a join — the
+    difference between reading 100 TB and moving it.
+    """
+    candidates, dim = bloom_candidates(spark, sf_dir)
+    # (3) exact join removes false positives; dim is broadcast.
+    return (
+        candidates.join(F.broadcast(dim), candidates.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("o_orderpriority")
     )

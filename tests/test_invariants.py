@@ -502,3 +502,113 @@ def test_skyline_is_exactly_the_non_dominated_set(spark):
         if (p.p_brand, p.p_partkey) in sky_keys:
             continue
         assert any(dominates(s, p) for s in sky_by_brand[p.p_brand]), p
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """join_bloom_pruned's Bloom stage must admit EVERY true match (no
+    false negatives — guaranteed by construction, verified here) while
+    actually pruning the fact side (the point of the filter)."""
+    from distributed_system_mapreduce_spark.operators.joins import (
+        bloom_candidates,
+    )
+
+    candidates, dim = bloom_candidates(spark, SF_SMOKE)
+    orders = load(spark, SF_SMOKE, "orders")
+    n_total = orders.count()
+    n_candidates = candidates.count()
+    true_keys = {r.c_custkey for r in dim.collect()}
+    true_matches = orders.filter(F.col("o_custkey").isin(true_keys)).count()
+    cand_matches = candidates.filter(F.col("o_custkey").isin(true_keys)).count()
+    assert cand_matches == true_matches  # no false negatives
+    assert n_candidates < n_total  # the filter prunes
+    # false-positive rows are a small fraction of the admitted set
+    assert (n_candidates - cand_matches) <= 0.25 * n_total
+
+
+def test_weighted_reservoir_matches_independent_reimplementation(spark):
+    """sample_weighted_reservoir equals a from-scratch Python E-S top-K
+    (md5 -> u -> ln(u)/w -> round -> rank) over the same fixture."""
+    import hashlib
+    import math
+
+    from distributed_system_mapreduce_spark.operators.curation import (
+        RESERVOIR_K,
+        _U_DENOM,
+    )
+
+    got = QUERIES["sample_weighted_reservoir"](spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_source: dict = {}
+    for d in docs:
+        skey = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:15], 16)
+        u = (skey + 1) / _U_DENOM
+        es = round(math.log(u) / d.n_chars, 12)
+        by_source.setdefault(d.source, []).append((es, d.doc_id))
+    want = set()
+    for source, items in by_source.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, doc_id) in enumerate(items[:RESERVOIR_K], start=1):
+            want.add((source, rank, doc_id))
+    assert {(r.source, r.rank, r.doc_id) for r in got} == want
+    # exactly K (or the stratum size) per source
+    sizes = {s: len(v) for s, v in by_source.items()}
+    per_source: dict = {}
+    for r in got:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    for s, n in per_source.items():
+        assert n == min(RESERVOIR_K, sizes[s])
+
+
+def test_compaction_bins_are_bounded_and_cover_all_files(spark):
+    """compact_file_bins: first-fit-by-offset bound (every bin holds less
+    than target + its largest file), bins are contiguous in file order,
+    and every file is assigned exactly once."""
+    from distributed_system_mapreduce_spark.operators.analytics import (
+        COMPACT_FILE_MOD,
+        COMPACT_TARGET,
+    )
+
+    rows = QUERIES["compact_file_bins"](spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents").collect()
+    want_files = {(d.source, d.doc_id % COMPACT_FILE_MOD) for d in docs}
+    assert {(r.source, r.file_id) for r in rows} == want_files
+
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, files in by_source.items():
+        files.sort(key=lambda r: r.file_id)
+        bins = [r.bin_id for r in files]
+        assert bins == sorted(bins)  # contiguous, non-decreasing
+        totals: dict = {}
+        largest: dict = {}
+        for r in files:
+            totals[r.bin_id] = totals.get(r.bin_id, 0) + r.bytes
+            largest[r.bin_id] = max(largest.get(r.bin_id, 0), r.bytes)
+        for b, tot in totals.items():
+            assert tot < COMPACT_TARGET + largest[b]
+
+
+def test_zorder_bins_are_local_in_both_dimensions(spark):
+    """layout_zorder_cluster: all orders are binned exactly once and the
+    average per-bin span of EACH dimension is far below its global span —
+    the locality property that makes min-max skipping work."""
+    rows = QUERIES["layout_zorder_cluster"](spark, SF_SMOKE).collect()
+    orders = load(spark, SF_SMOKE, "orders")
+    n_total = orders.count()
+    assert sum(r.n_orders for r in rows) == n_total
+    stats = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("d_span"),
+    ).collect()[0]
+    multi = [r for r in rows if r.n_orders > 1]
+    assert multi
+    avg_ck = sum(r.ck_span for r in multi) / len(multi)
+    avg_d = sum(r.date_span_days for r in multi) / len(multi)
+    assert avg_ck < 0.25 * stats.ck_span
+    assert avg_d < 0.25 * stats.d_span

@@ -213,6 +213,7 @@ _SCALAR_COMBINE_BNLJ = {
     "graph_triangle_count",
     "hybrid_rrf_topk",
     "knn_label_vote",
+    "layout_zorder_cluster",
     "pipeline_dedup_corpus",
     "pipeline_train_corpus",
     "sim_ann_ivf",
