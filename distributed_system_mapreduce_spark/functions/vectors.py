@@ -1387,3 +1387,201 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= RANGE_SEARCH_TAU)
         .orderBy(F.desc("score"), F.asc("vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011. The third leg of the ANN family:
+# LSH buckets (sim_ann_lsh) and IVF lists (sim_ann_ivf) shrink the
+# CANDIDATE SET; PQ shrinks the VECTORS — N×M one-byte codes instead of
+# N×dim floats, scored against a per-query lookup table (ADC).
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: M subspaces of dim/M dims, K codes per subspace. At these
+#: settings a 64-dim float vector compresses 32x (8 codes vs 256 bytes).
+PQ_M = 8
+PQ_K = 32
+PQ_ITERS = 2
+PQ_QUERIES = 30
+PQ_TOPK = 10
+#: ADC shortlist size for exact re-ranking: the production pattern keeps
+#: the top-R by compressed score and re-scores only those R true vectors.
+PQ_RERANK = 50
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Split (id, e: array<double>) into (id, m, sv): M contiguous
+    subvectors per row — one narrow explode, no shuffle."""
+    dim_per = F.size("e") / PQ_M
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.expr(
+                    f"slice(e, cast(size(e) / {PQ_M} as int) * {m} + 1, "
+                    f"cast(size(e) / {PQ_M} as int))"
+                ).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    _ = dim_per
+    return emb.select(id_col, F.explode(slices).alias("s")).select(
+        id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+    )
+
+
+def pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): equi-join on the
+    subspace id against the broadcast M×K codebook, argmin of squared L2
+    with a cent_id tiebreak — deterministic under any partitioning."""
+    w = Window.partitionBy(sub.columns[0], "m").orderBy("d", "cent_id")
+    return (
+        sub.join(F.broadcast(cents), "m")
+        .withColumn("d", l2_sq(F.col("sv"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("d", "rn", "ce")
+    )
+
+
+def pq_recompute(assign: DataFrame) -> DataFrame:
+    """ONE PQ-Lloyd recompute stage: per-(subspace, code) elementwise mean
+    (posexplode → partial-agg shuffle of M·K·subdim rows). Exposed, like
+    lloyd_recompute, so the plan sweep screens the trainer's loop body."""
+    return (
+        assign.select("m", "cent_id", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cent_id", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("m", "cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+    )
+
+
+def pq_codebooks(emb: DataFrame) -> DataFrame:
+    """Train all M codebooks in ONE distributed Lloyd loop: the cell key is
+    (m, cent_id), so adding subspaces never adds rounds — every iteration
+    is one broadcast-join assignment plus one M·K·subdim-row shuffle,
+    identical in shape to ``lloyd_centroids`` but euclidean and
+    unnormalized (PQ quantizes raw subvectors, not directions).
+
+    Codebooks collect to the driver between rounds: M·K·(dim/M) = K·dim
+    doubles — bounded by design, exactly MLlib's KMeans contract.
+    """
+    spark = emb.sparkSession
+    sub = pq_subvectors(emb)
+    cents = pq_subvectors(emb.filter(F.col("vec_id") < PQ_K)).select(
+        "m", F.col("vec_id").alias("cent_id"), F.col("sv").alias("ce")
+    )
+    for _ in range(PQ_ITERS):
+        rows = pq_recompute(pq_assign(sub, cents)).collect()
+        cents = spark.createDataFrame(
+            rows, "m int, cent_id long, ce array<double>"
+        )
+    return cents
+
+
+@register("sim_pq_recall")
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{PQ_TOPK} of product-quantized ADC search against the exact
+    brute-force top-{PQ_TOPK}, averaged over {PQ_QUERIES} query vectors —
+    the engine measures its own compression loss as a first-class query
+    (the honest-ANN pattern of sim_ann_recall / sim_quantized_recall).
+
+    Asymmetric distance computation (ADC): each vector is stored as M
+    one-byte codes; each query precomputes a LUT of <q_m, codeword>
+    partial dots (M·K entries — kilobytes, broadcast), and a candidate's
+    approximate score is the sum of M LUT lookups, expressed as an
+    equi-join of the code table against the broadcast LUT plus a
+    (q_id, vec_id) partial-sum aggregation. Nothing touches the original
+    vectors after encoding — at 100 TB the float embeddings are read ONCE
+    to train/encode, and every subsequent query scans only the 64×-smaller
+    code table. The q×N candidate fan-out here is the exhaustive-ADC
+    baseline; the production composition probes IVF lists first
+    (sim_ann_ivf) and ADC-scores only those candidates.
+
+    Rows-only by design: the codebooks come from iterative Lloyd training
+    (not SQL-expressible); quality is pinned by tests/test_ann_quality.py.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = pq_codebooks(emb)
+    codes = pq_assign(pq_subvectors(emb), cents)
+
+    q = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e")
+    )
+    rnk = lambda part, score, tie: F.row_number().over(  # noqa: E731
+        Window.partitionBy(part).orderBy(F.desc(score), F.asc(tie))
+    )
+
+    # per-query LUT: partial dot of each query subvector vs each codeword
+    lut = (
+        pq_subvectors(q, id_col="q_id")
+        .join(F.broadcast(cents), "m")
+        .select(
+            "q_id", "m", "cent_id",
+            dot(F.col("sv"), F.col("ce")).alias("part"),
+        )
+    )
+    shortlist = (
+        codes.join(F.broadcast(lut), ["m", "cent_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("part"), 4).alias("s"))
+        .withColumn("rn", rnk("q_id", "s", "vec_id"))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("q_id", "vec_id")
+    )
+    # exact re-rank of the R-candidate shortlist: only R true vectors per
+    # query are ever re-read — the IVFPQ deployment shape.
+    approx = (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(q.select("q_id", F.col("e").alias("qe"))), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("q_id", "s", "v_id"))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("q_id", "v_id")
+    )
+    exact = (
+        emb.join(F.broadcast(q.select("q_id", F.col("e").alias("qe"))),
+                 F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("q_id", "s", "v_id"))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("q_id", "v_id")
+    )
+    hits = exact.join(approx, ["q_id", "v_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    return hits.select(
+        F.lit(PQ_M).alias("m_subspaces"),
+        F.lit(PQ_K).alias("k_codes"),
+        F.lit(PQ_QUERIES).alias("n_queries"),
+        F.round(F.col("h") / F.lit(PQ_QUERIES * PQ_TOPK * 1.0), 4).alias(
+            "recall"
+        ),
+    )

@@ -196,3 +196,45 @@ def test_kmeans_parallel_trainer_matches_lloyd_quality(emb_d, exact):
     # floor well above the seeded-IVF bar (0.25) rather than parity.
     r_ml = _recall(exact, _ivf_topk(emb_d, trained, nprobe=4))
     assert r_ml >= 0.40, r_ml
+
+
+def test_pq_adc_with_rerank_recall(spark):
+    """Product quantization + exact re-rank must hold recall@10 >= 0.6 at
+    fixture scale (measured ~0.75), and the whole pipeline — Lloyd
+    codebooks, code assignment, ADC shortlist, re-rank — must be
+    deterministic across runs."""
+    from distributed_system_mapreduce_spark.registry import QUERIES
+
+    a = QUERIES["sim_pq_recall"](spark, SF_DIR).collect()
+    assert len(a) == 1
+    row = a[0]
+    assert 0.6 <= row.recall <= 1.0
+    b = QUERIES["sim_pq_recall"](spark, SF_DIR).collect()
+    assert a == b
+
+
+def test_pq_codebooks_reduce_quantization_error(emb_d):
+    """PQ-Lloyd training must not increase total squared quantization
+    error vs the untrained seed codebooks (Lloyd is monotone)."""
+    from distributed_system_mapreduce_spark.functions.vectors import (
+        PQ_K,
+        l2_sq,
+        pq_assign,
+        pq_codebooks,
+        pq_subvectors,
+    )
+
+    e_named = emb_d.select("vec_id", F.col("embedding").alias("e"))
+    sub = pq_subvectors(e_named)
+    seed = pq_subvectors(e_named.filter(F.col("vec_id") < PQ_K)).select(
+        "m", F.col("vec_id").alias("cent_id"), F.col("sv").alias("ce")
+    )
+
+    def total_err(cents):
+        joined = pq_assign(sub, cents).join(cents, ["m", "cent_id"])
+        return joined.agg(
+            F.sum(l2_sq(F.col("sv"), F.col("ce"))).alias("e")
+        ).collect()[0]["e"]
+
+    trained = pq_codebooks(e_named)
+    assert total_err(trained) <= total_err(seed) + 1e-9

@@ -214,6 +214,7 @@ _SCALAR_COMBINE_BNLJ = {
     "hybrid_rrf_topk",
     "knn_label_vote",
     "layout_zorder_cluster",
+    "sim_pq_recall",
     "pipeline_dedup_corpus",
     "pipeline_train_corpus",
     "sim_ann_ivf",
@@ -283,6 +284,9 @@ def _internal_frames(spark):
         gram_partials,
         ivf_assign,
         lloyd_recompute,
+        pq_assign,
+        pq_recompute,
+        pq_subvectors,
     )
     from distributed_system_mapreduce_spark.operators.graph import (
         _symmetric,
@@ -302,6 +306,12 @@ def _internal_frames(spark):
     )
     assign = ivf_assign(emb, cents, round_scores=False)
     cand, pw = mmr_pools(spark, _PLAN_SF)
+    e_named = emb.select("vec_id", F.col("embedding").alias("e"))
+    pq_sub = pq_subvectors(e_named)
+    pq_cents = pq_subvectors(e_named.filter(F.col("vec_id") < 4)).select(
+        "m", F.col("vec_id").alias("cent_id"), F.col("sv").alias("ce")
+    )
+    pq_asg = pq_assign(pq_sub, pq_cents)
     return {
         # label: (frame, allow_bnlj, allow_arrow)
         "kcore_round": (kcore_round(edges, 2, 4), False, False),
@@ -310,6 +320,8 @@ def _internal_frames(spark):
         "mmr_cand_pool": (cand, True, False),  # 1-row query broadcast
         "mmr_pair_pool": (pw, True, False),  # pool x pool, MMR_POOL-bounded
         "pca_gram_partials": (gram_partials(emb), False, True),
+        "pq_assign": (pq_asg, False, False),  # equi-join on subspace id
+        "pq_recompute": (pq_recompute(pq_asg), False, False),
     }
 
 
@@ -322,6 +334,8 @@ def _internal_frames(spark):
         "mmr_cand_pool",
         "mmr_pair_pool",
         "pca_gram_partials",
+        "pq_assign",
+        "pq_recompute",
     ],
 )
 def test_iterative_internal_plan_sweep(label, spark):
