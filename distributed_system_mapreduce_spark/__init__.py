@@ -120,6 +120,14 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       agg_cms_heavy_hitters (hash-checked count-min bound, new r7),
     #       orders_rfm_segments (segmentation family),
     #       events_transition_matrix (Markov family)
+    #   r11: join_bloom_pruned (runtime-filter family, new r7),
+    #       layout_zorder_cluster (data-layout family, new r7),
+    #       part_skyline_brand (skyline family, new r7),
+    #       pipeline_epoch_shuffle (training-order family, new r7)
+    #   r12: sample_weighted_reservoir (E-S weighted sampling, new r7),
+    #       compact_file_bins (lakehouse maintenance, new r7),
+    #       events_ohlc_daily (hypertable downsample, new r7),
+    #       sim_pq_recall (rows-only PQ quality witness, new r7)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

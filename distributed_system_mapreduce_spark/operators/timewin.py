@@ -587,3 +587,69 @@ def events_series_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("corr_r"), F.asc("user_a"), F.asc("user_b")
     ).limit(SERIES_TOP_PAIRS)
+
+
+@register(
+    "events_ohlc_daily",
+    oracle=f"""
+    with ranked as (
+      select event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') as day,
+             value, ts, event_id,
+             row_number() over (partition by event_type, date_trunc('day', ts)
+                                order by ts, event_id) as rn_open,
+             row_number() over (partition by event_type, date_trunc('day', ts)
+                                order by ts desc, event_id desc) as rn_close
+      from events)
+    select event_type, day,
+           round(max(case when rn_open = 1 then value end), 4) as open,
+           round(max(value), 4) as high,
+           round(min(value), 4) as low,
+           round(max(case when rn_close = 1 then value end), 4) as close,
+           cast(count(*) as bigint) as n_events
+    from ranked
+    group by event_type, day
+    order by event_type, day
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC gauge rollup per event type — the hypertable downsample
+    (TimescaleDB continuous-aggregate / Grafana candlestick shape): open =
+    first value by event time, high/low = extremes, close = last value.
+
+    First/last are rank-1 rows of two mirrored row_number windows with an
+    event_id tiebreak (deterministic under ts collisions — the same armor
+    as window_lag_lead); both windows and the final rollup share ONE
+    (event_type, day) shuffle. At 100 TB this is the query that turns a
+    raw gauge stream into a queryable downsample: partial aggregation
+    handles high/low map-side, and the window sort is per (type, day)
+    partition — bounded by a day's events per type, never global. The
+    same expression over ``window()`` buckets is the Structured-Streaming
+    continuous-aggregate form.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    )
+    wkey = ["event_type", "day"]
+    w_open = Window.partitionBy(*wkey).orderBy("ts", "event_id")
+    w_close = Window.partitionBy(*wkey).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return (
+        ranked.groupBy(*wkey)
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 4
+            ).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 4
+            ).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )

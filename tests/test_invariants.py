@@ -612,3 +612,16 @@ def test_zorder_bins_are_local_in_both_dimensions(spark):
     avg_d = sum(r.date_span_days for r in multi) / len(multi)
     assert avg_ck < 0.25 * stats.ck_span
     assert avg_d < 0.25 * stats.d_span
+
+
+def test_ohlc_bounds_and_coverage(spark):
+    """events_ohlc_daily: low <= {open, close} <= high per bucket, and the
+    bucket counts cover every event exactly once."""
+    rows = QUERIES["events_ohlc_daily"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high, r
+        assert r.low <= r.close <= r.high, r
+        assert r.n_events >= 1
+    total = load(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_events for r in rows) == total
