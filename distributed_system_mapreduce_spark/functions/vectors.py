@@ -1402,6 +1402,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8
 PQ_K = 32
 PQ_ITERS = 2
+#: codebooks train on a deterministic 1-in-TRAIN_MOD key sample — standard
+#: PQ practice (FAISS trains on ~100k of a billion vectors): quantizer
+#: quality needs a distribution sample, not the corpus.
+PQ_TRAIN_MOD = 4
 PQ_QUERIES = 30
 PQ_TOPK = 10
 #: ADC shortlist size for exact re-ranking: the production pattern keeps
@@ -1443,14 +1447,30 @@ def pq_subvectors(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
 def pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest codebook entry per (vector, subspace): equi-join on the
     subspace id against the broadcast M×K codebook, argmin of squared L2
-    with a cent_id tiebreak — deterministic under any partitioning."""
-    w = Window.partitionBy(sub.columns[0], "m").orderBy("d", "cent_id")
+    with a cent_id tiebreak — deterministic under any partitioning.
+
+    The argmin is ``min_by`` over a (distance, cent_id) ordering struct,
+    NOT a rank window: min_by partial-aggregates map-side, so the N·K
+    scored rows combine down to one row per (vector, subspace) before any
+    exchange — a window would sort and shuffle all N·K. The subvector
+    rides along inside the min_by value struct (it is functionally
+    dependent on the group key)."""
+    id_col = sub.columns[0]
     return (
         sub.join(F.broadcast(cents), "m")
         .withColumn("d", l2_sq(F.col("sv"), F.col("ce")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("d", "rn", "ce")
+        .groupBy(id_col, "m")
+        .agg(
+            F.min_by(
+                F.struct("cent_id", "sv"), F.struct("d", "cent_id")
+            ).alias("best")
+        )
+        .select(
+            id_col,
+            "m",
+            F.col("best.cent_id").alias("cent_id"),
+            F.col("best.sv").alias("sv"),
+        )
     )
 
 
@@ -1480,10 +1500,17 @@ def pq_codebooks(emb: DataFrame) -> DataFrame:
     unnormalized (PQ quantizes raw subvectors, not directions).
 
     Codebooks collect to the driver between rounds: M·K·(dim/M) = K·dim
-    doubles — bounded by design, exactly MLlib's KMeans contract.
+    doubles — bounded by design, exactly MLlib's KMeans contract. Training
+    scans only a deterministic 1-in-{PQ_TRAIN_MOD} key sample of the
+    corpus (cached across rounds): the quantizer needs a distribution
+    sample, not every vector — at 100 TB this is the difference between
+    an hours-long trainer and a constant-time one.
     """
     spark = emb.sparkSession
-    sub = pq_subvectors(emb)
+    sub = pq_subvectors(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(PQ_TRAIN_MOD)) == 0)
+    )
+    sub = track(sub)  # re-scored every Lloyd round
     cents = pq_subvectors(emb.filter(F.col("vec_id") < PQ_K)).select(
         "m", F.col("vec_id").alias("cent_id"), F.col("sv").alias("ce")
     )
