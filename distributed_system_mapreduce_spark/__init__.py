@@ -19,12 +19,14 @@ from .functions import retrieval  # noqa: F401  (needs text+vectors oracles)
 from .operators import (  # noqa: F401
     aggregations,
     analytics,
+    cdc,
     cohorts,
     curation,
     dedup,
     extended,
     graph,
     joins,
+    mleval,
     relational,
     setops,
     sorts,

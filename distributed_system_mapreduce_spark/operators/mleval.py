@@ -1,0 +1,182 @@
+"""Distributed model-evaluation operators: exact AUC and calibration bins.
+
+A training-data pipeline ends at a model, and the evaluation of that model
+runs over the same 100 TB-scale scored corpus the pipeline produced — so
+the eval metrics themselves must be distributed aggregations, not
+driver-side sklearn calls. The two queries here are the canonical shapes:
+
+- ``eval_auc``: exact ROC-AUC. The naive form ranks every scored row
+  globally (a full sort of the corpus); the scale-correct identity is that
+  AUC only depends on the per-distinct-score (positives, negatives) counts:
+  AUC = sum_s pos_s * (cum_neg_below_s + neg_s / 2) / (P * N) — the
+  average-rank tie treatment, equal to the Mann-Whitney U statistic. The
+  group-by collapses the corpus map-side to one row per distinct score
+  (bounded by score resolution, not corpus rows); only that tiny rollup is
+  windowed and reduced.
+- ``eval_calibration_bins``: the reliability-diagram rollup (predicted
+  probability vs observed positive rate per fixed-width bin). Pure
+  two-level aggregation, fully partial-aggregable; output is <= N_BINS
+  rows at any scale. Probability sums go through decimal(18,9) so the
+  per-bin means are partitioning-order-independent (SURVEY.md §7.3.1).
+
+No reference-file citation is possible (the /root/reference snapshot is
+empty — SURVEY.md §0); the eval family is part of the driver's
+LLM-pipeline mandate. Labels/scores derive deterministically from the
+``embeddings`` table: positive class = label < 5, score = the first
+embedding component (floor-bucketed to integer milli-units so the
+grouping key is exact on both engines — no float round-half boundary in
+a key position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import load
+
+#: Score bucketing: floor(first_component * 1000) — integer milli-units.
+#: Floor of an identical double is exact on both engines, unlike rounding
+#: a float at a .5 boundary.
+SCORE_SCALE = 1000
+#: Calibration: probability proxy p = clip(0.5 + 1.5 * first_component)
+#: into [0, 1], binned into N_BINS fixed-width bins.
+CALIB_GAIN = 1.5
+N_BINS = 10
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, score_m, is_pos): integer milli-score + binary label."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.floor(F.col("embedding")[0].cast("double") * SCORE_SCALE)
+        .cast("bigint")
+        .alias("score_m"),
+        (F.col("label") < 5).cast("int").alias("is_pos"),
+    )
+
+
+@register(
+    "eval_auc",
+    oracle=f"""
+    with scored as (
+      select cast(floor(cast(embedding[1] as double) * {SCORE_SCALE})
+                  as bigint) as score_m,
+             cast(label < 5 as int) as is_pos
+      from embeddings),
+    per_score as (
+      select score_m,
+             cast(sum(is_pos) as bigint) as pos,
+             cast(sum(1 - is_pos) as bigint) as neg
+      from scored
+      group by score_m),
+    cum as (
+      select pos, neg,
+             coalesce(sum(neg) over (order by score_m
+                       rows between unbounded preceding
+                       and 1 preceding), 0) as cum_neg
+      from per_score)
+    select round(cast(sum(pos * (2 * cum_neg + neg)) as double)
+                 / (2.0 * (select sum(pos) from per_score)
+                        * (select sum(neg) from per_score)), 6) as auc,
+           cast((select sum(pos) from per_score) as bigint) as n_pos,
+           cast((select sum(neg) from per_score) as bigint) as n_neg,
+           count(*) as n_scores
+    from cum
+    """,
+)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the milli-bucketed embedding score against the
+    binary label, with average-rank tie handling (Mann-Whitney U).
+
+    Plan: one map-side-combining groupBy collapses the corpus to one row
+    per distinct score; the running negative count windows over that
+    rollup (rows = distinct scores, a single tiny partition at any corpus
+    size); the final reduce is one row. All arithmetic stays integer until
+    the last division — pos*(2*cum_neg+neg) doubles the half-credit tie
+    term so no fraction appears before the deterministic final divide.
+    """
+    per_score = _scored(spark, sf_dir).groupBy("score_m").agg(
+        F.sum("is_pos").alias("pos"),
+        F.sum(1 - F.col("is_pos")).alias("neg"),
+    )
+    w = (
+        Window.orderBy("score_m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum_neg"),
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg")))
+            .cast("double")
+            / (2.0 * F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    with probs as (
+      select least(greatest(
+               0.5 + {CALIB_GAIN} * cast(embedding[1] as double),
+               0.0), 1.0) as p,
+             cast(label < 5 as int) as is_pos
+      from embeddings),
+    binned as (
+      select least(cast(floor(p * {N_BINS}) as int), {N_BINS} - 1)
+               as bin,
+             cast(p as decimal(18,9)) as p9,
+             is_pos
+      from probs)
+    select bin,
+           count(*) as n,
+           round(cast(sum(p9) as double) / count(*), 6) as mean_p,
+           round(cast(sum(is_pos) as double) / count(*), 6) as pos_rate
+    from binned
+    group by bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram rollup: per fixed-width probability bin, the
+    mean predicted probability vs the observed positive rate.
+
+    Single partial-aggregable groupBy; <= N_BINS output rows at any
+    scale. Probabilities sum as decimal(18,9) (exact, order-independent)
+    before the mean — a double sum over 100 TB of partitions would make
+    ``mean_p`` depend on partitioning (SURVEY.md §7.3.1).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    p = F.least(
+        F.greatest(
+            0.5 + CALIB_GAIN * F.col("embedding")[0].cast("double"),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    binned = emb.select(
+        F.least(
+            F.floor(p * N_BINS).cast("int"), F.lit(N_BINS - 1)
+        ).alias("bin"),
+        p.cast("decimal(18,9)").alias("p9"),
+        (F.col("label") < 5).cast("int").alias("is_pos"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("p9").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_p"),
+        F.round(
+            F.sum("is_pos").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pos_rate"),
+    )

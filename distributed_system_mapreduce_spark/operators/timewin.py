@@ -653,3 +653,65 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_seasonal_index",
+    oracle="""
+    with daily as (
+      select event_type, cast(ts as date) as day,
+             cast(count(*) as bigint) as cnt
+      from events
+      group by all),
+    by_dow as (
+      select event_type, cast(isodow(day) as int) as dow_iso,
+             cast(count(*) as bigint) as n_days,
+             cast(sum(cnt) as bigint) as dow_cnt
+      from daily
+      group by all)
+    select event_type, dow_iso, n_days,
+           round(cast(dow_cnt as double) / n_days, 4) as avg_cnt,
+           round((cast(dow_cnt as double) / n_days)
+                 / (cast(sum(dow_cnt) over (partition by event_type)
+                         as double)
+                    / sum(n_days) over (partition by event_type)),
+                 4) as seasonal_index
+    from by_dow
+    """,
+)
+def events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: average daily count per ISO
+    weekday, and its ratio to the type's overall daily average (the
+    seasonal index a forecaster divides out before trend fitting).
+
+    Plan: one map-side-combining daily rollup (corpus collapses to
+    types x days), a second tiny groupBy to weekdays, and a window over
+    the <= types x 7 rollup for the per-type normalizer — nothing
+    downstream of the first shuffle scales with corpus size. Counts stay
+    integer until the two final divisions, so the index is
+    partitioning-independent. Weekdays are ISO (1=Monday) on both engines
+    (Spark ``weekday()+1`` == DuckDB ``isodow``).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    by_dow = daily.groupBy(
+        "event_type",
+        (F.weekday("day") + 1).cast("int").alias("dow_iso"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("dow_cnt"),
+    )
+    w = Window.partitionBy("event_type")
+    avg_dow = F.col("dow_cnt").cast("double") / F.col("n_days")
+    avg_all = (
+        F.sum("dow_cnt").over(w).cast("double") / F.sum("n_days").over(w)
+    )
+    return by_dow.select(
+        "event_type",
+        "dow_iso",
+        "n_days",
+        F.round(avg_dow, 4).alias("avg_cnt"),
+        F.round(avg_dow / avg_all, 4).alias("seasonal_index"),
+    )

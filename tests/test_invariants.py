@@ -625,3 +625,82 @@ def test_ohlc_bounds_and_coverage(spark):
         assert r.n_events >= 1
     total = load(spark, SF_SMOKE, "events").count()
     assert sum(r.n_events for r in rows) == total
+
+
+def test_eval_auc_bounds_and_partition(spark):
+    """eval_auc: AUC in [0,1]; pos+neg partition the corpus; the distinct
+    score count is bounded by the milli-bucket resolution."""
+    row = QUERIES["eval_auc"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.auc <= 1.0
+    n_emb = load(spark, SF_DIR, "embeddings").count()
+    assert row.n_pos + row.n_neg == n_emb
+    assert 0 < row.n_scores <= n_emb
+
+
+def test_eval_auc_label_flip_complement(spark):
+    """Flipping the positive class must give exactly 1 - AUC (average-rank
+    tie handling makes the identity hold with ties present)."""
+    from distributed_system_mapreduce_spark.operators import mleval
+
+    base = QUERIES["eval_auc"](spark, SF_SMOKE).collect()[0]
+    per_score = (
+        mleval._scored(spark, SF_SMOKE)
+        .withColumn("is_pos", 1 - F.col("is_pos"))
+        .groupBy("score_m")
+        .agg(
+            F.sum("is_pos").alias("pos"),
+            F.sum(1 - F.col("is_pos")).alias("neg"),
+        )
+        .collect()
+    )
+    # brute-force flipped AUC from the rollup
+    per_score.sort(key=lambda r: r.score_m)
+    cum_neg = 0
+    num2 = 0
+    for r in per_score:
+        num2 += r.pos * (2 * cum_neg + r.neg)
+        cum_neg += r.neg
+    P = sum(r.pos for r in per_score)
+    N = sum(r.neg for r in per_score)
+    flipped = num2 / (2.0 * P * N)
+    assert abs((1.0 - flipped) - base.auc) < 1.5e-6  # base is round(..,6)
+
+
+def test_eval_calibration_bins_cover_corpus(spark):
+    """Calibration bins partition all embeddings; rates are probabilities."""
+    rows = QUERIES["eval_calibration_bins"](spark, SF_DIR).collect()
+    n_emb = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n for r in rows) == n_emb
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert 0.0 <= r.mean_p <= 1.0
+        # mean_p must fall inside its bin's width (clipping puts mass on
+        # the edge bins' boundaries)
+        assert r.bin / 10 - 1e-9 <= r.mean_p <= (r.bin + 1) / 10 + 1e-9
+
+
+def test_cdc_merge_actions_and_tombstones(spark):
+    """cdc_merge_upserts: one row per surviving user, valid action codes,
+    no tombstone survives, and K-rows carry base-period state only."""
+    rows = QUERIES["cdc_merge_upserts"](spark, SF_DIR).collect()
+    assert rows, "merge produced no snapshot"
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    assert {r.action for r in rows} <= {"I", "U", "K"}
+    assert all(r.last_type != "error" for r in rows)
+    assert all(r.n_events > 0 for r in rows)
+
+
+def test_events_seasonal_index_weighted_mean_is_one(spark):
+    """Per type, the day-weighted mean of the seasonal index is 1 by
+    construction (each dow's index weighted by its share of days)."""
+    rows = QUERIES["events_seasonal_index"](spark, SF_DIR).collect()
+    assert all(1 <= r.dow_iso <= 7 for r in rows)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for tp, rs in by_type.items():
+        total_days = sum(r.n_days for r in rs)
+        weighted = sum(r.seasonal_index * r.n_days for r in rs) / total_days
+        assert abs(weighted - 1.0) < 1e-3, (tp, weighted)

@@ -200,6 +200,7 @@ _PLAN_SF = "/root/testdata/sf0.001"
 #: quadratic-at-scale regression and fails the sweep.
 _SCALAR_COMBINE_BNLJ = {
     "agg_cms_heavy_hitters",
+    "cdc_merge_upserts",
     "dedup_cluster",
     "dedup_near_minhash",
     "dedup_simhash",
