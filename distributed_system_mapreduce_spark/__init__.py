@@ -130,6 +130,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       compact_file_bins (lakehouse maintenance, new r7),
     #       events_ohlc_daily (hypertable downsample, new r7),
     #       sim_pq_recall (rows-only PQ quality witness, new r7)
+    #   r13: eval_auc (distributed Mann-Whitney AUC, new r7),
+    #       eval_calibration_bins (reliability rollup, new r7),
+    #       cdc_merge_upserts (lakehouse MERGE witness, new r7),
+    #       events_seasonal_index (dow seasonality, new r7)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

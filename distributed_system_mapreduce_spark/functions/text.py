@@ -886,3 +886,66 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("lf", "lr"), 4).alias("zipf_intercept"),
         F.round(F.corr("lf", "lr"), 4).alias("log_log_corr"),
     )
+
+
+#: How many candidate merges text_bpe_merge_step reports.
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "text_bpe_merge_step",
+    oracle=f"""
+    with wc as (
+      select word, cast(count(*) as bigint) as cnt
+      from (select unnest(string_split(text, ' ')) as word from documents)
+      where word <> ''
+      group by word),
+    pairs as (
+      select substr(word, cast(i as int), 2) as pair, cnt
+      from (select word, cnt,
+                   unnest(generate_series(1, len(word) - 1)) as i
+            from wc
+            where len(word) >= 2))
+    select pair, cast(sum(cnt) as bigint) as cnt
+    from pairs
+    group by pair
+    order by cnt desc, pair
+    limit {BPE_TOP_PAIRS}
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step: the corpus-weighted adjacent
+    character-pair counts whose argmax is the next merge rule (Sennrich et
+    al., ACL 2016 — the algorithm GPT/Llama tokenizers train with).
+
+    The 100 TB-shape trick is that pair counting factors through the
+    VOCABULARY: the corpus collapses to (word, count) first (one map-side-
+    combining shuffle — word_count itself), and pairs explode from the
+    distinct-word table only, so the quadratic-ish explode runs over
+    thousands of words regardless of corpus size. A real BPE trainer
+    repeats this step after applying each merge; one step is the
+    registered, oracle-checked witness. Top pairs order by (count desc,
+    pair) — deterministic under ties on both engines.
+    """
+    from ..operators.relational import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        tokens(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        "cnt",
+        F.explode(
+            F.sequence(F.lit(1), F.length("word") - 1)
+        ).alias("i"),
+        "word",
+    ).select(F.expr("substring(word, i, 2)").alias("pair"), "cnt")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -148,3 +148,100 @@ def cdc_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_events"),
     )
     return merged.filter(F.col("last_type") != TOMBSTONE)
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle=f"""
+    with bounds as (
+      select (min(epoch_us(o_orderdate)) + max(epoch_us(o_orderdate))) // 2
+               as split_us
+      from orders),
+    tagged as (
+      select o_orderpriority as priority,
+             strftime(o_orderdate, '%Y-%m') as month,
+             epoch_us(o_orderdate) >= (select split_us from bounds)
+               as is_delta,
+             cast(o_totalprice as decimal(18,4)) as price
+      from orders)
+    select priority, month,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(case when is_delta then 0 else 1 end) as bigint)
+             as n_base,
+           cast(sum(case when is_delta then 1 else 0 end) as bigint)
+             as n_delta,
+           round(cast(sum(price) as double), 2) as sum_total,
+           round(cast(sum(price) as double) / count(*), 4) as avg_total
+    from tagged
+    group by priority, month
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: merge a standing per-group
+    rollup with a change-batch rollup WITHOUT rescanning the base period —
+    the algebraic partial-aggregate merge every incremental MV engine
+    (Delta MV, Materialize, Druid rollup compaction) is built on.
+
+    The orders span splits at its midpoint (derived from the data,
+    mirrored in the oracle): the base half stands in for the materialized
+    rollup, the delta half for the incoming batch. Count/sum merge by
+    addition (sums exact in decimal(18,4), so merge order is irrelevant);
+    avg re-derives from the merged sum/count — the reason MVs store
+    (sum, count), never avg. The oracle computes the same groups in one
+    pass; algebraic-merge == recompute is exactly the property being
+    witnessed (and pinned in tests/test_invariants.py).
+
+    Scale: each side is one partial-agg shuffle collapsing to groups; the
+    merge is a full-outer join on the group key over rollup-sized frames.
+    At 100 TB only the delta batch is scanned per refresh — the base
+    rollup is the standing table.
+    """
+    od = load(spark, sf_dir, "orders").withColumn(
+        # o_orderdate arrives TIMESTAMP_NTZ; the container runs UTC, so the
+        # cast-to-instant epoch equals DuckDB's epoch_us over the naive value
+        "ts_us",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+    )
+    split = od.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2)
+        .cast("bigint")
+        .alias("split_us")
+    )
+    od = od.crossJoin(F.broadcast(split)).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("ts_us") >= F.col("split_us")).alias("is_delta"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+
+    def rollup(df: DataFrame, n_col: str, s_col: str) -> DataFrame:
+        return df.groupBy("priority", "month").agg(
+            F.count(F.lit(1)).alias(n_col),
+            F.sum("price").alias(s_col),
+        )
+
+    base = rollup(od.filter(~F.col("is_delta")), "n_base", "s_base")
+    delta = rollup(od.filter(F.col("is_delta")), "n_delta", "s_delta")
+    zero = F.lit(0).cast("decimal(28,4)")
+    merged = base.join(delta, ["priority", "month"], "full_outer").select(
+        "priority",
+        "month",
+        (
+            F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0))
+        ).alias("n_orders"),
+        F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).cast("bigint").alias("n_delta"),
+        (F.coalesce(F.col("s_base"), zero) + F.coalesce(F.col("s_delta"), zero))
+        .alias("s_total"),
+    )
+    return merged.select(
+        "priority",
+        "month",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "n_base",
+        "n_delta",
+        F.round(F.col("s_total").cast("double"), 2).alias("sum_total"),
+        F.round(F.col("s_total").cast("double") / F.col("n_orders"), 4).alias(
+            "avg_total"
+        ),
+    )

@@ -754,3 +754,76 @@ def graph_kcore_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference peel on random graphs in tests/test_property.py.
     """
     return _kcore_summary(spark, sf_dir, 3)
+
+
+#: BFS unroll depth — fixed so the whole traversal is ONE declarative plan
+#: (no driver loop) and the oracle mirrors it as chained CTEs.
+BFS_HOPS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    with {_PAIRS_SQL.strip().rstrip(',').replace('deg as (select src as id, count(*) as deg from edges group by src)', '')}
+    src0 as (select min(src) as node from edges),
+    d1 as (select distinct e.dst as node from edges e
+           join src0 s on e.src = s.node),
+    d2 as (select distinct e.dst as node from edges e
+           join d1 on e.src = d1.node),
+    d3 as (select distinct e.dst as node from edges e
+           join d2 on e.src = d2.node),
+    levels as (
+      select node, 0 as hop from src0
+      union all select node, 1 from d1
+      union all select node, 2 from d2
+      union all select node, 3 from d3),
+    dist as (select node, min(hop) as hop from levels group by node)
+    select cast(hop as int) as hop,
+           count(*) as n_nodes,
+           cast(sum(node) as bigint) as node_checksum
+    from dist
+    group by hop
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first traversal from the smallest co-purchase node, unrolled
+    to BFS_HOPS levels: per hop distance, how many parts are first reached
+    there (plus an id checksum so the oracle hashes membership, not just
+    counts).
+
+    The unroll is the scale shape for BOUNDED-depth traversal: three
+    self-joins against the edge list with a per-level ``distinct`` (the
+    frontier dedup that keeps path multiplicity from exploding — without
+    it level k materializes every walk, not every node), then one min-hop
+    rollup. Each level is an equi-join on the node key; nothing iterates
+    on the driver, so Catalyst sees the whole traversal and AQE sizes
+    every exchange. Unbounded reachability is ``graph_components``'s
+    hash-min loop; this query is the fixed-depth probe (friends-of-
+    friends, 3-hop ego nets) that stays a single plan.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    edges = track(
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    src0 = edges.agg(F.min("src").alias("node"))
+    frontier = src0
+    levels = [src0.select("node", F.lit(0).alias("hop"))]
+    for hop in range(1, BFS_HOPS + 1):
+        frontier = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("node", F.lit(hop).alias("hop")))
+    all_levels = levels[0]
+    for lv in levels[1:]:
+        all_levels = all_levels.unionAll(lv)
+    dist = all_levels.groupBy("node").agg(F.min("hop").alias("hop"))
+    return dist.groupBy(F.col("hop").cast("int").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("node_checksum"),
+    )

@@ -180,3 +180,108 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_pos").cast("double") / F.count(F.lit(1)), 6
         ).alias("pos_rate"),
     )
+
+
+#: NDCG: query set = vec_id < NDCG_QUERIES, ranked depth NDCG_K.
+NDCG_QUERIES = 10
+NDCG_K = 10
+
+
+@register(
+    "eval_ndcg_at_k",
+    oracle=f"""
+    with q as (
+      select vec_id as qid, embedding::DOUBLE[] as q_emb, label as q_label
+      from embeddings where vec_id < {NDCG_QUERIES}),
+    scored as (
+      select q.qid, cast(e.label = q.q_label as int) as relv, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.q_emb), 4)
+               as score
+      from embeddings e, q
+      where e.vec_id <> q.qid),
+    ranked as (
+      select qid, relv,
+             row_number() over (partition by qid
+                                order by score desc, vec_id) as rnk
+      from scored),
+    nrel as (
+      select qid, cast(sum(relv) as bigint) as n_rel
+      from scored group by qid),
+    dcg as (
+      select qid,
+             list_reduce(list(relv / log2(rnk + 1) order by rnk),
+                         (a, b) -> a + b) as dcg
+      from ranked where rnk <= {NDCG_K} group by qid)
+    select d.qid as qid, n.n_rel,
+           case when n.n_rel = 0 then 0.0
+                else round(d.dcg / list_reduce(
+                       list_transform(
+                         generate_series(1, least({NDCG_K}, n.n_rel)),
+                         i -> 1.0 / log2(i + 1)),
+                       (a, b) -> a + b), 6)
+           end as ndcg
+    from dcg d join nrel n using (qid)
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of dot-product retrieval per query vector, with binary
+    relevance = label match — the ranking-quality twin of ``eval_auc``
+    for the similarity-search family.
+
+    Plan: the NDCG_QUERIES query vectors broadcast against the corpus (a
+    linear scored grid, never corpus x corpus); scores round to 4 dp with
+    vec_id tiebreaks BEFORE ranking (engine-stable top-k membership, the
+    same armor as sim_ann_recall); per-query DCG folds the <= k ranked
+    gains in rank order via the ``aggregate`` higher-order function, so
+    both engines run the identical left-to-right double sum. At scale the
+    per-query ranking is a partitioned top-k (per-partition heaps), and
+    everything after the rank filter is Q-row-bounded.
+    """
+    from ..functions.vectors import dot, spread
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        spread(emb)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            (F.col("label") == F.col("q_label")).cast("int").alias("relv"),
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= NDCG_K
+    )
+    dcg = ranked.groupBy("qid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rnk", "relv"))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["relv"].cast("double") / F.log2(s["rnk"] + 1),
+        ).alias("dcg")
+    )
+    nrel = scored.groupBy("qid").agg(
+        F.sum("relv").cast("bigint").alias("n_rel")
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(NDCG_K), F.col("n_rel"))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i + 1),
+    )
+    return dcg.join(nrel, "qid").select(
+        "qid",
+        "n_rel",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("dcg") / idcg, 6))
+        .alias("ndcg"),
+    )

@@ -704,3 +704,70 @@ def test_events_seasonal_index_weighted_mean_is_one(spark):
         total_days = sum(r.n_days for r in rs)
         weighted = sum(r.seasonal_index * r.n_days for r in rs) / total_days
         assert abs(weighted - 1.0) < 1e-3, (tp, weighted)
+
+
+def test_eval_ndcg_bounds(spark):
+    """eval_ndcg_at_k: one row per query; NDCG is in [0,1]."""
+    rows = QUERIES["eval_ndcg_at_k"](spark, SF_DIR).collect()
+    from distributed_system_mapreduce_spark.operators.mleval import (
+        NDCG_QUERIES,
+    )
+    assert len(rows) == NDCG_QUERIES
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0
+        assert r.n_rel >= 0
+
+
+def test_mv_incremental_merge_equals_recompute(spark):
+    """The algebraic-merge property mv_incremental_refresh exists to
+    witness: base-rollup + delta-rollup merged == one-pass recompute."""
+    from distributed_system_mapreduce_spark.sources.io import load as _load
+
+    merged = {
+        (r.priority, r.month): r
+        for r in QUERIES["mv_incremental_refresh"](spark, SF_DIR).collect()
+    }
+    od = _load(spark, SF_DIR, "orders")
+    direct = (
+        od.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("s"),
+        )
+        .collect()
+    )
+    assert len(direct) == len(merged)
+    for r in direct:
+        m = merged[(r.priority, r.month)]
+        assert m.n_orders == r.n == m.n_base + m.n_delta
+        assert abs(m.sum_total - r.s) < 1e-6
+
+
+def test_graph_bfs_hops_shape(spark):
+    """BFS: hop 0 is exactly the single source; hops are within the fixed
+    unroll depth; every hop reaches at least one node."""
+    from distributed_system_mapreduce_spark.operators.graph import BFS_HOPS
+
+    rows = {r.hop: r for r in QUERIES["graph_bfs_hops"](spark, SF_DIR).collect()}
+    assert rows[0].n_nodes == 1
+    assert set(rows) <= set(range(BFS_HOPS + 1))
+    assert all(r.n_nodes > 0 for r in rows.values())
+
+
+def test_text_bpe_merge_step_pairs(spark):
+    """BPE step: every candidate merge is a 2-char pair; counts are
+    positive and non-increasing in rank order."""
+    rows = QUERIES["text_bpe_merge_step"](spark, SF_DIR).collect()
+    assert rows
+    assert all(len(r.pair) == 2 for r in rows)
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert cnts[-1] > 0

@@ -201,6 +201,8 @@ _PLAN_SF = "/root/testdata/sf0.001"
 _SCALAR_COMBINE_BNLJ = {
     "agg_cms_heavy_hitters",
     "cdc_merge_upserts",
+    "eval_ndcg_at_k",
+    "mv_incremental_refresh",
     "dedup_cluster",
     "dedup_near_minhash",
     "dedup_simhash",
