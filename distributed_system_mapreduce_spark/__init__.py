@@ -134,6 +134,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       eval_calibration_bins (reliability rollup, new r7),
     #       cdc_merge_upserts (lakehouse MERGE witness, new r7),
     #       events_seasonal_index (dow seasonality, new r7)
+    #   r14: eval_ndcg_at_k (retrieval ranking eval, new r7),
+    #       mv_incremental_refresh (algebraic MV merge, new r7),
+    #       graph_bfs_hops (single-plan bounded traversal, new r7),
+    #       text_bpe_merge_step (tokenizer-training step, new r7)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
