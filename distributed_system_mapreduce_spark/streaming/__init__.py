@@ -1,3 +1,6 @@
+from .cdc import (  # noqa: F401
+    cdc_upsert_stream,
+)
 from .curation import (  # noqa: F401
     decontam_flagged_stream,
     eval_shingle_table,

@@ -468,3 +468,69 @@ def test_streaming_minhash_ttl_evicts_and_drops_late(spark, tmp_path):
     got2 = run_available_now(stream2, "t_dedup_nottl", mode="append")
     pairs2 = {(r["a_id"], r["b_id"]) for r in got2.collect()}
     assert pairs2 == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+
+
+def test_streaming_cdc_upsert_matches_batch(spark, tmp_path):
+    """Streaming CDC upsert store == batch latest-wins state under a
+    2-micro-batch split of the event changelog: latest-wins by the unique
+    (ts, event_id) order is associative over batches, so the LAST emitted
+    state per user (the one with the user's total op count) must equal
+    ``operators.cdc._latest_state`` over the same rows, including the
+    alive/tombstone flag.
+    """
+    import time
+
+    from distributed_system_mapreduce_spark.operators.cdc import (
+        TOMBSTONE,
+        _latest_state,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        cdc_upsert_stream,
+        run_available_now,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_epoch"),
+        "ts",
+    )
+    mid = ev.agg(F.avg("ts_epoch")).collect()[0][0]
+    d = tmp_path / "cdc_events"
+    cols = ["user_id", "event_id", "event_type", "value", "ts_epoch"]
+    ev.filter(F.col("ts_epoch") < mid).select(cols).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    time.sleep(0.2)  # distinct mtimes => deterministic batch order
+    ev.filter(F.col("ts_epoch") >= mid).select(cols).coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+
+    stream = cdc_upsert_stream(
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, "
+            "value double, ts_epoch long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    got = run_available_now(stream, "t_cdc_upsert", mode="update")
+    # final state per user = the emission carrying the user's total op
+    # count (n_ops strictly grows across batches)
+    final = {}
+    for r in got.collect():
+        if r.user_id not in final or r.n_ops > final[r.user_id].n_ops:
+            final[r.user_id] = r
+
+    expected = {r.user_id: r for r in _latest_state(ev).collect()}
+    assert set(final) == set(expected)
+    for uid, e in expected.items():
+        g = final[uid]
+        assert g.n_ops == e.n_ops
+        assert g.last_type == e.last_type
+        assert g.last_value == e.last_value
+        assert g.alive == (e.last_type != TOMBSTONE)
