@@ -118,15 +118,22 @@ def agg_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose error drifted past the bound hash-mismatches — the same
     measured-quality pattern as sim_ann_recall and
     agg_percentile_sketch_error, here promoted to a full oracle check.
-    One pass: exact countDistinct and the HLL sketch share a single
-    groupBy (at 100 TB you'd drop the exact column and keep the sketch;
-    this query exists to justify that swap with a measured bound).
+    Both aggregates run over the pre-distinct (type, user) pairs: HLL
+    registers depend only on the SET of hashed values, so the estimate is
+    bit-identical on set vs multiset input — and deduping first replaces
+    the Expand plan (countDistinct + another aggregate duplicates every
+    input row) plus per-raw-row updates of a 2^14-register rsd=0.01
+    sketch with a cheap partial-distinct shuffle and sketch updates on
+    pairs only (measured 2.5x at sf0.1). At 100 TB you'd drop the exact
+    column and keep the sketch; this query exists to justify that swap
+    with a measured bound.
     """
     ev = load(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
     return (
-        ev.groupBy("event_type")
+        pairs.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
         )
         .select(
