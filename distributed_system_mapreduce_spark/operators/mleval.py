@@ -285,3 +285,80 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("dcg") / idcg, 6))
         .alias("ndcg"),
     )
+
+
+@register(
+    "eval_confusion_centroid",
+    oracle="""
+    with e as (
+      select vec_id, label, embedding::DOUBLE[] as x from embeddings),
+    percoord as (
+      select label, i, avg(x[i]) as cv
+      from e cross join unnest(range(1, 65)) as t(i)
+      group by label, i),
+    cent as (
+      select label as cl, list(cv order by i) as c
+      from percoord group by label),
+    scored as (
+      select e.vec_id, e.label, ct.cl,
+             round(list_sum(list_transform(
+               list_zip(e.x, ct.c), p -> (p[1] - p[2]) * (p[1] - p[2]))), 4)
+               as d
+      from e cross join cent ct),
+    pred as (
+      select label, cl as pred_label,
+             row_number() over (partition by vec_id order by d, cl) as rn
+      from scored)
+    select label, pred_label, count(*) as n
+    from pred where rn = 1
+    group by label, pred_label
+    """,
+)
+def eval_confusion_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of a nearest-centroid classifier over the labeled
+    embeddings — the distributed eval a prototype classifier (or a
+    label-quality audit) runs after clustering: (true label, predicted
+    label, count), prediction = argmin squared-L2 to each label centroid.
+
+    Plan: centroids come from the shared :func:`~...functions.vectors.
+    label_centroids` builder (ONE partial-agg shuffle, k x dim output)
+    and broadcast against the corpus — a linear k-per-row scored grid,
+    never corpus x corpus. Distances round to 4 dp BEFORE the argmin with
+    a label tiebreak (engine-stable prediction under near-ties), and the
+    argmin is ``min_by`` over a (distance, label) struct — map-side
+    partial aggregation, no per-vector rank window. Output is k x k rows
+    at any corpus size.
+    """
+    from ..functions.vectors import EMBED_DIM, label_centroids, spread
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    cent = label_centroids(emb.select("label", "e")).select(
+        F.col("label").alias("cl"),
+        F.array(*[F.col(f"c{i}") for i in range(EMBED_DIM)]).alias("c"),
+    )
+    scored = (
+        spread(emb)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "cl",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(e, c, (a, b) -> (a - b) * (a - b)),"
+                    " 0D, (s, v) -> s + v)"
+                ),
+                4,
+            ).alias("d"),
+        )
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.min_by(F.col("cl"), F.struct("d", "cl")).alias("pred_label")
+    )
+    return pred.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -771,3 +771,15 @@ def test_text_bpe_merge_step_pairs(spark):
     cnts = [r.cnt for r in rows]
     assert cnts == sorted(cnts, reverse=True)
     assert cnts[-1] > 0
+
+
+def test_eval_confusion_centroid_partitions_corpus(spark):
+    """Confusion matrix cells sum to the corpus size; a nearest-centroid
+    classifier on separable-ish labels must beat the 1/k majority floor
+    on the diagonal."""
+    rows = QUERIES["eval_confusion_centroid"](spark, SF_DIR).collect()
+    n_emb = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n for r in rows) == n_emb
+    diag = sum(r.n for r in rows if r.label == r.pred_label)
+    n_labels = len({r.label for r in rows})
+    assert diag / n_emb > 1.0 / n_labels

@@ -201,6 +201,7 @@ _PLAN_SF = "/root/testdata/sf0.001"
 _SCALAR_COMBINE_BNLJ = {
     "agg_cms_heavy_hitters",
     "cdc_merge_upserts",
+    "eval_confusion_centroid",
     "eval_ndcg_at_k",
     "mv_incremental_refresh",
     "dedup_cluster",
