@@ -138,6 +138,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       mv_incremental_refresh (algebraic MV merge, new r7),
     #       graph_bfs_hops (single-plan bounded traversal, new r7),
     #       text_bpe_merge_step (tokenizer-training step, new r7)
+    #   r15: eval_confusion_centroid (prototype-classifier eval, new r7),
+    #       join_interval_overlap (range-join family, banked locally
+    #       since r2), events_retention_cohort (cohort family),
+    #       orders_abc_pareto (running-share window family)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
