@@ -738,3 +738,106 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("rank").cast("int").alias("rank"), "doc_id", "n_chars")
         .orderBy("source", "rank")
     )
+
+
+#: Contrastive negative sampling: anchors and negatives-per-anchor.
+NEG_ANCHORS = 20
+NEG_PER_ANCHOR = 5
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    with anchors as (
+      select vec_id as anchor_id, label as a_label from embeddings
+      where vec_id < {NEG_ANCHORS}),
+    cand as (
+      select a.anchor_id, e.vec_id as neg_id,
+             md5(cast(a.anchor_id as varchar) || '-'
+                 || cast(e.vec_id as varchar)) as h
+      from anchors a
+      join embeddings e on e.label <> a.a_label),
+    ranked as (
+      select anchor_id, neg_id,
+             row_number() over (partition by anchor_id
+                                order by h, neg_id) as rnk
+      from cand)
+    select anchor_id, cast(rnk as int) as rnk, neg_id
+    from ranked where rnk <= {NEG_PER_ANCHOR}
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-learning negative sampling: for each
+    anchor vector, the first NEG_PER_ANCHOR different-label candidates
+    under an md5 ordering of the (anchor, candidate) pair — the
+    rerunnable "random" negatives a contrastive trainer needs (re-sampling
+    must be reproducible across retries and engines, so hash order stands
+    in for a seeded RNG; the same md5-as-portable-randomness trick as
+    corpus_shard_stats).
+
+    Scale: anchors broadcast against the corpus (linear grid, one row per
+    anchor x candidate before the rank filter); per-anchor selection is a
+    partitioned top-k. At training scale anchors number in the millions —
+    then the grid shards by anchor batch, and per-anchor hash ordering
+    keeps every shard independently rerunnable.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+    )
+    cand = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("anchor_id").cast("string"),
+                    F.col("vec_id").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NEG_PER_ANCHOR)
+        .select("anchor_id", F.col("rnk").cast("int").alias("rnk"), "neg_id")
+    )
+
+
+@register(
+    "corpus_length_histogram",
+    oracle="""
+    select source,
+           cast(floor(log2(n_chars)) as int) as len_bin,
+           count(*) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars
+    from documents
+    where n_chars > 0
+    group by source, len_bin
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card length distribution: documents per (source, log2 length
+    bin) with total characters — the skew-at-a-glance rollup every corpus
+    report leads with.
+
+    One map-side-combining groupBy; output is sources x ~20 bins at any
+    corpus size. The bin key is floor(log2(int)) — exact on both engines
+    (no float rounding in a key position).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(
+            "source",
+            F.floor(F.log2("n_chars")).cast("int").alias("len_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

@@ -783,3 +783,34 @@ def test_eval_confusion_centroid_partitions_corpus(spark):
     diag = sum(r.n for r in rows if r.label == r.pred_label)
     n_labels = len({r.label for r in rows})
     assert diag / n_emb > 1.0 / n_labels
+
+
+def test_sample_negative_pairs_labels_differ(spark):
+    """Negative sampling: exactly NEG_PER_ANCHOR negatives per anchor,
+    none sharing the anchor's label, stable across reruns."""
+    from distributed_system_mapreduce_spark.operators.curation import (
+        NEG_ANCHORS,
+        NEG_PER_ANCHOR,
+    )
+
+    df = QUERIES["sample_negative_pairs"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == NEG_ANCHORS * NEG_PER_ANCHOR
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    for r in rows:
+        assert labels[r.neg_id] != labels[r.anchor_id]
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, QUERIES["sample_negative_pairs"](spark, SF_DIR).collect())
+    )
+
+
+def test_corpus_length_histogram_covers_docs(spark):
+    """Histogram bins partition all docs; char totals reconcile."""
+    rows = QUERIES["corpus_length_histogram"](spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.filter(F.col("n_chars") > 0).count()
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r.total_chars for r in rows) == total
