@@ -107,10 +107,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       pipeline_sequence_pack
     # Rotation queue (re-ranked per VERDICT r4 #5: value over recency, so
     # every operator family has at least one driver-verified row by r8):
-    #   r7 (active): graph_pagerank (iterative-loop witness), dedup_simhash64
+    #   r7: graph_pagerank (iterative-loop witness), dedup_simhash64
     #       (bit-block LSH family), embed_kmeans (clustering family),
     #       events_series_topk (time-series similarity, new in r5)
-    #   r8: sql_market_share (TPC-H-style multiway), dedup_incremental
+    #   r8 (active): sql_market_share (TPC-H-style multiway), dedup_incremental
     #       (batch-probes-index), events_retention_cohort (cohort family),
     #       data_quality_checks (validation family)
     #   r9: agg_approx_error (hash-checked HLL++ quality bound — promotes
@@ -146,10 +146,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
     #    by events_series_topk's dense grid.)
-    "graph_pagerank",
-    "dedup_simhash64",
-    "embed_kmeans",
-    "events_series_topk",
+    "sql_market_share",
+    "dedup_incremental",
+    "events_retention_cohort",
+    "data_quality_checks",
 )
 
 
