@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
+from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
 from ..operators.relational import tokens
@@ -453,9 +454,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    # global top-10 via the salted two-stage builder: scored is only docs
+    # containing a query term, but at web-corpus scale a common term makes
+    # that corpus-sized — never sort it in one task (plans.salted_topk)
+    return salted_topk(
+        scored,
+        [F.desc("score"), F.asc("doc_id")],
+        10,
+        salt_col="doc_id",
+        rank_col="rn",
     )
 
 

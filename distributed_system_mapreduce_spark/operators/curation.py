@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
+from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
 from .dedup import shingle_expr
@@ -222,12 +223,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows that shape; this operator is the exact-size variant.)
     """
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(*_md5_order())
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= STRATUM_K)
-        .select("doc_id", "source", "lang", "n_chars")
-    )
+    return salted_topk(
+        docs,
+        list(_md5_order()),
+        STRATUM_K,
+        salt_col="doc_id",
+        group_cols=("source",),
+        rank_col="rn",
+    ).select("doc_id", "source", "lang", "n_chars")
 
 
 @register(
@@ -258,10 +261,17 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan.
     """
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(*_md5_order())
     quota = F.when(F.col("lang") == "en", 40).otherwise(10)
+    # two-stage top-k at the LARGEST quota, then the per-stratum quota filter
     return (
-        docs.withColumn("rn", F.row_number().over(w))
+        salted_topk(
+            docs,
+            list(_md5_order()),
+            40,
+            salt_col="doc_id",
+            group_cols=("lang",),
+            rank_col="rn",
+        )
         .filter(F.col("rn") <= quota)
         .groupBy("lang")
         .agg(
@@ -730,11 +740,15 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     u = (skey + F.lit(1)).cast("double") / F.lit(float(_U_DENOM))
     es_key = F.round(F.log(u) / F.col("n_chars"), 12)
-    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
     return (
-        docs.withColumn("es_key", es_key)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= RESERVOIR_K)
+        salted_topk(
+            docs.withColumn("es_key", es_key),
+            [F.desc("es_key"), F.asc("doc_id")],
+            RESERVOIR_K,
+            salt_col="doc_id",
+            group_cols=("source",),
+            rank_col="rank",
+        )
         .select("source", F.col("rank").cast("int").alias("rank"), "doc_id", "n_chars")
         .orderBy("source", "rank")
     )
@@ -776,10 +790,14 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_shard_stats).
 
     Scale: anchors broadcast against the corpus (linear grid, one row per
-    anchor x candidate before the rank filter); per-anchor selection is a
-    partitioned top-k. At training scale anchors number in the millions —
-    then the grid shards by anchor batch, and per-anchor hash ordering
-    keeps every shard independently rerunnable.
+    anchor x candidate before the rank filter); per-anchor selection is
+    the salted two-stage top-k (``plans.salted_topk``) — with ~20 anchors
+    a plain anchor-partitioned rank window would sort a full corpus slice
+    in one task per anchor, so the grid salts on neg_id first and only the
+    anchors*buckets*k survivors see the final rank. At training scale
+    anchors number in the millions — then the grid shards by anchor batch,
+    and per-anchor hash ordering keeps every shard independently
+    rerunnable.
     """
     emb = load(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < NEG_ANCHORS).select(
@@ -800,12 +818,14 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= NEG_PER_ANCHOR)
-        .select("anchor_id", F.col("rnk").cast("int").alias("rnk"), "neg_id")
-    )
+    return salted_topk(
+        cand,
+        [F.asc("h"), F.asc("neg_id")],
+        NEG_PER_ANCHOR,
+        salt_col="neg_id",
+        group_cols=("anchor_id",),
+        rank_col="rnk",
+    ).select("anchor_id", F.col("rnk").cast("int").alias("rnk"), "neg_id")
 
 
 @register(

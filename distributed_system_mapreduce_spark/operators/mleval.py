@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
 
@@ -233,9 +234,12 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tiebreaks BEFORE ranking (engine-stable top-k membership, the
     same armor as sim_ann_recall); per-query DCG folds the <= k ranked
     gains in rank order via the ``aggregate`` higher-order function, so
-    both engines run the identical left-to-right double sum. At scale the
-    per-query ranking is a partitioned top-k (per-partition heaps), and
-    everything after the rank filter is Q-row-bounded.
+    both engines run the identical left-to-right double sum. The per-query
+    ranking is the salted two-stage top-k (``plans.salted_topk``): with only
+    Q ~ 10 query ids, a plain qid-partitioned rank window would sort a full
+    corpus slice in ONE task per query — salting bounds every window
+    partition, and the survivor re-rank sees Q*buckets*k rows. Everything
+    after the rank filter is Q-row-bounded.
     """
     from ..functions.vectors import dot, spread
 
@@ -258,9 +262,13 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= NDCG_K
+    ranked = salted_topk(
+        scored,
+        [F.desc("score"), F.asc("vec_id")],
+        NDCG_K,
+        salt_col="vec_id",
+        group_cols=("qid",),
+        rank_col="rnk",
     )
     dcg = ranked.groupBy("qid").agg(
         F.aggregate(
