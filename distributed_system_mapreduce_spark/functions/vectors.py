@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
+from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
 
@@ -288,8 +289,14 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot(F.col("q_emb"), F.col("embedding")), 4).alias("score"),
         )
     )
-    w_knn = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("v_id"))
-    knn = scored.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= 10)
+    knn = salted_topk(
+        scored,
+        [F.desc("score"), F.asc("v_id")],
+        10,
+        salt_col="v_id",
+        group_cols=("q_id",),
+        rank_col="rn",
+    )
     votes = knn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("cnt"))
     w_maj = Window.partitionBy("q_id").orderBy(F.desc("cnt"), F.asc("label"))
     return (
@@ -681,6 +688,52 @@ RECALL_NPROBE = 4
 RECALL_N_CENTS = 16
 
 
+def exact_topk_baseline(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = RECALL_N_QUERIES,
+    k: int = RECALL_K,
+) -> DataFrame:
+    """(q_id, v_id): exact rounded-dot top-``k`` neighbors of the first
+    ``n_queries`` query vectors — the shared ground-truth arm of every
+    ANN-quality query (sim_ann_recall / sim_quantized_recall /
+    sim_pq_recall, which all use the same 30x10 truth set).
+
+    ONE tracked builder so the brute-force arm — the expensive half of a
+    recall audit — is computed once per session: all three recall queries
+    construct the identical logical plan through this function, and Spark's
+    CacheManager dedupes identical plans, so the persist covers the family
+    (VERDICT r7 #3). Determinism armor as everywhere: scores round to 4 dp
+    with a v_id tiebreak BEFORE ranking; per-query selection is the salted
+    two-stage top-k (a plain q_id window would sort a full corpus slice per
+    query in one task). The persisted frame is n_queries*k rows.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        spread(emb)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+        )
+    )
+    return track(
+        salted_topk(
+            scored,
+            [F.desc("s"), F.asc("v_id")],
+            k,
+            salt_col="v_id",
+            group_cols=("q_id",),
+        ).select("q_id", "v_id")
+    )
+
+
 @register(
     "sim_ann_recall",
     oracle=f"""
@@ -763,18 +816,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = lambda part, score, tie: F.row_number().over(  # noqa: E731
         Window.partitionBy(part).orderBy(F.desc(score), F.asc(tie))
     )
-    exact = (
-        spread(emb)
-        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("v_id"),
-            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
-        )
-        .withColumn("rn", rnk("q_id", "s", "v_id"))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("q_id", "v_id")
-    )
+    exact = exact_topk_baseline(spark, sf_dir)
     assign = (
         spread(emb)
         .crossJoin(F.broadcast(cents))
@@ -797,7 +839,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RECALL_NPROBE)
         .select("q_id", "qe", "cent_id")
     )
-    approx = (
+    approx = salted_topk(
         assign.join(F.broadcast(probe), "cent_id")
         .filter(F.col("vec_id") != F.col("q_id"))
         .join(emb.select(F.col("vec_id"), F.col("e")), "vec_id")
@@ -805,11 +847,12 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             F.col("vec_id").alias("v_id"),
             F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
-        )
-        .withColumn("rn", rnk("q_id", "s", "v_id"))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("q_id", "v_id")
-    )
+        ),
+        [F.desc("s"), F.asc("v_id")],
+        RECALL_K,
+        salt_col="v_id",
+        group_cols=("q_id",),
+    ).select("q_id", "v_id")
     hits = exact.join(approx, ["q_id", "v_id"], "left_semi").agg(
         F.count(F.lit(1)).alias("h")
     )
@@ -1070,43 +1113,24 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     float arm is the sampled-audit half (30 queries), exactly like the IVF
     recall query.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
     quant = _int8_quantized(load(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qv")
-    )
     qq = quant.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("qe").alias("qqe")
     )
-    rnk = lambda score, tie: F.row_number().over(  # noqa: E731
-        Window.partitionBy("q_id").orderBy(F.desc(score), F.asc(tie))
-    )
-    exact = (
-        spread(emb)
-        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("v_id"),
-            F.round(dot(F.col("qv"), F.col("e")), 4).alias("s"),
-        )
-        .withColumn("rn", rnk("s", "v_id"))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("q_id", "v_id")
-    )
+    exact = exact_topk_baseline(spark, sf_dir)
     qdot = F.expr(
         "aggregate(zip_with(qe, qqe, (x, y) -> cast(x as bigint) * y),"
         " cast(0 as bigint), (a, x) -> a + x)"
     )
-    quant_arm = (
+    quant_arm = salted_topk(
         spread(quant)
         .join(F.broadcast(qq), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("v_id"), qdot.alias("s"))
-        .withColumn("rn", rnk("s", "v_id"))
-        .filter(F.col("rn") <= RECALL_K)
-        .select("q_id", "v_id")
-    )
+        .select("q_id", F.col("vec_id").alias("v_id"), qdot.alias("s")),
+        [F.desc("s"), F.asc("v_id")],
+        RECALL_K,
+        salt_col="v_id",
+        group_cols=("q_id",),
+    ).select("q_id", "v_id")
     hits = exact.join(quant_arm, ["q_id", "v_id"], "left_semi").agg(
         F.count(F.lit(1)).alias("h")
     )
@@ -1424,8 +1448,21 @@ def l2_sq(a: Column, b: Column) -> Column:
 
 def pq_subvectors(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Split (id, e: array<double>) into (id, m, sv): M contiguous
-    subvectors per row — one narrow explode, no shuffle."""
-    dim_per = F.size("e") / PQ_M
+    subvectors per row — one narrow explode, no shuffle.
+
+    Fails loudly on a dimension not divisible by PQ_M — the int-cast slice
+    would otherwise silently truncate the tail dims (ADVICE r7).
+    """
+    emb = emb.filter(
+        F.when(F.size("e") % PQ_M == 0, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pq_subvectors: size(e) not divisible by PQ_M={PQ_M}: "),
+                    F.size("e").cast("string"),
+                )
+            )
+        )
+    )
     slices = F.array(
         *[
             F.struct(
@@ -1438,7 +1475,6 @@ def pq_subvectors(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
             for m in range(PQ_M)
         ]
     )
-    _ = dim_per
     return emb.select(id_col, F.explode(slices).alias("s")).select(
         id_col, F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
     )
@@ -1514,6 +1550,14 @@ def pq_codebooks(emb: DataFrame) -> DataFrame:
     cents = pq_subvectors(emb.filter(F.col("vec_id") < PQ_K)).select(
         "m", F.col("vec_id").alias("cent_id"), F.col("sv").alias("ce")
     )
+    # fail loudly on an undersized codebook: seeding needs vec_ids 0..K-1
+    # present, else the quantizer silently trains K' < K codewords (ADVICE r7)
+    seed_n = cents.count()
+    if seed_n != PQ_M * PQ_K:
+        raise ValueError(
+            f"pq_codebooks: seed centroids {seed_n} != M*K = {PQ_M * PQ_K} "
+            f"(corpus lacks dense vec_ids 0..{PQ_K - 1})"
+        )
     for _ in range(PQ_ITERS):
         rows = pq_recompute(pq_assign(sub, cents)).collect()
         cents = spark.createDataFrame(
@@ -1566,15 +1610,16 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot(F.col("sv"), F.col("ce")).alias("part"),
         )
     )
-    shortlist = (
+    shortlist = salted_topk(
         codes.join(F.broadcast(lut), ["m", "cent_id"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
-        .agg(F.round(F.sum("part"), 4).alias("s"))
-        .withColumn("rn", rnk("q_id", "s", "vec_id"))
-        .filter(F.col("rn") <= PQ_RERANK)
-        .select("q_id", "vec_id")
-    )
+        .agg(F.round(F.sum("part"), 4).alias("s")),
+        [F.desc("s"), F.asc("vec_id")],
+        PQ_RERANK,
+        salt_col="vec_id",
+        group_cols=("q_id",),
+    ).select("q_id", "vec_id")
     # exact re-rank of the R-candidate shortlist: only R true vectors per
     # query are ever re-read — the IVFPQ deployment shape.
     approx = (
@@ -1589,26 +1634,20 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .select("q_id", "v_id")
     )
-    exact = (
-        emb.join(F.broadcast(q.select("q_id", F.col("e").alias("qe"))),
-                 F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("v_id"),
-            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+    exact = exact_topk_baseline(spark, sf_dir, n_queries=PQ_QUERIES, k=PQ_TOPK)
+    # recall denominator = the exact set's true size, not PQ_QUERIES*PQ_TOPK:
+    # on a corpus with < PQ_TOPK+1 vectors the literal would silently
+    # deflate recall (ADVICE r7)
+    hits = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+    ).crossJoin(
+        exact.join(approx, ["q_id", "v_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("h")
         )
-        .withColumn("rn", rnk("q_id", "s", "v_id"))
-        .filter(F.col("rn") <= PQ_TOPK)
-        .select("q_id", "v_id")
-    )
-    hits = exact.join(approx, ["q_id", "v_id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("h")
     )
     return hits.select(
         F.lit(PQ_M).alias("m_subspaces"),
         F.lit(PQ_K).alias("k_codes"),
         F.lit(PQ_QUERIES).alias("n_queries"),
-        F.round(F.col("h") / F.lit(PQ_QUERIES * PQ_TOPK * 1.0), 4).alias(
-            "recall"
-        ),
+        F.round(F.col("h") / F.col("n_exact"), 4).alias("recall"),
     )

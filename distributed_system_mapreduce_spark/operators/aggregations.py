@@ -92,9 +92,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: relative-error bound agg_approx_error asserts for the rsd=0.01 HLL++
-#: sketch — 2% = 2x the requested standard deviation, comfortably above
-#: the tail of a correctly-working sketch and far below a broken one.
-APPROX_DISTINCT_MAX_REL_ERR = 0.02
+#: sketch — 5% = 5x the requested standard deviation (the same margin
+#: class as dedup_minhash_est_error's 4 sigma): a regenerated fixture or
+#: different SF can legitimately push one group past a ~2-sigma bound,
+#: turning a healthy sketch into a hard hash-mismatch (ADVICE r7), while a
+#: BROKEN sketch is off by far more than 5x.
+APPROX_DISTINCT_MAX_REL_ERR = 0.05
 
 
 @register(
@@ -431,7 +434,12 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_total = counts.agg(F.sum("exact_cnt").alias("n_total"))  # 1 row
-    bound = F.ceil(F.lit(2.718281828459045 / CMS_W) * F.col("n_total"))
+    # 2x the textbook e/W cap: the 1-e^-D (~98% at D=4) per-key guarantee
+    # applies AT e/W*N, so a regenerated fixture can legitimately push one
+    # key past it; at 2x the per-key failure odds drop to ~(2e)^-D (~1e-3)
+    # while a broken row/bucket/min-combine overshoots by far more
+    # (ADVICE r7 — same margin-widening as agg_approx_error's 5x rsd).
+    bound = F.ceil(F.lit(2 * 2.718281828459045 / CMS_W) * F.col("n_total"))
     return (
         est.filter(F.col("exact_cnt") >= CMS_HH_MIN_COUNT)
         .crossJoin(F.broadcast(n_total))

@@ -1439,10 +1439,14 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     When the input has fewer partitions than cores we spread it by doc_id
     first; the shuffled payload is just the raw text, a fraction of the
     downstream per-char work it unlocks. Inputs already wider than the
-    core count (the 100 TB case) are left alone."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    core count (the 100 TB case) are left alone. Streaming inputs skip the
+    probe entirely — ``.rdd`` would throw on an unresolved streaming plan,
+    and micro-batches get their parallelism from the source (ADVICE r7:
+    keeps this builder batch-and-stream-safe like its siblings)."""
+    if not docs.isStreaming:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par, "doc_id")
     hashed = docs.select(
         "doc_id",
         F.expr(

@@ -80,6 +80,12 @@ _CONVERTED = [
     "sample_weighted_mix",
     "sample_weighted_reservoir",
     "text_bm25_topk",
+    "knn_label_vote",
+    "sim_ann_recall",
+    "sim_quantized_recall",
+    # sim_pq_recall also routes through salted_topk (shortlist + exact arm)
+    # but building its DataFrame runs Lloyd training — covered by
+    # test_ann_quality instead of a plan probe here.
 ]
 
 
@@ -87,3 +93,24 @@ _CONVERTED = [
 def test_converted_queries_route_through_salt(name, spark):
     plan = explain_str(QUERIES[name](spark, SF_DIR), mode="formatted")
     assert "__topk_salt" in plan, f"{name} lost its salted stage-1 window"
+
+
+def test_exact_recall_baseline_is_one_shared_plan(spark):
+    """VERDICT r7 #3: the three ANN-quality queries must share ONE exact
+    ground-truth arm. Spark's CacheManager dedupes by semantic plan and
+    cache.track dedupes its registry the same way, so it suffices that
+    repeated builder calls produce semantically identical frames."""
+    from distributed_system_mapreduce_spark.cache import tracked_count
+    from distributed_system_mapreduce_spark.functions.vectors import (
+        PQ_QUERIES,
+        PQ_TOPK,
+        exact_topk_baseline,
+    )
+
+    a = exact_topk_baseline(spark, SF_DIR)
+    n_after_first = tracked_count()
+    b = exact_topk_baseline(spark, SF_DIR)
+    c = exact_topk_baseline(spark, SF_DIR, n_queries=PQ_QUERIES, k=PQ_TOPK)
+    assert a.sameSemantics(b)
+    assert a.sameSemantics(c)  # PQ constants equal the RECALL constants
+    assert tracked_count() == n_after_first  # track() deduped, not re-added
