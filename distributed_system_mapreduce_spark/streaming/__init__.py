@@ -1,4 +1,5 @@
 from .cdc import (  # noqa: F401
+    cdc_apply_changelog,
     cdc_upsert_stream,
 )
 from .curation import (  # noqa: F401

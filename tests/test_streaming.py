@@ -534,3 +534,68 @@ def test_streaming_cdc_upsert_matches_batch(spark, tmp_path):
         assert g.last_type == e.last_type
         assert g.last_value == e.last_value
         assert g.alive == (e.last_type != TOMBSTONE)
+
+
+def test_streaming_cdc_changelog_roundtrip(spark, tmp_path):
+    """Changelog-OUT round trip (VERDICT r7 #7): re-applying the upsert
+    stream's emissions to an empty copy with ``cdc_apply_changelog``
+    reproduces the batch store exactly — live rows match ``_latest_state``
+    field-for-field and tombstoned users are deleted — under a
+    2-micro-batch split. This is the contract a downstream materializer
+    (sink-side MERGE consumer) relies on.
+    """
+    import time
+
+    from distributed_system_mapreduce_spark.operators.cdc import (
+        TOMBSTONE,
+        _latest_state,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        cdc_apply_changelog,
+        cdc_upsert_stream,
+        run_available_now,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_epoch"),
+        "ts",
+    )
+    mid = ev.agg(F.avg("ts_epoch")).collect()[0][0]
+    d = tmp_path / "cdc_rt_events"
+    cols = ["user_id", "event_id", "event_type", "value", "ts_epoch"]
+    ev.filter(F.col("ts_epoch") < mid).select(cols).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    time.sleep(0.2)
+    ev.filter(F.col("ts_epoch") >= mid).select(cols).coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+
+    stream = cdc_upsert_stream(
+        spark.readStream.schema(
+            "user_id long, event_id long, event_type string, "
+            "value double, ts_epoch long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    emissions = run_available_now(stream, "t_cdc_roundtrip", mode="update")
+    snapshot = {r.user_id: r for r in cdc_apply_changelog(emissions).collect()}
+
+    batch = _latest_state(ev).collect()
+    live = {r.user_id: r for r in batch if r.last_type != TOMBSTONE}
+    dead = {r.user_id for r in batch if r.last_type == TOMBSTONE}
+
+    assert set(snapshot) == set(live)
+    assert not (dead & set(snapshot))  # tombstones deleted on re-apply
+    for uid, e in live.items():
+        g = snapshot[uid]
+        assert g.last_type == e.last_type
+        assert g.last_value == e.last_value
+        assert g.n_ops == e.n_ops
