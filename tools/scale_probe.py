@@ -63,6 +63,14 @@ PROBE_QUERIES = (
     "pipeline_train_corpus",
     "sql_nation_volume",
     "sim_ann_recall",
+    # r8 additions (VERDICT r7 #4): the r7-late heavies + the two
+    # re-planned rank-window queries, post salted-topk fix
+    "sim_pq_recall",
+    "graph_bfs_hops",
+    "eval_confusion_centroid",
+    "eval_ndcg_at_k",
+    "cdc_merge_upserts",
+    "sample_negative_pairs",
 )
 
 _COPY_TABLES = ("region", "nation", "customer", "supplier")
