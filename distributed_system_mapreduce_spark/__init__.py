@@ -140,8 +140,12 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       text_bpe_merge_step (tokenizer-training step, new r7)
     #   r15: eval_confusion_centroid (prototype-classifier eval, new r7),
     #       join_interval_overlap (range-join family, banked locally
-    #       since r2), events_retention_cohort (cohort family),
-    #       orders_abc_pareto (running-share window family)
+    #       since r2), orders_abc_pareto (running-share window family),
+    #       eval_pr_auc (average precision, new r8)
+    #   r16: sim_ivf_nprobe_sweep (IVF quality/cost curve, new r8),
+    #       corpus_ngram_overlap (memorization-risk audit, new r8),
+    #       pipeline_curriculum_order (schedule manifest, new r8),
+    #       orders_ship_latency (date-math percentiles, new r8)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

@@ -1651,3 +1651,180 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PQ_QUERIES).alias("n_queries"),
         F.round(F.col("h") / F.col("n_exact"), 4).alias("recall"),
     )
+
+
+#: probe depths for the IVF quality/cost sweep.
+NPROBE_LEVELS = (1, 2, 4, 8)
+
+
+@register(
+    "sim_ivf_nprobe_sweep",
+    oracle=f"""
+    with emb as (
+      select vec_id, embedding::DOUBLE[] as e from embeddings),
+    cents as (
+      select vec_id as cent_id, e as ce from emb
+      where vec_id < {RECALL_N_CENTS}),
+    q as (
+      select vec_id as q_id, e as qe from emb
+      where vec_id < {RECALL_N_QUERIES}),
+    exact_scored as (
+      select q_id, v.vec_id as v_id,
+             row_number() over (
+               partition by q_id
+               order by round(list_dot_product(qe, v.e), 4) desc, v.vec_id
+             ) as rn
+      from emb v join q on v.vec_id <> q.q_id),
+    exact as (select q_id, v_id from exact_scored where rn <= {RECALL_K}),
+    assign_scored as (
+      select e.vec_id, c.cent_id,
+             row_number() over (
+               partition by e.vec_id
+               order by round(list_dot_product(e.e, c.ce), 4) desc, c.cent_id
+             ) as rn
+      from emb e cross join cents c),
+    assign as (select vec_id, cent_id from assign_scored where rn = 1),
+    probe_all as (
+      select q.q_id, q.qe, c.cent_id,
+             row_number() over (
+               partition by q.q_id
+               order by round(list_dot_product(q.qe, c.ce), 4) desc, c.cent_id
+             ) as rn
+      from q cross join cents c),
+    levels as (select unnest([{", ".join(str(x) for x in NPROBE_LEVELS)}])
+               as nprobe),
+    approx_scored as (
+      select l.nprobe, p.q_id, a.vec_id as v_id,
+             row_number() over (
+               partition by l.nprobe, p.q_id
+               order by round(list_dot_product(p.qe, v.e), 4) desc, a.vec_id
+             ) as rn
+      from levels l
+      join probe_all p on p.rn <= l.nprobe
+      join assign a using (cent_id)
+      join emb v on v.vec_id = a.vec_id
+      where a.vec_id <> p.q_id),
+    approx as (
+      select nprobe, q_id, v_id from approx_scored where rn <= {RECALL_K}),
+    hits as (
+      select nprobe, count(*) as h
+      from approx join exact using (q_id, v_id)
+      group by nprobe),
+    sizes as (select cent_id, count(*) as sz from assign group by cent_id),
+    cands as (
+      select l.nprobe, p.q_id, cast(sum(sz) as bigint) as nc
+      from levels l
+      join probe_all p on p.rn <= l.nprobe
+      join sizes using (cent_id)
+      group by l.nprobe, p.q_id),
+    cagg as (
+      select nprobe, round(avg(nc), 2) as avg_list_candidates
+      from cands group by nprobe)
+    select cast(c.nprobe as int) as nprobe,
+           c.avg_list_candidates,
+           round(coalesce(h.h, 0) / ({RECALL_N_QUERIES} * {RECALL_K}.0), 4)
+             as recall
+    from cagg c left join hits h using (nprobe)
+    order by nprobe
+    """,
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{RECALL_K} AND scan cost of the IVF path at nprobe in
+    {NPROBE_LEVELS} — the quality/cost curve an ANN deployment is tuned
+    from (sim_ann_recall measures one operating point; this sweeps the
+    knob and prices each point by the average posting-list candidate
+    count per query).
+
+    Plan: centroid assignment and the per-query centroid ranking are
+    computed ONCE (the same shapes as sim_ann_recall); the sweep axis is a
+    4-row exploded level column, so candidate generation fans out by
+    sum(nprobe)/n_cents (< 1x corpus here) rather than re-running the scan
+    per level. Per-(level, query) candidate ranking is the salted
+    two-stage top-k; the cost metric comes from the 16-row list-size
+    rollup, never a second corpus scan. The exact arm is the shared
+    tracked baseline. All scores round 4 dp with id tiebreaks before
+    ranks (§7.3.1).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < RECALL_N_CENTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    q = emb.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    rnk = lambda part, score, tie: F.row_number().over(  # noqa: E731
+        Window.partitionBy(part).orderBy(F.desc(score), F.asc(tie))
+    )
+    assign = track(
+        spread(emb)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(dot(F.col("e"), F.col("ce")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("vec_id", "s", "cent_id"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    probe_all = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "qe", "cent_id",
+            F.round(dot(F.col("qe"), F.col("ce")), 4).alias("s"),
+        )
+        .withColumn("rn", rnk("q_id", "s", "cent_id"))
+        .filter(F.col("rn") <= max(NPROBE_LEVELS))
+        .select("q_id", "qe", "cent_id", "rn")
+    )
+    levels = F.array(*[F.lit(x) for x in NPROBE_LEVELS])
+    probe_lv = probe_all.withColumn(
+        "nprobe", F.explode(levels)
+    ).filter(F.col("rn") <= F.col("nprobe"))
+    scored = (
+        assign.join(F.broadcast(probe_lv), "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(emb, "vec_id")
+        .select(
+            "nprobe",
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+        )
+    )
+    approx = salted_topk(
+        scored,
+        [F.desc("s"), F.asc("v_id")],
+        RECALL_K,
+        salt_col="v_id",
+        group_cols=("nprobe", "q_id"),
+    ).select("nprobe", "q_id", "v_id")
+    exact = exact_topk_baseline(spark, sf_dir)
+    hits = (
+        approx.join(exact, ["q_id", "v_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    sizes = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("sz"))
+    cagg = (
+        probe_lv.join(F.broadcast(sizes), "cent_id")
+        .groupBy("nprobe", "q_id")
+        .agg(F.sum("sz").cast("bigint").alias("nc"))
+        .groupBy("nprobe")
+        .agg(F.round(F.avg("nc"), 2).alias("avg_list_candidates"))
+    )
+    return (
+        cagg.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "avg_list_candidates",
+            F.round(
+                F.coalesce(F.col("h"), F.lit(0))
+                / F.lit(RECALL_N_QUERIES * RECALL_K * 1.0),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )

@@ -734,3 +734,50 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbin")
     )
+
+
+@register(
+    "orders_ship_latency",
+    oracle="""
+    select o_orderpriority,
+           count(*) as n_lines,
+           round(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5), 4)
+             as p50_days,
+           round(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.9), 4)
+             as p90_days,
+           cast(max(datediff('day', o_orderdate, l_shipdate)) as bigint)
+             as max_days
+    from lineitem
+    join orders on l_orderkey = o_orderkey
+    group by o_orderpriority
+    """,
+)
+def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order priority — the
+    fulfillment-SLA rollup (date arithmetic through a fact-dim join into
+    exact interpolated percentiles, the agg_percentiles parity pattern).
+
+    Plan: one shuffle join of lineitem to orders on the order key (both
+    corpus-sized — no broadcast; AQE picks the strategy), then a
+    5-group percentile rollup. Latencies are integer day counts, so
+    Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate the
+    identical rationals (rounded 4 dp for fp noise). At 100 TB the exact
+    per-group sort swaps for ``approx_percentile`` with the error measured
+    by agg_percentile_sketch_error's pattern.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )

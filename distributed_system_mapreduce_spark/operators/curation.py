@@ -861,3 +861,174 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+#: per-doc shared-shingle coverage above which a document counts as
+#: "mostly duplicated" in the overlap report.
+OVERLAP_HIGH = 0.5
+
+
+@register(
+    "corpus_ngram_overlap",
+    oracle=f"""
+    with tok as (select doc_id, string_split(text, ' ') as t from documents),
+    sh as (
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(list_transform(
+                 list_zip(t[1:len(t)-4], t[2:len(t)-3], t[3:len(t)-2],
+                          t[4:len(t)-1], t[5:len(t)]),
+                 x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' ||
+                      x[4] || ' ' || x[5])) as shingle
+        from tok where len(t) >= {DECONTAM_NGRAM})),
+    dfreq as (select shingle, count(*) as df from sh group by shingle),
+    perdoc as (
+      select doc_id,
+             count(*) as n_shingles,
+             sum(case when df >= 2 then 1 else 0 end) as n_shared
+      from sh join dfreq using (shingle)
+      group by doc_id),
+    cov as (
+      select d.source,
+             cast(round(p.n_shared * 1.0 / p.n_shingles, 9)
+                  as decimal(18,9)) as c
+      from perdoc p join documents d using (doc_id))
+    select source,
+           count(*) as n_docs,
+           round(cast(sum(c) as double) / count(*), 6) as avg_coverage,
+           cast(sum(case when c >= {OVERLAP_HIGH} then 1 else 0 end)
+                as bigint) as n_docs_high
+    from cov
+    group by source
+    order by source
+    """,
+)
+def corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram overlap report: for each document, the fraction of
+    its distinct word 5-grams that also appear in ANOTHER document (shingle
+    document-frequency >= 2), rolled up to (avg coverage, count of
+    mostly-duplicated docs) per source — the memorization-risk audit a
+    pre-training data card pairs with the exact-dup rate
+    (``corpus_dup_rate_by_source`` sees only whole-text copies; this sees
+    partial/boilerplate overlap).
+
+    Plan: the tracked distinct shingle table (shared with the whole
+    decontamination family via ``_doc_shingles``) feeds a posting-list
+    rollup (one shuffle to shingle keys, map-side combined), joins back to
+    per-doc counts (second shuffle, doc keys), then a sources-sized rollup.
+    Per-doc coverage rounds to 9 dp into decimal(18,9) before the source
+    average so the reduction is partition-order-independent. Shingles are
+    64-bit hashes on the Spark side, full strings in the oracle —
+    value-identical for df counting (the jaccard-family convention).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    perdoc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("int")).alias("n_shared"),
+        )
+    )
+    cov = perdoc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 9)
+        .cast("decimal(18,9)")
+        .alias("c"),
+    )
+    return (
+        cov.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_coverage"
+            ),
+            F.sum((F.col("c") >= OVERLAP_HIGH).cast("int"))
+            .cast("bigint")
+            .alias("n_docs_high"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle="""
+    with scored as (
+      select doc_id, n_chars,
+             len(string_split(text, ' ')) as n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x in ('the', 'a', 'data')))
+               * 1.0 / len(string_split(text, ' ')) as stop_ratio
+      from documents),
+    banded as (
+      select cast(floor((1 - stop_ratio) * ln(1 + n_tokens)) as int) as band,
+             n_chars
+      from scored),
+    per_band as (
+      select band, count(*) as n_docs,
+             cast(sum(n_chars) as bigint) as total_chars
+      from banded group by band)
+    select band, n_docs, total_chars,
+           cast(1 + coalesce(sum(n_docs) over (order by band desc
+                  rows between unbounded preceding and 1 preceding), 0)
+                as bigint) as start_pos,
+           cast(sum(n_docs) over (order by band desc
+                  rows between unbounded preceding and current row)
+                as bigint) as end_pos
+    from per_band
+    order by band desc
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-training schedule manifest: documents banded by integer
+    quality score (the text_quality_score signal), scheduled clean-first —
+    each band's global [start_pos, end_pos] position range in the training
+    order. Within a band the order is the deterministic md5 shuffle every
+    sampler here uses; the manifest is what a data loader consumes to
+    stream the curriculum WITHOUT any global sort.
+
+    This is the scale-correct shape for "order 100 TB by quality": a global
+    row_number over the corpus is a single-task sort, but band positions
+    need only the per-band counts — one map-side-combining groupBy to
+    ~10 band rows, then a prefix sum over that band-cardinality rollup
+    (same trick as pipeline_sequence_pack's shard-local packing and
+    pipeline_epoch_shuffle's per-shard windows). Quality uses the same
+    doubles on both engines; floor of an identical double is exact
+    (eval_auc's key armor), so band membership is engine-stable.
+    """
+    from ..functions.text import STOPWORDS
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x in ({stop_list})))")
+    quality = (F.lit(1) - n_stop / n_tok) * F.log(F.lit(1) + n_tok)
+    per_band = (
+        docs.select(
+            F.floor(quality).cast("int").alias("band"), "n_chars"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    w_prev = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_band.select(
+        "band",
+        "n_docs",
+        "total_chars",
+        (F.lit(1) + F.coalesce(F.sum("n_docs").over(w_prev), F.lit(0)))
+        .cast("bigint")
+        .alias("start_pos"),
+        F.sum("n_docs").over(w_incl).cast("bigint").alias("end_pos"),
+    ).orderBy(F.desc("band"))

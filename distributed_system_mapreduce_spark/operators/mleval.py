@@ -126,6 +126,86 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_pr_auc",
+    oracle=f"""
+    with scored as (
+      select cast(floor(cast(embedding[1] as double) * {SCORE_SCALE})
+                  as bigint) as score_m,
+             cast(label < 5 as int) as is_pos
+      from embeddings),
+    per_score as (
+      select score_m,
+             cast(sum(is_pos) as bigint) as pos,
+             cast(sum(1 - is_pos) as bigint) as neg
+      from scored
+      group by score_m),
+    cum as (
+      select pos,
+             sum(pos) over (order by score_m desc
+                            rows between unbounded preceding
+                            and current row) as tp,
+             sum(neg) over (order by score_m desc
+                            rows between unbounded preceding
+                            and current row) as fp
+      from per_score),
+    terms as (
+      select cast(round(pos * cast(tp as double) / (tp + fp), 9)
+                  as decimal(18,9)) as term
+      from cum where pos > 0)
+    select round(cast(sum(term) as double)
+                 / (select sum(pos) from per_score), 6) as ap,
+           cast((select sum(pos) from per_score) as bigint) as n_pos,
+           cast((select sum(neg) from per_score) as bigint) as n_neg,
+           (select count(*) from per_score) as n_scores
+    from terms
+    """,
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step definition with ties credited at their group boundary) — the
+    imbalanced-class companion of ``eval_auc``, factored through the same
+    per-distinct-score rollup.
+
+    AP = (1/P) * sum over score groups of pos_s * TP_s / (TP_s + FP_s),
+    where TP/FP are cumulative counts including the group (all tied rows
+    counted at once — deterministic, no within-tie order dependence). The
+    corpus collapses map-side to one row per distinct milli-score; the
+    cumulative window runs over that bounded rollup only. Each group's
+    precision term is rounded to 9 dp and summed as decimal(18,9), so the
+    reduction is partition-order-independent (SURVEY.md §7.3.1) — the
+    only doubles are inside a single deterministic per-row expression.
+    """
+    per_score = _scored(spark, sf_dir).groupBy("score_m").agg(
+        F.sum("is_pos").alias("pos"),
+        F.sum(1 - F.col("is_pos")).alias("neg"),
+    )
+    w = (
+        Window.orderBy(F.desc("score_m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_score.select(
+        "pos",
+        "neg",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    term = F.round(
+        F.col("pos") * F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        9,
+    ).cast("decimal(18,9)")
+    return cum.agg(
+        F.round(
+            F.sum(F.when(F.col("pos") > 0, term)).cast("double")
+            / F.sum("pos"),
+            6,
+        ).alias("ap"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+
+
+@register(
     "eval_calibration_bins",
     oracle=f"""
     with probs as (

@@ -209,6 +209,7 @@ _SCALAR_COMBINE_BNLJ = {
     "dedup_simhash",
     "dedup_simhash64",
     "events_gap_fill",
+    "events_inactivity_churn",
     "events_rolling_dau",
     "events_series_topk",
     "events_user_features",
@@ -225,6 +226,7 @@ _SCALAR_COMBINE_BNLJ = {
     "sim_ann_ivf",
     "sim_ann_ivf_mp",
     "sim_ann_recall",
+    "sim_ivf_nprobe_sweep",
     "sim_quantized_recall",
     "sim_quantized_topk",
     "sim_range_search",
