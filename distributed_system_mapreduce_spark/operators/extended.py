@@ -520,3 +520,62 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "orders_repeat_purchase_curve",
+    oracle="""
+    with per_cust as (
+      select o_custkey, count(*) as n_orders from orders group by o_custkey),
+    hist as (
+      select n_orders as k, count(*) as n_customers_exact
+      from per_cust group by n_orders)
+    select cast(k as bigint) as k, n_customers_exact,
+           cast(sum(n_customers_exact) over (
+                  order by k desc
+                  rows between unbounded preceding and current row)
+                as bigint) as n_customers_at_least,
+           round(sum(n_customers_exact) over (
+                   order by k desc
+                   rows between unbounded preceding and current row)
+                 * 1.0 / (select sum(n_customers_exact) from hist), 4)
+             as retention
+    from hist
+    order by k
+    """,
+)
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase retention curve: for each order count k, how many
+    customers placed exactly k and at least k orders, plus the share of
+    the customer base reaching k — the lifecycle curve behind "what
+    fraction of customers ever come back?".
+
+    Two map-side-combining aggregations (orders -> per-customer counts ->
+    k-histogram); the cumulative "at least k" sum windows over the
+    k-cardinality histogram only (tens of rows at any corpus size —
+    the same bounded-rollup trick as eval_auc and
+    pipeline_curriculum_order). Integer counts end-to-end; the retention
+    ratio is the single terminal divide.
+    """
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    hist = per_cust.groupBy(F.col("n_orders").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_customers_exact")
+    )
+    w = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    at_least = F.sum("n_customers_exact").over(w)
+    return hist.select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_customers_exact",
+        at_least.cast("bigint").alias("n_customers_at_least"),
+        F.round(
+            at_least * 1.0 / F.sum("n_customers_exact").over(total), 4
+        ).alias("retention"),
+    ).orderBy("k")

@@ -535,3 +535,93 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+#: attribution window for the tolerance as-of join (seconds).
+ASOF_TOLERANCE_S = 1800
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    with pc as (
+      select event_id, user_id, ts, event_type
+      from events where event_type in ('click', 'purchase')),
+    p as (select event_id, user_id, ts from pc where event_type = 'purchase'),
+    a as (
+      select p.event_id, p.ts,
+             (select max(c.ts) from pc c
+               where c.user_id = p.user_id
+                 and c.event_type = 'click'
+                 and c.ts < p.ts) as ct
+      from p),
+    b as (
+      select strftime(date_trunc('day', ts), '%Y-%m-%d') as day,
+             case
+               when ct is null then 'never_clicked'
+               when date_diff('second', ct, ts) <= {ASOF_TOLERANCE_S}
+                 then 'attributed'
+               else 'stale'
+             end as bucket
+      from a)
+    select day, bucket, count(*) as n_purchases
+    from b
+    group by day, bucket
+    order by day, bucket
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-gap tolerance: each purchase attributed to the
+    user's latest strictly-earlier click only if it happened within
+    ASOF_TOLERANCE_S — the kdb ``wj`` / TimescaleDB tolerance-asof
+    semantics — rolled up to daily (attributed / stale / never_clicked)
+    counts, i.e. the attribution-coverage report a marketing pipeline runs.
+
+    Same scale plan as ``join_asof`` (which this deliberately shares shape
+    with, not code-paths — the window carries one extra bucket expression):
+    both sides union into ONE user-keyed shuffle, running max(click ts)
+    over a (ts, side, id)-ordered rows window, so the tolerance check is a
+    map-side gap comparison — never a pairwise (clicks x purchases) join.
+    Dates out as strings; gap arithmetic in integer seconds (§7.3.1).
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = tagged.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("side") == 1, F.col("ts"))).over(w),
+    )
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+    bucket = (
+        F.when(F.col("last_click_ts").isNull(), F.lit("never_clicked"))
+        .when(gap_s <= ASOF_TOLERANCE_S, F.lit("attributed"))
+        .otherwise(F.lit("stale"))
+    )
+    return (
+        asof.filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            bucket.alias("bucket"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("day", "bucket")
+    )

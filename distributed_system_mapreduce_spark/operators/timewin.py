@@ -715,3 +715,85 @@ def events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_dow, 4).alias("avg_cnt"),
         F.round(avg_dow / avg_all, 4).alias("seasonal_index"),
     )
+
+
+#: churn buckets in EXACT elapsed microseconds since the watermark:
+#: active within 6 h, lapsed within 24 h, else churned (the fixture's
+#: per-user inactivity spread is hour-scale; integer epoch-us arithmetic
+#: sidesteps the engines' differing boundary-count date_diff semantics).
+CHURN_ACTIVE_US = 6 * 3600 * 1_000_000
+CHURN_LAPSED_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "events_inactivity_churn",
+    oracle=f"""
+    with nowts as (select max(ts) as now from events),
+    last_seen as (
+      select user_id, max(ts) as last_ts, count(*) as n_events
+      from events group by user_id),
+    bucketed as (
+      select case
+               when epoch_us(now) - epoch_us(last_ts) <= {CHURN_ACTIVE_US}
+                 then 'active'
+               when epoch_us(now) - epoch_us(last_ts) <= {CHURN_LAPSED_US}
+                 then 'lapsed'
+               else 'churned'
+             end as status,
+             n_events
+      from last_seen, nowts)
+    select status,
+           count(*) as n_users,
+           cast(sum(n_events) as bigint) as n_events,
+           round(count(*) * 1.0 /
+                 (select count(*) from last_seen), 4) as user_share
+    from bucketed
+    group by status
+    order by status
+    """,
+)
+def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-based churn segmentation: users bucketed by time since
+    their last event relative to the corpus watermark (max ts) — active
+    (<= 6 h), lapsed (<= 24 h), churned — with each segment's user count,
+    event volume, and share of the base. The lifecycle health report of
+    an events warehouse.
+
+    One map-side-combining groupBy to per-user last-seen rows, a 1-row
+    broadcast watermark, and a 3-row rollup — no windows at all. Gaps are
+    exact integer microseconds (unix_micros / epoch_us), so bucket
+    membership is engine-stable by construction — no date_diff boundary
+    semantics in a key position (§7.3.1).
+    """
+    ev = load(spark, sf_dir, "events")
+    nowts = ev.agg(F.max("ts").alias("now"))
+    last_seen = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    gap_us = F.unix_micros("now") - F.unix_micros("last_ts")
+    status = (
+        F.when(gap_us <= CHURN_ACTIVE_US, F.lit("active"))
+        .when(gap_us <= CHURN_LAPSED_US, F.lit("lapsed"))
+        .otherwise(F.lit("churned"))
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        last_seen.crossJoin(F.broadcast(nowts))
+        .select(status.alias("status"), "n_events")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "status",
+            "n_users",
+            "n_events",
+            F.round(
+                F.col("n_users") * 1.0 / F.sum("n_users").over(total), 4
+            ).alias("user_share"),
+        )
+        .orderBy("status")
+    )
