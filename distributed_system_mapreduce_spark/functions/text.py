@@ -113,7 +113,10 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 terms per source by summed tf-idf.
 
     Scores are rounded to 6 dp BEFORE ranking so float summation-order noise
-    cannot flip top-10 membership between engines.
+    cannot flip top-10 membership between engines. The per-source ranking is
+    the salted two-stage top-k: the scored table is vocabulary x sources —
+    at web scale a vocabulary-sized window slice per source is a single-task
+    sort (plans.salted_topk; row-identical, oracle keeps the naive window).
     """
     docs = load(spark, sf_dir, "documents")
     tf = tf_table(docs)
@@ -129,8 +132,14 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("word"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return salted_topk(
+        scored,
+        [F.desc("score"), F.asc("word")],
+        10,
+        salt_col="word",
+        group_cols=("source",),
+        rank_col="rn",
+    )
 
 
 @register(
@@ -430,13 +439,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # qtf already holds one row per (doc, query word) — per-term document
-    # frequency is a WINDOW count over it (single lineage: a groupBy-join
-    # here would run the token explode a second time), repartitioned by
-    # word, which is 3 tiny partitions of posting-list rows
-    qtf = qtf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
-    )
+    # qtf holds one row per (doc, query word); per-term document frequency
+    # is a 3-row rollup broadcast back onto it. qtf is tracked so the
+    # rollup and the score join share ONE token explode — and unlike the
+    # earlier `count over (partition by word)` window, no task ever holds
+    # a full posting list: a common query term's postings are corpus-sized
+    # at web scale, and an unordered window still ships every row of a
+    # partition to one task.
+    qtf = track(qtf)
+    qdf = qtf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qtf = qtf.join(F.broadcast(qdf), "word")
     idf = F.log(
         (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1)

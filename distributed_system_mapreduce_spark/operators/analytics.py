@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.scan import chunked_running_sum
 from ..registry import register
 from ..sources.io import load
 
@@ -325,6 +326,16 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     are maximally boundary-sensitive, and decimal arithmetic makes every
     prefix sum exact and order-independent, so class edges cannot drift
     between engines. Ordering is total (revenue desc, custkey).
+
+    The prefix sum itself is the chunked distributed scan
+    (``plans.chunked_running_sum``): a single global running-sum window
+    (and the companion ``over ()`` grand total) would sort EVERY customer
+    in one task — at warehouse scale, millions of rows. Chunking on the
+    negated log2 revenue band (monotone along the revenue-desc order)
+    bounds each window partition to one band; the grand total becomes a
+    broadcast 1-row aggregate. Decimal sums are exact under any grouping,
+    so the chunked cum equals the naive window's to the last digit and the
+    oracle keeps its single-window form.
     """
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -332,16 +343,19 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
         ).alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    total = per_cust.agg(F.sum("revenue").alias("__total"))
+    cum = chunked_running_sum(
+        per_cust,
+        "revenue",
+        [F.desc("revenue"), F.asc("o_custkey")],
+        -F.floor(F.log2(F.col("revenue").cast("double"))).cast("int"),
+        out_col="__cum",
     )
-    wall = Window.partitionBy()
-    ranked = per_cust.select(
+    ranked = cum.crossJoin(F.broadcast(total)).select(
         "o_custkey",
         "revenue",
-        (
-            F.sum("revenue").over(w) / F.sum("revenue").over(wall)
-        ).cast("double").alias("cum_share"),
+        (F.col("__cum").cast("double") / F.col("__total").cast("double"))
+        .alias("cum_share"),
     )
     classed = ranked.select(
         F.when(F.col("cum_share") <= 0.8, "A")

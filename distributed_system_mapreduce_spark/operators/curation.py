@@ -24,10 +24,12 @@ LLM-pipeline extensions, expressed Spark-first:
   to sort-merge with the identical result instead of OOMing the executors.
 - Sampling is hash-ordered and key-deterministic (md5 of the row key, same
   bytes on any engine): no ``rand()``, no sampler state, so any re-run or
-  incremental reprocess selects the identical rows. Per-stratum top-k and
-  running-budget selection are window functions over the stratum — one
-  shuffle on the stratum key; the 100 TB variant partitions by the same key
-  so the window never sees more than one stratum per task.
+  incremental reprocess selects the identical rows. With only a handful of
+  strata, naive stratum-partitioned windows would sort a full corpus slice
+  per task — per-stratum top-k runs through the salted two-stage top-k
+  (``plans.salted_topk``) and running-budget selection through the chunked
+  distributed prefix sum (``plans.chunked_running_sum``), both
+  row-identical to the naive windows the oracles keep.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
+from ..plans.scan import chunked_running_sum
 from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
@@ -310,19 +313,27 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) while the running character total stays within the budget —
     "fill N tokens from each source", the quota step of a mixture build.
 
-    A running sum over the stratum window, then a filter on the prefix sum:
-    one shuffle on source, no second pass. n_chars stands in for a token
-    count; swapping in ``text_token_count``'s tokenizer output changes only
-    the summed column.
+    The prefix sum is the chunked distributed scan
+    (``plans.chunked_running_sum``): with a handful of sources, a plain
+    per-source running-sum window sorts a full corpus slice per task — the
+    2-hex-digit md5 prefix is monotone along the md5 order, so the
+    within-chunk windows see ~1/256th of a stratum and the offsets window
+    sees 256 metadata rows. Row-identical to the naive window; the oracle
+    keeps the single-window form. n_chars stands in for a token count;
+    swapping in ``text_token_count``'s tokenizer output changes only the
+    summed column.
     """
     docs = load(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(*_md5_order())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    md5c, _tie = _md5_order()
     return (
-        docs.withColumn("cum_chars", F.sum("n_chars").over(w))
+        chunked_running_sum(
+            docs,
+            "n_chars",
+            list(_md5_order()),
+            F.substring(md5c, 1, 2),
+            group_cols=("source",),
+            out_col="cum_chars",
+        )
         .filter(F.col("cum_chars") <= SOURCE_CHAR_BUDGET)
         .groupBy("source")
         .agg(
@@ -375,24 +386,28 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-and-split layout); the report is sequences/docs/tokens per
     source.
 
-    One shuffle on the stratum key (the same window shape as
-    sample_token_budget), then the rollup — a pure prefix-sum plan that
-    never materializes the packed sequences themselves.
+    The prefix sum is the chunked distributed scan (the same
+    ``plans.chunked_running_sum`` as sample_token_budget — a handful of
+    sources means the naive stratum window sorts a corpus slice per task),
+    then the rollup — a plan that never materializes the packed sequences
+    themselves. The exclusive "before" total is the inclusive scan minus
+    the row's own count (exact integer arithmetic).
     """
     docs = load(spark, sf_dir, "documents")
     n_tok = F.expr(
         "size(filter(split(text, ' '), w -> w != ''))"
     ).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(*_md5_order())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    md5c, _tie = _md5_order()
     binned = (
-        docs.select("doc_id", "source", n_tok.alias("n_tok"))
-        .withColumn(
-            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        chunked_running_sum(
+            docs.select("doc_id", "source", n_tok.alias("n_tok")),
+            "n_tok",
+            list(_md5_order()),
+            F.substring(md5c, 1, 2),
+            group_cols=("source",),
+            out_col="cum_incl",
         )
+        .withColumn("cum_before", F.col("cum_incl") - F.col("n_tok"))
         .withColumn(
             "seq_id",
             F.floor(F.col("cum_before") / PACK_SEQ_TOKENS).cast("bigint"),
@@ -601,26 +616,21 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tok"),
     )
-    # packing needs the source column: rejoin the scan (cheap projection)
-    packed = (
-        clean.join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn(
-            "cum_before",
-            F.coalesce(
-                F.sum("n_tok").over(
-                    Window.partitionBy("source")
-                    .orderBy(*_md5_order())
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select(
-            "source",
-            F.floor(F.col("cum_before") / PACK_SEQ_TOKENS)
-            .cast("bigint")
-            .alias("seq_id"),
-        )
+    # packing needs the source column: rejoin the scan (cheap projection).
+    # Same chunked distributed prefix sum as the standalone packer.
+    md5c, _tie = _md5_order()
+    packed = chunked_running_sum(
+        clean.join(docs.select("doc_id", "source"), "doc_id"),
+        "n_tok",
+        list(_md5_order()),
+        F.substring(md5c, 1, 2),
+        group_cols=("source",),
+        out_col="cum_incl",
+    ).select(
+        "source",
+        F.floor((F.col("cum_incl") - F.col("n_tok")) / PACK_SEQ_TOKENS)
+        .cast("bigint")
+        .alias("seq_id"),
     )
     counts = [
         # n_input/n_quality/n_exact fused into ONE conditional aggregation

@@ -74,16 +74,22 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts per brand by retail price (secondary-sort pattern)."""
+    """Top-3 parts per brand by retail price (secondary-sort pattern).
+
+    Per-brand selection is the salted two-stage top-k
+    (``plans.salted_topk``): brands are a bounded dimension, so a plain
+    brand-partitioned rank window would sort a corpus-sized slice in one
+    task per brand — the canonical straggler this engine re-plans
+    everywhere (row-identical result; the oracle keeps the naive window).
+    """
+    from ..plans.topk import salted_topk
+
     part = load(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(
-        F.desc("p_retailprice"), F.asc("p_partkey")
-    )
-    return (
-        part.select(
-            "p_brand",
-            "p_partkey",
-            "p_retailprice",
-            F.row_number().over(w).alias("rn"),
-        ).filter(F.col("rn") <= 3)
+    return salted_topk(
+        part.select("p_brand", "p_partkey", "p_retailprice"),
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        3,
+        salt_col="p_partkey",
+        group_cols=("p_brand",),
+        rank_col="rn",
     )

@@ -1,0 +1,85 @@
+"""plans.chunked_running_sum — the distributed prefix sum (round 8).
+
+Guarantees: (1) row-identical to the naive group-sized running-sum window
+for both integer and decimal payloads, including duplicate order keys
+broken by the unique tiebreak; (2) the converted queries actually route
+through the chunked scan (offsets join present, no group-global running
+window left).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.plans import explain_str
+from distributed_system_mapreduce_spark.plans.scan import chunked_running_sum
+from distributed_system_mapreduce_spark.registry import QUERIES
+
+from conftest import SF_DIR
+
+
+def _fixture(spark):
+    rows = [(i % 3, i, (i * 7) % 5 + 1) for i in range(900)]
+    return spark.createDataFrame(rows, "grp int, id bigint, v bigint")
+
+
+def test_chunked_scan_matches_naive_window_grouped(spark):
+    df = _fixture(spark)
+    order = [F.asc("id")]
+    # chunk on id ranges: monotone along the order
+    got = chunked_running_sum(
+        df, "v", order, F.floor(F.col("id") / 100).cast("int"),
+        group_cols=("grp",), out_col="cum",
+    )
+    w = Window.partitionBy("grp").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_chunked_scan_matches_naive_global_desc_with_ties(spark):
+    # global scan, descending order with heavy ties, decimal payload
+    rows = [(i, (i * 3) % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, score int").select(
+        "id", "score", F.col("score").cast("decimal(10,2)").alias("v")
+    )
+    order = [F.desc("score"), F.asc("id")]
+    got = chunked_running_sum(
+        df, "v", order, -F.col("score").cast("int"), out_col="cum"
+    )
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    g = {r.id: r.cum for r in got.collect()}
+    e = {r.id: r.cum for r in want.collect()}
+    assert g == e
+
+
+def test_chunk_boundary_rows_keep_exact_cum(spark):
+    # single-row chunks: every row is a boundary; offsets must chain exactly
+    df = spark.createDataFrame(
+        [(i, 10 ** (i % 3)) for i in range(12)], "id bigint, v bigint"
+    )
+    got = chunked_running_sum(
+        df, "v", [F.asc("id")], F.col("id").cast("int"), out_col="cum"
+    ).collect()
+    running, expect = 0, {}
+    for i in range(12):
+        running += 10 ** (i % 3)
+        expect[i] = running
+    assert {r.id: r.cum for r in got} == expect
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sample_token_budget", "orders_abc_pareto", "pipeline_sequence_pack"],
+)
+def test_converted_scans_have_no_global_running_window(name, spark):
+    plan = explain_str(QUERIES[name](spark, SF_DIR), mode="formatted")
+    assert "__scan_chunk" in plan, f"{name} lost its chunked scan"

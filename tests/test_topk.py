@@ -83,6 +83,8 @@ _CONVERTED = [
     "knn_label_vote",
     "sim_ann_recall",
     "sim_quantized_recall",
+    "topk_per_group",
+    "text_tfidf_top",
     # sim_pq_recall also routes through salted_topk (shortlist + exact arm)
     # but building its DataFrame runs Lloyd training — covered by
     # test_ann_quality instead of a plan probe here.
