@@ -146,6 +146,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       corpus_ngram_overlap (memorization-risk audit, new r8),
     #       pipeline_curriculum_order (schedule manifest, new r8),
     #       orders_ship_latency (date-math percentiles, new r8)
+    #   r17: join_asof_tolerance (tolerance as-of, new r8),
+    #       orders_repeat_purchase_curve (retention curve, new r8),
+    #       events_inactivity_churn (lifecycle segments, new r8),
+    #       sim_ivfpq_recall (rows-only composed-ANN witness, new r8)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

@@ -734,6 +734,39 @@ def exact_topk_baseline(
     )
 
 
+def seeded_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id): the corpus assigned to its nearest of the
+    RECALL_N_CENTS deterministic seed centroids — the IVF list membership
+    every seeded ANN-quality query shares (sim_ann_recall,
+    sim_ivf_nprobe_sweep, sim_ivfpq_recall). One tracked builder, so the
+    assignment scan runs once per session (plan-identical across callers,
+    like exact_topk_baseline). Scores round 4 dp with a cent_id tiebreak
+    before the argmin rank; at Lloyd-trained deployment scale the
+    assignment is ``ivf_assign``'s min_by — this seeded variant keeps the
+    rank form so DuckDB oracles can mirror it verbatim."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < RECALL_N_CENTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    )
+    return track(
+        spread(emb)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(dot(F.col("e"), F.col("ce")), 4).alias("s"),
+        )
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+
 @register(
     "sim_ann_recall",
     oracle=f"""
@@ -817,18 +850,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy(part).orderBy(F.desc(score), F.asc(tie))
     )
     exact = exact_topk_baseline(spark, sf_dir)
-    assign = (
-        spread(emb)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cent_id",
-            F.round(dot(F.col("e"), F.col("ce")), 4).alias("s"),
-        )
-        .withColumn("rn", rnk("vec_id", "s", "cent_id"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    assign = seeded_ivf_assign(spark, sf_dir)
     probe = (
         q.crossJoin(F.broadcast(cents))
         .select(
@@ -1757,18 +1779,7 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = lambda part, score, tie: F.row_number().over(  # noqa: E731
         Window.partitionBy(part).orderBy(F.desc(score), F.asc(tie))
     )
-    assign = track(
-        spread(emb)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cent_id",
-            F.round(dot(F.col("e"), F.col("ce")), 4).alias("s"),
-        )
-        .withColumn("rn", rnk("vec_id", "s", "cent_id"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    assign = seeded_ivf_assign(spark, sf_dir)
     probe_all = (
         q.crossJoin(F.broadcast(cents))
         .select(
@@ -1827,4 +1838,109 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("nprobe")
+    )
+
+
+@register("sim_ivfpq_recall")
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{PQ_TOPK} of the COMPOSED production ANN path — IVF probing x
+    product-quantized ADC scoring x exact re-rank — against the shared
+    brute-force baseline. sim_ann_recall audits the IVF stage alone and
+    sim_pq_recall audits exhaustive ADC; a deployment runs them together:
+    probe the {RECALL_NPROBE} nearest inverted lists, ADC-score ONLY those
+    candidates from the byte codes, exactly re-rank the top-{PQ_RERANK}.
+    This query measures what that composition actually loses.
+
+    Scale shape: the candidate set is sum(probed list sizes) ~= corpus *
+    nprobe / n_cents per query (never the full corpus); the ADC join fans
+    candidates out by M byte-codes and collapses map-side via the
+    partial-sum groupBy; both candidate membership (tracked
+    ``seeded_ivf_assign``) and ground truth (tracked
+    ``exact_topk_baseline``) are the session-shared builders, and the
+    codebooks train on the 1-in-{PQ_TRAIN_MOD} sample once. Rows-only by
+    design (Lloyd-trained codebooks); pinned at sf0.01 with the recall
+    floor asserted in tests/test_ann_quality.py.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < RECALL_N_CENTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+    )
+    q = emb.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e")
+    )
+    # IVF stage: per-query probed lists (same ranked-probe shape as the
+    # recall/sweep siblings; 16-row broadcast grid per query)
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "cent_id",
+            F.round(dot(F.col("e"), F.col("ce")), 4).alias("s"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("s"), F.asc("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= RECALL_NPROBE)
+        .select("q_id", "cent_id")
+    )
+    cand = (
+        seeded_ivf_assign(spark, sf_dir)
+        .join(F.broadcast(probe), "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    # PQ stage: byte codes + per-query LUT, ADC only over the candidates
+    pq_cents = pq_codebooks(emb)
+    codes = pq_assign(pq_subvectors(emb), pq_cents).select(
+        "vec_id", "m", F.col("cent_id").alias("code")
+    )
+    lut = (
+        pq_subvectors(q.select(F.col("q_id"), F.col("e")), id_col="q_id")
+        .join(F.broadcast(pq_cents), "m")
+        .select(
+            "q_id", "m",
+            F.col("cent_id").alias("code"),
+            dot(F.col("sv"), F.col("ce")).alias("part"),
+        )
+    )
+    shortlist = salted_topk(
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("part"), 4).alias("s")),
+        [F.desc("s"), F.asc("vec_id")],
+        PQ_RERANK,
+        salt_col="vec_id",
+        group_cols=("q_id",),
+    ).select("q_id", "vec_id")
+    rerank = salted_topk(
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(q.select("q_id", F.col("e").alias("qe"))), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("v_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 4).alias("s"),
+        ),
+        [F.desc("s"), F.asc("v_id")],
+        PQ_TOPK,
+        salt_col="v_id",
+        group_cols=("q_id",),
+    ).select("q_id", "v_id")
+    exact = exact_topk_baseline(spark, sf_dir, n_queries=PQ_QUERIES, k=PQ_TOPK)
+    hits = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        exact.join(rerank, ["q_id", "v_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("h")
+        )
+    )
+    return hits.select(
+        F.lit(RECALL_NPROBE).alias("nprobe"),
+        F.lit(PQ_M).alias("m_subspaces"),
+        F.lit(PQ_QUERIES).alias("n_queries"),
+        F.round(F.col("h") / F.col("n_exact"), 4).alias("recall"),
     )

@@ -213,6 +213,21 @@ def test_pq_adc_with_rerank_recall(spark):
     assert a == b
 
 
+def test_ivfpq_composed_recall_floor(spark):
+    """The composed production path (IVF probe -> ADC on candidates ->
+    exact re-rank) must hold recall@10 >= 0.55 at fixture scale (measured
+    0.6533) and may not EXCEED the IVF-only recall: ADC can only lose
+    candidates within the probed lists, never add them."""
+    from distributed_system_mapreduce_spark.registry import QUERIES
+
+    composed = QUERIES["sim_ivfpq_recall"](spark, SF_DIR).collect()
+    assert len(composed) == 1
+    r_composed = composed[0].recall
+    assert 0.55 <= r_composed <= 1.0
+    r_ivf = QUERIES["sim_ann_recall"](spark, SF_DIR).collect()[0].recall
+    assert r_composed <= r_ivf + 1e-9
+
+
 def test_pq_codebooks_reduce_quantization_error(emb_d):
     """PQ-Lloyd training must not increase total squared quantization
     error vs the untrained seed codebooks (Lloyd is monotone)."""

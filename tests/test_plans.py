@@ -220,6 +220,7 @@ _SCALAR_COMBINE_BNLJ = {
     "knn_label_vote",
     "layout_zorder_cluster",
     "sim_pq_recall",
+    "sim_ivfpq_recall",
     "sample_negative_pairs",
     "pipeline_dedup_corpus",
     "pipeline_train_corpus",
