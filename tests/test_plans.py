@@ -200,6 +200,7 @@ _PLAN_SF = "/root/testdata/sf0.001"
 #: quadratic-at-scale regression and fails the sweep.
 _SCALAR_COMBINE_BNLJ = {
     "agg_cms_heavy_hitters",
+    "orders_abc_pareto",
     "cdc_merge_upserts",
     "eval_confusion_centroid",
     "eval_ndcg_at_k",
