@@ -450,3 +450,92 @@ def eval_confusion_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "eval_mrr_at_k",
+    oracle=f"""
+    with q as (
+      select vec_id as qid, embedding::DOUBLE[] as q_emb, label as q_label
+      from embeddings where vec_id < {NDCG_QUERIES}),
+    scored as (
+      select q.qid, cast(e.label = q.q_label as int) as relv, e.vec_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.q_emb), 4)
+               as score
+      from embeddings e, q
+      where e.vec_id <> q.qid),
+    ranked as (
+      select qid, relv,
+             row_number() over (partition by qid
+                                order by score desc, vec_id) as rnk
+      from scored),
+    hit as (
+      select qid, min(rnk) as first_rel_rank
+      from ranked where rnk <= {NDCG_K} and relv = 1
+      group by qid)
+    select q.qid as qid,
+           cast(coalesce(h.first_rel_rank, 0) as int) as first_rel_rank,
+           round(case when h.first_rel_rank is null then 0.0
+                      else 1.0 / h.first_rel_rank end, 6) as rr
+    from (select distinct qid from q) q
+    left join hit h using (qid)
+    """,
+)
+def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the first relevant hit within the top NDCG_K per
+    query (0 when no relevant document ranks that high) — the
+    first-answer-quality twin of ``eval_ndcg_at_k``; averaging ``rr`` gives
+    MRR@k.
+
+    Identical plan skeleton to eval_ndcg_at_k — broadcast query grid,
+    4 dp round-before-rank, salted two-stage top-k — then a per-query
+    min() over the <= k ranked hits and a left join back onto the query
+    set so misses surface as explicit zeros (a dropped row would silently
+    inflate the average).
+    """
+    from ..functions.vectors import dot, spread
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        spread(emb)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            (F.col("label") == F.col("q_label")).cast("int").alias("relv"),
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_emb")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    ranked = salted_topk(
+        scored,
+        [F.desc("score"), F.asc("vec_id")],
+        NDCG_K,
+        salt_col="vec_id",
+        group_cols=("qid",),
+        rank_col="rnk",
+    )
+    hit = (
+        ranked.filter(F.col("relv") == 1)
+        .groupBy("qid")
+        .agg(F.min("rnk").alias("first_rel_rank"))
+    )
+    return q.select("qid").join(hit, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("first_rel_rank"), F.lit(0))
+        .cast("int")
+        .alias("first_rel_rank"),
+        F.round(
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
+                1.0 / F.col("first_rel_rank")
+            ),
+            6,
+        ).alias("rr"),
+    )

@@ -13,6 +13,7 @@ from .dedup import (  # noqa: F401
     read_documents_stream,
 )
 from .joins import (  # noqa: F401
+    asof_attribution_stream,
     theta_range_pairs_stream,
 )
 from .sketches import (  # noqa: F401

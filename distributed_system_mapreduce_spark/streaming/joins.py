@@ -57,3 +57,81 @@ def theta_range_pairs_stream(
         & (F.col("b_ts") > F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("interval 1 hour")),
     ).select("user_id", "a_id", "b_id")
+
+
+#: output schema of the streaming as-of attributor
+_ASOF_OUT = (
+    "purchase_id long, user_id long, purchase_ts long, "
+    "last_click_ts long, gap_us long"
+)
+_ASOF_STATE = "click_ts long, click_id long"
+
+
+def asof_attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``join_asof``: attribute each purchase to the
+    user's latest strictly-earlier click, as events arrive.
+
+    ``events`` needs (event_id, user_id, ts_epoch, event_type) with
+    time-ordered micro-batches (the replay harness splits by time, the
+    shape a log-shipped changelog has). ``applyInPandasWithState`` keyed
+    by user holds ONE (ts, id) pair — the latest click seen — and each
+    batch folds its rows in (ts, side, event_id) order: purchases sort
+    before clicks at equal ts, so the strict '<' as-of semantics of the
+    batch window are preserved exactly. Emits one attribution row per
+    purchase; state is O(users) x 16 bytes, the same bound as the batch
+    running-max carries per partition.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            c_ts, c_id = state.get
+        else:
+            c_ts, c_id = (None, None)
+        out = []
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(
+                zip(
+                    pdf["ts_epoch"].tolist(),
+                    pdf["event_type"].tolist(),
+                    pdf["event_id"].tolist(),
+                )
+            )
+        # purchases (side 0) before clicks (side 1) at equal ts — the
+        # batch window's exact tie order
+        rows.sort(key=lambda r: (r[0], 0 if r[1] == "purchase" else 1, r[2]))
+        for ts, etype, eid in rows:
+            if etype == "purchase":
+                out.append(
+                    (
+                        eid,
+                        key[0],
+                        ts,
+                        c_ts,
+                        None if c_ts is None else ts - c_ts,
+                    )
+                )
+            elif etype == "click":
+                if c_ts is None or (ts, eid) > (c_ts, c_id):
+                    c_ts, c_id = ts, eid
+        if c_ts is not None:
+            state.update((c_ts, c_id))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "purchase_id", "user_id", "purchase_ts",
+                "last_click_ts", "gap_us",
+            ],
+        )
+
+    return events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

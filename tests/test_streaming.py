@@ -12,6 +12,7 @@ from distributed_system_mapreduce_spark.streaming import (
     tumbling_counts_stream,
 )
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -599,3 +600,77 @@ def test_streaming_cdc_changelog_roundtrip(spark, tmp_path):
         assert g.last_type == e.last_type
         assert g.last_value == e.last_value
         assert g.n_ops == e.n_ops
+
+
+def test_streaming_asof_attribution_matches_batch(spark, tmp_path):
+    """Streaming as-of attributor == the batch join_asof window under a
+    2-micro-batch time split: each purchase's attributed click (and µs
+    gap) must equal the batch union + running-max result, including the
+    strict '<' tie order (purchases before clicks at equal ts) and
+    never-clicked purchases surfacing with null attribution.
+    """
+    import time
+
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        asof_attribution_stream,
+        run_available_now,
+    )
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_epoch"),
+        "event_type",
+    )
+    mid = ev.agg(F.avg("ts_epoch")).collect()[0][0]
+    d = tmp_path / "asof_events"
+    ev.filter(F.col("ts_epoch") < mid).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    time.sleep(0.2)
+    ev.filter(F.col("ts_epoch") >= mid).coalesce(1).write.parquet(
+        str(d / "f2")
+    )
+
+    stream = asof_attribution_stream(
+        spark.readStream.schema(
+            "event_id long, user_id long, ts_epoch long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    got = {
+        r.purchase_id: (r.last_click_ts, r.gap_us)
+        for r in run_available_now(stream, "t_asof_attr", mode="update").collect()
+    }
+
+    # batch expectation: the join_asof union + running-max plan in µs
+    pc = ev.filter(F.col("event_type").isin("click", "purchase"))
+    tagged = pc.withColumn(
+        "side",
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = (
+        tagged.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("side") == 1, F.col("ts_epoch"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    )
+    expected = {
+        r.event_id: (
+            r.last_click_ts,
+            None if r.last_click_ts is None else r.ts_epoch - r.last_click_ts,
+        )
+        for r in batch
+    }
+    assert got == expected
+    assert any(v[0] is None for v in expected.values()) or len(expected) > 0
