@@ -110,10 +110,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r7: graph_pagerank (iterative-loop witness), dedup_simhash64
     #       (bit-block LSH family), embed_kmeans (clustering family),
     #       events_series_topk (time-series similarity, new in r5)
-    #   r8 (active): sql_market_share (TPC-H-style multiway), dedup_incremental
+    #   r8: sql_market_share (TPC-H-style multiway), dedup_incremental
     #       (batch-probes-index), events_retention_cohort (cohort family),
     #       data_quality_checks (validation family)
-    #   r9: agg_approx_error (hash-checked HLL++ quality bound — promotes
+    #   r9 (active): agg_approx_error (hash-checked HLL++ quality bound — promotes
     #       the one §2 rows-only row to a measured-quality driver row,
     #       VERDICT r6 #8), dedup_winnow (re-verify post r7 BIGINT rework),
     #       sim_mmr_topk (re-verify post r7 hardening), text_collocations
@@ -154,10 +154,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
     #    by events_series_topk's dense grid.)
-    "sql_market_share",
-    "dedup_incremental",
-    "events_retention_cohort",
-    "data_quality_checks",
+    "agg_approx_error",
+    "dedup_winnow",
+    "sim_mmr_topk",
+    "text_collocations",
 )
 
 

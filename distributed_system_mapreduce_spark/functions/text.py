@@ -858,6 +858,12 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
 
 
+#: Exact-count chunking threshold for text_zipf_fit's chunked global rank:
+#: counts >= T chunk by exact count ('' sub-key), counts < T add the first
+#: word char. Metadata cardinality <= T*charset + distinct-counts-above-T.
+ZIPF_CHUNK_T = 256
+
+
 @register(
     "text_zipf_fit",
     oracle="""
@@ -881,22 +887,40 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated corpora flatten) — a one-number corpus-health diagnostic a
     pretraining data card reports.
 
-    The regression runs over the VOCABULARY (one word rollup, one rank
-    window over vocab-sized rows), not the corpus; slope/intercept use
-    Spark's regr_slope/regr_intercept — the same Welford-style moment
-    aggregates DuckDB implements, rounded to absorb accumulation-order
-    noise. Rank ties break by word so both engines rank identically.
+    The regression runs over the VOCABULARY (one word rollup), not the
+    corpus — but a web-scale vocabulary is still billions of rows, so the
+    global frequency rank routes through ``plans.scan.chunked_global_rank``
+    (VERDICT r8 #3 class): chunk = (-greatest(c, T), c < T ? first word
+    char : '') — above the threshold each exact count is its own chunk
+    (few high-frequency words, so few metadata rows); below it the first
+    word char splits the tie-heavy Zipf tail (most words have count 1,
+    and within equal counts the order IS word asc, so a word prefix is
+    monotone there) — row-identical to the naive global row_number.
+    Slope/intercept use Spark's regr_slope/regr_intercept — the same
+    Welford-style moment aggregates DuckDB implements, rounded to absorb
+    accumulation-order noise. Rank ties break by word so both engines rank
+    identically.
     """
     docs = load(spark, sf_dir, "documents")
+    from ..plans.scan import chunked_global_rank
+
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = wc.select(
-        F.log(
-            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("word")))
-        ).alias("lr"),
+    ranked = chunked_global_rank(
+        wc,
+        [F.desc("c"), F.asc("word")],
+        F.struct(
+            (-F.greatest(F.col("c"), F.lit(ZIPF_CHUNK_T))).alias("cb"),
+            F.when(
+                F.col("c") < ZIPF_CHUNK_T, F.substring("word", 1, 1)
+            ).otherwise(F.lit("")).alias("wb"),
+        ),
+        out_col="__rank",
+    ).select(
+        F.log("__rank").alias("lr"),
         F.log("c").alias("lf"),
     )
     return ranked.agg(
@@ -967,4 +991,51 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    with wc as (
+      select source, word, count(*) as cnt
+      from (select source, unnest(string_split(text, ' ')) as word
+            from documents)
+      where word <> ''
+      group by source, word)
+    select source,
+           cast(count(*) as bigint) as vocab,
+           cast(sum(case when cnt = 1 then 1 else 0 end) as bigint) as hapax,
+           cast(sum(cnt) as bigint) as total_tokens,
+           round(sum(case when cnt = 1 then 1 else 0 end) * 1.0 / count(*),
+                 6) as hapax_ratio
+    from wc
+    group by source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena share: the fraction of each source's
+    vocabulary that occurs exactly once — natural text sits near 0.4-0.6
+    (Zipf tail), templated or deduplicated-to-death corpora collapse
+    toward 0, OCR noise pushes it toward 1. The corpus-health twin of
+    text_zipf_fit, per source.
+
+    One token explode → (source, word) partial-agg rollup → per-source
+    rollup of the vocabulary frame: the shuffles carry vocabulary-sized
+    (key, count) pairs, never raw tokens, and the final frame is
+    one row per source.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        tokens(docs)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return wc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("cnt") == 1).cast("bigint")).alias("hapax"),
+        F.sum("cnt").alias("total_tokens"),
+        F.round(
+            F.sum((F.col("cnt") == 1).cast("bigint")) / F.count(F.lit(1)), 6
+        ).alias("hapax_ratio"),
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import track
+from ..cache import register_memo_clearer, track
 from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
@@ -1550,6 +1550,26 @@ def pq_recompute(assign: DataFrame) -> DataFrame:
     )
 
 
+#: Session-scoped memo of trained PQ codebooks, keyed by (session id,
+#: corpus plan hash). The training loop's ACTIONS (PQ_ITERS collects) are
+#: invisible to Spark's CacheManager — tracking the sample frame dedupes
+#: the scan, but each caller still re-ran the full Lloyd loop (VERDICT r8
+#: #4: sim_pq_recall and sim_ivfpq_recall each paid ~4-5 s for identical
+#: codebooks). The memo stores the DRIVER-SIDE rows (K·dim doubles —
+#: kilobytes) and rebuilds the literal frame per caller, the same
+#: session-materialized-view contract as the CC label memo (dedup.py).
+_PQ_CODEBOOK_MEMO: dict[tuple, list] = {}
+
+
+def _clear_pq_memo() -> int:
+    n = len(_PQ_CODEBOOK_MEMO)
+    _PQ_CODEBOOK_MEMO.clear()
+    return n
+
+
+register_memo_clearer(_clear_pq_memo)
+
+
 def pq_codebooks(emb: DataFrame) -> DataFrame:
     """Train all M codebooks in ONE distributed Lloyd loop: the cell key is
     (m, cent_id), so adding subspaces never adds rounds — every iteration
@@ -1562,9 +1582,22 @@ def pq_codebooks(emb: DataFrame) -> DataFrame:
     scans only a deterministic 1-in-{PQ_TRAIN_MOD} key sample of the
     corpus (cached across rounds): the quantizer needs a distribution
     sample, not every vector — at 100 TB this is the difference between
-    an hours-long trainer and a constant-time one.
+    an hours-long trainer and a constant-time one. Trained codebooks are
+    memoized per (session, corpus): Lloyd is deterministic given the seed
+    centroids and sample, so every caller in a session gets the identical
+    codebook without re-running the loop.
     """
     spark = emb.sparkSession
+    memo_key = (
+        spark.sparkContext.applicationId,
+        emb.semanticHash(),
+        PQ_M, PQ_K, PQ_ITERS, PQ_TRAIN_MOD,
+    )
+    cached = _PQ_CODEBOOK_MEMO.get(memo_key)
+    if cached is not None:
+        return spark.createDataFrame(
+            cached, "m int, cent_id long, ce array<double>"
+        )
     sub = pq_subvectors(
         emb.filter(F.pmod(F.col("vec_id"), F.lit(PQ_TRAIN_MOD)) == 0)
     )
@@ -1585,6 +1618,7 @@ def pq_codebooks(emb: DataFrame) -> DataFrame:
         cents = spark.createDataFrame(
             rows, "m int, cent_id long, ce array<double>"
         )
+    _PQ_CODEBOOK_MEMO[memo_key] = rows
     return cents
 
 

@@ -481,22 +481,26 @@ def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their boundaries — the optimizer-statistics shape (Spark's own
     CBO histograms are equi-depth).
 
-    The ntile is a global sort (single-partition window) — correct for
-    the statistic, and at 100 TB the same boundaries come from
-    approx_percentile edges with a broadcast range join
-    (agg_percentile_sketch_error measures that trade). The event_id
-    tiebreak makes bucket assignment total-ordered, so boundary rows
-    can't flip buckets between engines.
+    The ntile routes through ``plans.scan.chunked_ntile`` (VERDICT r8 #2):
+    value-band chunks (floor(value*16), monotone along the value order)
+    → per-chunk counts → metadata-sized offset window → within-chunk
+    row_number — row-identical to the naive global-sort ntile but with no
+    corpus-sized single-task window. The event_id tiebreak makes bucket
+    assignment total-ordered, so boundary rows can't flip buckets between
+    engines. At 100 TB the sketch alternative (approx_percentile edges,
+    agg_percentile_sketch_error measures that trade) stays available when
+    exactness isn't required.
     """
     ev = load(spark, sf_dir, "events")
-    from pyspark.sql import Window
+    from ..plans.scan import chunked_ntile
 
-    bucketed = ev.select(
-        "value",
-        F.ntile(EQUIDEPTH_BUCKETS)
-        .over(Window.orderBy("value", "event_id"))
-        .alias("bucket"),
-    )
+    bucketed = chunked_ntile(
+        ev.select("value", "event_id"),
+        EQUIDEPTH_BUCKETS,
+        [F.col("value"), F.col("event_id")],
+        F.floor(F.col("value") * 16),
+        out_col="bucket",
+    ).select("value", "bucket")
     return (
         bucketed.groupBy("bucket")
         .agg(
@@ -505,4 +509,73 @@ def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
         .orderBy("bucket")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    with pv as (
+      select l_extendedprice as v,
+             cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2))
+               as w
+      from lineitem group by l_extendedprice),
+    cum as (
+      select v, w,
+             sum(w) over (order by v
+                          rows between unbounded preceding and current row)
+               as c
+      from pv),
+    tot as (select sum(w) as t from pv)
+    select cast(min(v) as double) as weighted_median,
+           cast((select t from tot) as double) as total_weight,
+           cast((select count(*) from pv) as bigint) as n_distinct_values
+    from cum
+    where c * 2 >= (select t from tot)
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of lineitem price, weighted by quantity — the
+    smallest value whose cumulative weight reaches half the total (the
+    robust-statistics counterpart of agg_percentiles, exact instead of
+    sketched).
+
+    Classically this is ONE global sort + running sum; here the cumulative
+    weight comes from ``plans.scan.chunked_running_sum`` over the per-value
+    rollup (chunk = price/1000 band, monotone along the value order), so
+    no task ever sorts the full distinct-value frame — the same two-level
+    scan as the ntile rework, applied to a threshold crossing instead of a
+    bucket assignment. Weights accumulate as decimal(38,2) (exact,
+    order-independent); the half-total comparison is ``2*cum >= total``
+    so no division ever happens. The one-row total joins back as a
+    broadcast scalar combine (whitelisted BNLJ).
+    """
+    from ..plans.scan import chunked_running_sum
+
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("w")
+    )
+    cum = chunked_running_sum(
+        pv,
+        "w",
+        [F.asc("v")],
+        F.floor(F.col("v") / 1000).cast("int"),
+        out_col="c",
+    )
+    tot = pv.agg(
+        F.sum("w").alias("t"), F.count(F.lit(1)).alias("n_distinct_values")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * 2 >= F.col("t"))
+        .agg(
+            F.min("v").cast("double").alias("weighted_median"),
+            F.first(F.col("t")).cast("double").alias("total_weight"),
+            F.first("n_distinct_values").cast("bigint").alias(
+                "n_distinct_values"
+            ),
+        )
     )

@@ -795,3 +795,116 @@ def orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+#: sql_order_priority: a lineitem is "late" when it ships more than this
+#: many days after its order date (the fixture has no commit/receipt dates,
+#: so the Q4 late-predicate is adapted to shipdate vs orderdate).
+LATE_SHIP_DAYS = 60
+
+
+@register(
+    "sql_order_priority",
+    oracle=f"""
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_orders
+    from orders
+    where exists (
+      select 1 from lineitem
+      where l_orderkey = o_orderkey
+        and l_shipdate > o_orderdate + interval {LATE_SHIP_DAYS} day)
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipping lineitem,
+    counted by order priority — the EXISTS-semi-join witness.
+
+    The existence test is a LEFT SEMI join (never materializes matching
+    lineitems, never duplicates an order with several late lines — no
+    DISTINCT needed), with the date predicate inside the join condition so
+    it evaluates during the join, not after a wide materialization. Both
+    sides shuffle on the order key once; the priority rollup is a 5-row
+    partial agg.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), LATE_SHIP_DAYS)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+#: sql_returned_items: how many top lossy customers Q10 reports.
+RETURNED_TOP_N = 20
+
+
+@register(
+    "sql_returned_items",
+    oracle=f"""
+    with rev as (
+      select c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+             cast(count(*) as bigint) as n_items
+      from lineitem
+      join orders   on o_orderkey  = l_orderkey
+      join customer on c_custkey   = o_custkey
+      join nation   on n_nationkey = c_nationkey
+      where l_returnflag = 'R'
+      group by c_custkey, c_name, n_name)
+    select c_custkey, c_name, n_name, revenue, n_items, rnk from (
+      select *, row_number() over (order by revenue desc, c_custkey) as rnk
+      from rev)
+    where rnk <= {RETURNED_TOP_N}
+    """,
+)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the {RETURNED_TOP_N} customers who returned the
+    most revenue — the returned-merchandise loss report.
+
+    The returnflag filter is pushed to the lineitem scan (only 'R' rows
+    shuffle); nation broadcasts; the per-customer rollup partial-aggs
+    map-side. Revenue rounds to 2 dp BEFORE ranking (engine-stable
+    membership) and the global top-{RETURNED_TOP_N} runs through the
+    salted two-stage builder — the per-customer rollup is
+    customer-cardinality, never sorted in one task.
+    """
+    from ..plans.topk import salted_topk
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return salted_topk(
+        rev,
+        [F.desc("revenue"), F.asc("c_custkey")],
+        RETURNED_TOP_N,
+        salt_col="c_custkey",
+        rank_col="rnk",
+    )

@@ -30,7 +30,7 @@ VLDB 2020).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -244,4 +244,77 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_total").cast("double") / F.col("n_orders"), 4).alias(
             "avg_total"
         ),
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+    with ordered as (
+      select user_id, event_type, ts, event_id,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as prev_type
+      from events),
+    changes as (
+      select user_id, event_type, ts
+      from ordered
+      where prev_type is null or event_type <> prev_type),
+    versioned as (
+      select user_id, event_type,
+             row_number() over (partition by user_id order by ts) as version,
+             ts as valid_from,
+             lead(ts) over (partition by user_id order by ts) as valid_to
+      from changes)
+    select user_id,
+           cast(version as int) as version,
+           event_type as attr_value,
+           strftime(valid_from, '{_FMT_DUCK}') as valid_from,
+           coalesce(strftime(valid_to, '{_FMT_DUCK}'), '') as valid_to,
+           valid_to is null as is_current
+    from versioned
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a changelog: each
+    user's event_type attribute becomes a versioned history of validity
+    intervals [valid_from, valid_to), opened only when the attribute
+    actually CHANGES — the change-compression step that distinguishes
+    SCD2-from-a-CDC-feed from dim_customer_scd2 (cohorts.py), which
+    versions every order row: a noisy changelog repeats the same
+    attribute value for most records, and versioning those would bloat
+    the dimension by the duplication factor (Kimball SCD2).
+
+    Two windows, both partitioned by the natural key (per-user slices,
+    never corpus-sized): a lag to detect changes, then lead/row_number
+    over the CHANGE rows only — the second window's input is already
+    change-compressed, so its cost tracks distinct transitions, not raw
+    events. The unique event_id tiebreak makes change detection
+    engine-deterministic even under same-timestamp events; validity
+    bounds format as strings (tz-proof parity), open intervals as ''.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts")
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wv).cast("int").alias("version"),
+        F.col("event_type").alias("attr_value"),
+        F.date_format("ts", _FMT_SPARK).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(wv), _FMT_SPARK), F.lit("")
+        ).alias("valid_to"),
+        F.lead("ts").over(wv).isNull().alias("is_current"),
     )

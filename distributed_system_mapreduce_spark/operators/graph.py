@@ -827,3 +827,68 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("node").cast("bigint").alias("node_checksum"),
     )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    with {_PAIRS_SQL},
+    inst as (
+      select p.src, p.dst, eu.dst as w
+      from pairs p
+      join edges eu on eu.src = p.src
+      join edges ev on ev.src = p.dst and ev.dst = eu.dst)
+    select i.src, i.dst,
+           cast(count(*) as bigint) as n_common,
+           round(sum(1.0 / ln(d.deg)), 4) as aa
+    from inst i join deg d on d.id = i.w
+    group by i.src, i.dst
+    order by aa desc, i.src, i.dst
+    limit 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase edges by Adamic–Adar (sum of 1/ln(degree) over
+    common neighbors — the link-prediction score that down-weights hub
+    neighbors, Adamic & Adar 2003).
+
+    Same triangle-instance enumeration as graph_common_neighbors (shared
+    tracked adjacency, degree-oriented sqrt-bounded intersections): each
+    instance (u, v, w) credits its three id-canonical edges, weighted by
+    1/ln(deg) of the OPPOSITE vertex — so the shuffled rollup is
+    O(#triangles) and degree joins hit the vertex-sized table, never a
+    broadcast of it. A common neighbor always has degree >= 2 (it touches
+    both endpoints), so ln(deg) is never 0. Scores round to 4 dp before
+    the top-20 ranking with (src, dst) tiebreaks.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    inst = _oriented_with_adj(pairs, deg).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+    )
+    edge = lambda a, b, o: F.struct(  # noqa: E731
+        F.least(a, b).alias("src"),
+        F.greatest(a, b).alias("dst"),
+        o.alias("other"),
+    )
+    credits = inst.select(
+        F.explode(
+            F.array(
+                edge(F.col("u"), F.col("v"), F.col("w")),
+                edge(F.col("u"), F.col("w"), F.col("v")),
+                edge(F.col("v"), F.col("w"), F.col("u")),
+            )
+        ).alias("c")
+    ).select("c.src", "c.dst", "c.other")
+    d_w = deg.select(F.col("id").alias("other"), F.col("deg").alias("deg_w"))
+    scored = (
+        credits.join(d_w, "other")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("deg_w"))), 4).alias("aa"),
+        )
+    )
+    return scored.orderBy(F.desc("aa"), F.asc("src"), F.asc("dst")).limit(20)

@@ -417,6 +417,13 @@ def eval_confusion_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation, no per-vector rank window. Output is k x k rows
     at any corpus size.
     """
+    return centroid_confusion(spark, sf_dir)
+
+
+def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, pred_label, n) confusion counts of the nearest-centroid
+    classifier — the shared builder behind eval_confusion_centroid and
+    eval_f1_macro (k x k rows at any corpus size)."""
     from ..functions.vectors import EMBED_DIM, label_centroids, spread
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -538,4 +545,176 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rr"),
+    )
+
+
+@register(
+    "eval_ece",
+    oracle=f"""
+    with probs as (
+      select least(greatest(
+               0.5 + {CALIB_GAIN} * cast(embedding[1] as double),
+               0.0), 1.0) as p,
+             cast(label < 5 as int) as is_pos
+      from embeddings),
+    per_bin as (
+      select bin, count(*) as n,
+             cast(sum(p9) as double) / count(*) as mean_p,
+             cast(sum(is_pos) as double) / count(*) as pos_rate
+      from (select least(cast(floor(p * {N_BINS}) as int), {N_BINS} - 1)
+                     as bin,
+                   cast(p as decimal(18,9)) as p9, is_pos
+            from probs)
+      group by bin)
+    select cast(sum(n) as bigint) as n_scored,
+           cast(count(*) as int) as n_bins_used,
+           round(sum(n * abs(pos_rate - mean_p)) / sum(n), 6) as ece
+    from per_bin
+    """,
+)
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error: the bin-weighted mean |observed positive
+    rate − mean predicted probability| over the same fixed-width bins as
+    ``eval_calibration_bins`` — the one-number summary a model card
+    reports next to the reliability diagram (Naeini et al., AAAI 2015).
+
+    Two partial-aggregable rollups: corpus → ≤N_BINS bin rows → one row.
+    Probabilities sum as decimal(18,9) inside the bin (order-independent
+    mean), and the |gap| weighting happens on the ≤N_BINS frame, so no
+    float accumulation ever spans more than one bin's aggregate.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    p = F.least(
+        F.greatest(
+            0.5 + CALIB_GAIN * F.col("embedding")[0].cast("double"),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    per_bin = (
+        emb.select(
+            F.least(
+                F.floor(p * N_BINS).cast("int"), F.lit(N_BINS - 1)
+            ).alias("bin"),
+            p.cast("decimal(18,9)").alias("p9"),
+            (F.col("label") < 5).cast("int").alias("is_pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("p9").cast("double") / F.count(F.lit(1))).alias("mean_p"),
+            (F.sum("is_pos").cast("double") / F.count(F.lit(1))).alias(
+                "pos_rate"
+            ),
+        )
+    )
+    return per_bin.agg(
+        F.sum("n").alias("n_scored"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_used"),
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("pos_rate") - F.col("mean_p")))
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+    )
+
+
+@register(
+    "eval_f1_macro",
+    oracle="""
+    with e as (
+      select vec_id, label, embedding::DOUBLE[] as x from embeddings),
+    percoord as (
+      select label, i, avg(x[i]) as cv
+      from e cross join unnest(range(1, 65)) as t(i)
+      group by label, i),
+    cent as (
+      select label as cl, list(cv order by i) as c
+      from percoord group by label),
+    scored as (
+      select e.vec_id, e.label, ct.cl,
+             round(list_sum(list_transform(
+               list_zip(e.x, ct.c), p -> (p[1] - p[2]) * (p[1] - p[2]))), 4)
+               as d
+      from e cross join cent ct),
+    pred as (
+      select label, cl as pred_label,
+             row_number() over (partition by vec_id order by d, cl) as rn
+      from scored),
+    conf as (
+      select label, pred_label, count(*) as n
+      from pred where rn = 1
+      group by label, pred_label),
+    classes as (
+      select label as cls,
+             sum(case when pred_label = label then n else 0 end) as tp,
+             sum(n) as actual_n
+      from conf group by label),
+    predicted as (
+      select pred_label as cls, sum(n) as pred_n from conf group by pred_label),
+    perclass as (
+      select classes.cls as cls, tp, actual_n, coalesce(pred_n, 0) as pred_n,
+             case when coalesce(pred_n, 0) = 0 then 0.0
+                  else tp * 1.0 / pred_n end as prec,
+             tp * 1.0 / actual_n as rec
+      from classes left join predicted on classes.cls = predicted.cls)
+    select cast(cls as int) as cls,
+           cast(tp as bigint) as tp,
+           cast(actual_n as bigint) as actual_n,
+           cast(pred_n as bigint) as pred_n,
+           round(prec, 6) as precision,
+           round(rec, 6) as recall,
+           round(case when prec + rec = 0 then 0.0
+                      else 2 * prec * rec / (prec + rec) end, 6) as f1
+    from perclass
+    """,
+)
+def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the nearest-centroid classifier —
+    the class-balanced quality table (macro-F1 = avg of the f1 column)
+    a labeled-data audit reports where accuracy hides minority-class
+    collapse.
+
+    Everything derives from the shared k×k ``centroid_confusion`` rollup:
+    per-class true positives and actual counts come from one pass over
+    the confusion counts, predicted counts from another k-row rollup —
+    no second corpus scan, output = k rows at any scale. Precision of a
+    never-predicted class is defined 0 (its F1 is then 0 by the
+    guarded harmonic mean), matching the oracle's coalesce.
+    """
+    conf = centroid_confusion(spark, sf_dir)
+    classes = conf.groupBy(F.col("label").alias("cls")).agg(
+        F.sum(
+            F.when(F.col("pred_label") == F.col("label"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("tp"),
+        F.sum("n").alias("actual_n"),
+    )
+    predicted = conf.groupBy(F.col("pred_label").alias("cls")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    prec = F.when(F.col("pred_n") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / F.col("pred_n")
+    )
+    rec = F.col("tp") / F.col("actual_n")
+    per = (
+        classes.join(predicted, "cls", "left")
+        .withColumn("pred_n", F.coalesce(F.col("pred_n"), F.lit(0)))
+        .withColumn("prec", prec)
+        .withColumn("rec", rec)
+    )
+    return per.select(
+        F.col("cls").cast("int").alias("cls"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("actual_n").cast("bigint").alias("actual_n"),
+        F.col("pred_n").cast("bigint").alias("pred_n"),
+        F.round("prec", 6).alias("precision"),
+        F.round("rec", 6).alias("recall"),
+        F.round(
+            F.when(F.col("prec") + F.col("rec") == 0, F.lit(0.0)).otherwise(
+                2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec"))
+            ),
+            6,
+        ).alias("f1"),
     )

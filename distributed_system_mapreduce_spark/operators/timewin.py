@@ -797,3 +797,97 @@ def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "events_burstiness",
+    oracle="""
+    with gaps as (
+      select event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) over (
+               partition by user_id, event_type
+               order by ts, event_id) as gap_us
+      from events),
+    ex as (
+      select event_type,
+             count(*) as n_gaps,
+             sum(cast(gap_us as decimal(38,0))) as s1,
+             sum(cast(gap_us as decimal(38,0))
+                 * cast(gap_us as decimal(38,0))) as s2
+      from gaps where gap_us is not null
+      group by event_type),
+    stats as (
+      select event_type, n_gaps,
+             cast(s1 as double) / n_gaps / 1e6 as mu_s,
+             case when n_gaps < 2 then 0.0
+                  else sqrt(greatest(
+                    (cast(s2 as double)
+                     - cast(s1 as double) * cast(s1 as double) / n_gaps)
+                    / (n_gaps - 1), 0.0)) / 1e6 end as sigma_s
+      from ex)
+    select event_type,
+           cast(n_gaps as bigint) as n_gaps,
+           round(mu_s, 2) as mean_gap_s,
+           round(sigma_s, 2) as std_gap_s,
+           round(case when sigma_s + mu_s = 0 then 0.0
+                      else (sigma_s - mu_s) / (sigma_s + mu_s) end, 4)
+             as burstiness
+    from stats
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness of the inter-arrival process: the
+    Goh-Barabási index B = (σ−μ)/(σ+μ) over per-user gap sequences —
+    B→−1 is a metronome (bot traffic), B≈0 Poisson, B→+1 heavy bursts
+    (organic sessions). The traffic-shape diagnostic behind rate anomaly
+    thresholds.
+
+    Gaps come from one per-(user, type) lag window (microsecond integers —
+    the unique event_id tiebreak makes every gap engine-deterministic).
+    The moment sums accumulate as decimal(38,0) — EXACT and
+    order-independent, so μ and σ derive from bit-identical sums on both
+    engines and no float summation-order noise reaches the rounded output
+    (the same trick as eval_auc's decimal rollups; a double sum of 1e12
+    squared-microsecond terms would differ per partitioning). Everything
+    after the lag is a types-sized rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    d = F.col("gap_us").cast("decimal(38,0)")
+    ex = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps") / 1e6
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n_gaps")
+    ) / (F.col("n_gaps") - 1)
+    sigma = F.when(F.col("n_gaps") < 2, F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest(var, F.lit(0.0))) / 1e6
+    )
+    stats = ex.select(
+        "event_type",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        mu.alias("mu_s"),
+        sigma.alias("sigma_s"),
+    )
+    return stats.select(
+        "event_type",
+        "n_gaps",
+        F.round("mu_s", 2).alias("mean_gap_s"),
+        F.round("sigma_s", 2).alias("std_gap_s"),
+        F.round(
+            F.when(F.col("sigma_s") + F.col("mu_s") == 0, F.lit(0.0)).otherwise(
+                (F.col("sigma_s") - F.col("mu_s"))
+                / (F.col("sigma_s") + F.col("mu_s"))
+            ),
+            4,
+        ).alias("burstiness"),
+    )

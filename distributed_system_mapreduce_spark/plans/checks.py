@@ -34,3 +34,81 @@ def assert_not_in_plan(df: DataFrame, *fragments: str, mode: str = "formatted") 
     present = [f for f in fragments if f in plan]
     assert not present, f"plan unexpectedly contains {present}\n--- plan ---\n{plan}"
     return plan
+
+
+# ---------------------------------------------------------------------------
+# Logical-plan tree inspection (VERDICT r8 #3): the string plan can't tell a
+# bounded metadata window from a corpus-sized one, so these helpers parse the
+# optimized plan's JSON tree and adjudicate every UNPARTITIONED Window node —
+# the exact class (WindowExec "moving all data to a single partition") that
+# hid the global-ntile plans for four rounds.
+# ---------------------------------------------------------------------------
+
+import json
+
+
+def optimized_tree(df: DataFrame):
+    """The optimized logical plan as a nested ``(node_dict, children)``
+    tree, parsed from Catalyst's ``toJSON`` pre-order node list."""
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    it = iter(nodes)
+
+    def build():
+        n = next(it)
+        return (n, [build() for _ in range(n.get("num-children", 0))])
+
+    return build()
+
+
+def _walk(tree):
+    yield tree
+    for child in tree[1]:
+        yield from _walk(child)
+
+
+def _spine_is_bounded(tree) -> bool:
+    """True when the unary spine BELOW an unpartitioned Window proves its
+    input is bounded before it reaches corpus-sized data:
+
+    - a ``Filter`` on the salted-top-k stage-1 rank (``__topk_r1``): input
+      is at most buckets*k survivor rows (plans/topk.py);
+    - a ``Limit`` node: input is at most the literal limit;
+    - an ``Aggregate`` grouped by a ``__scan_chunk`` key: input is the
+      chunk-cardinality metadata rollup of the chunked scan/rank builders
+      (plans/scan.py).
+
+    A non-chunk Aggregate, a multi-child node (join/union), or the scan
+    leaf ends the walk unproven — group-by output is corpus-proportional in
+    general (per-customer, per-doc, per-word rollups), which is exactly the
+    bug class this sweep exists to catch.
+    """
+    node, kids = tree
+    while True:
+        cls = node["class"].rsplit(".", 1)[-1]
+        if cls == "Filter" and "__topk_r1" in json.dumps(
+            node.get("condition", "")
+        ):
+            return True
+        if cls in ("GlobalLimit", "LocalLimit", "Limit"):
+            return True
+        if cls == "Aggregate":
+            blob = json.dumps(node.get("groupingExpressions", ""))
+            return "__scan_chunk" in blob
+        if len(kids) != 1:
+            return False
+        node, kids = kids[0]
+
+
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Names (window expression JSON snippets) of unpartitioned Window
+    nodes whose input is NOT structurally bounded — each is a single-task
+    sort of its full input at scale. Empty list == clean."""
+    out = []
+    for node, kids in _walk(optimized_tree(df)):
+        if node["class"].endswith("logical.Window") and not node.get(
+            "partitionSpec"
+        ):
+            if not _spine_is_bounded((node, kids)):
+                exprs = json.dumps(node.get("windowExpressions", ""))[:120]
+                out.append(exprs)
+    return out

@@ -74,3 +74,95 @@ def chunked_running_sum(
         .withColumn(out_col, F.col(_IN) + F.col(_OFF))
         .drop(_CHUNK, _IN, _OFF)
     )
+
+
+_RN = "__scan_rn"
+_TOT = "__scan_tot"
+
+
+def chunked_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    chunk_col: Column,
+    *,
+    out_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus ``out_col`` = 1-based global ``row_number`` under the
+    total order ``order_cols`` — row-identical to
+    ``row_number().over(Window.orderBy(*order_cols))`` but with no
+    corpus-sized single-task sort.
+
+    Same two-level scan as :func:`chunked_running_sum`, counting rows
+    instead of summing a measure: per-chunk counts (a partial-agg rollup),
+    a prior-chunks offset window over chunk-cardinality METADATA rows, and
+    a within-chunk ``row_number`` whose partitions are chunk-sized.
+    ``chunk_col`` must be non-decreasing along ``order_cols`` (a value
+    band under a value order, a negated band under a desc order; pack a
+    composite key in ``F.struct`` when the leading key is tie-heavy).
+    Chunk granularity is the scale knob: keep chunk cardinality at
+    hundreds-to-thousands so the offsets window and its broadcast stay
+    metadata-sized, while each within-chunk sort holds corpus/chunks rows.
+
+    ``total_col`` additionally attaches the group total row count — it
+    rides the same chunk-cardinality offsets frame (a full-frame window
+    over the rollup), NOT a one-row crossJoin, so no BNLJ enters the plan.
+    """
+    tagged = df.withColumn(_CHUNK, chunk_col)
+    counts = tagged.groupBy(_CHUNK).agg(F.count(F.lit(1)).alias("__chunk_n"))
+    w_off = Window.orderBy(_CHUNK).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _CHUNK,
+        F.coalesce(F.sum("__chunk_n").over(w_off), F.lit(0)).alias(_OFF),
+    )
+    if total_col is not None:
+        w_tot = Window.orderBy(_CHUNK).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = counts.select(
+            _CHUNK,
+            F.coalesce(F.sum("__chunk_n").over(w_off), F.lit(0)).alias(_OFF),
+            F.sum("__chunk_n").over(w_tot).alias(total_col),
+        )
+    w_in = Window.partitionBy(_CHUNK).orderBy(*order_cols)
+    out = (
+        tagged.withColumn(_RN, F.row_number().over(w_in))
+        .join(F.broadcast(offsets), [_CHUNK])
+        .withColumn(out_col, (F.col(_RN) + F.col(_OFF)).cast("int"))
+        .drop(_CHUNK, _RN, _OFF)
+    )
+    return out
+
+
+def chunked_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: Sequence[Column],
+    chunk_col: Column,
+    *,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = ``ntile(n)`` under the total order
+    ``order_cols`` — row-identical to
+    ``F.ntile(n).over(Window.orderBy(*order_cols))`` (same ceil-first
+    bucket-size rule) but built from :func:`chunked_global_rank`, so no
+    single task ever sorts the full frame.
+
+    SQL ntile over total rows ``c``: the first ``c % n`` buckets take
+    ``c div n + 1`` rows, the rest ``c div n``. Derived per row from the
+    chunked global rank ``r`` and the metadata-frame total with integer
+    math only (the ``greatest(q, 1)`` guards the unreachable second
+    branch when ``c < n`` from ANSI div-by-zero).
+    """
+    _gr = "__scan_grank"
+    ranked = chunked_global_rank(
+        df, order_cols, chunk_col, out_col=_gr, total_col=_TOT
+    )
+    q = (F.col(_TOT) / n).cast("long")
+    rem = F.col(_TOT) % n
+    cut = rem * (q + F.lit(1))
+    r = F.col(_gr)
+    bucket = F.when(
+        r <= cut, ((r - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(rem + ((r - cut - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(_gr, _TOT)

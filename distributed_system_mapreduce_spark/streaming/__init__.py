@@ -8,6 +8,7 @@ from .curation import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     dedup_exact_stream,
+    dedup_exact_stream_watermarked,
     minhash_candidates_stream,
     minhash_verified_stream,
     read_documents_stream,

@@ -74,6 +74,38 @@ def dedup_exact_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_exact_stream_watermarked(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    delay: str = "20 minutes",
+) -> DataFrame:
+    """The watermark-bounded twin of ``dedup_exact_stream`` (VERDICT r8 #8):
+    ``dropDuplicatesWithinWatermark`` on the content fingerprint.
+
+    ``dropDuplicates`` keeps one fingerprint per distinct document FOREVER —
+    exact, but state grows with the corpus, which an always-on 100 TB
+    ingest cannot afford. ``dropDuplicatesWithinWatermark`` keeps a
+    fingerprint only until the event-time watermark passes its timestamp
+    plus ``delay``: state is O(arrival-rate × delay), and a duplicate
+    arriving after its first occurrence has expired is re-admitted — the
+    documented trade of every TTL'd dedup (same contract as the minhash
+    TTL path above). Within one watermark window the admitted set equals
+    the batch ``distinct()`` exactly.
+
+    The fingerprint (xxhash64 of text) is computed map-side so the state
+    store and shuffle carry an 8-byte key, never the document body;
+    ``ts_col`` is the caller's ingest/event-time column.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("fp", F.xxhash64("text"))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("doc_id", "fp", "lang")
+    )
+
+
 def minhash_candidates_stream(
     docs: DataFrame,
     ts_col: str | None = None,

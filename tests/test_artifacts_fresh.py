@@ -1,0 +1,74 @@
+"""Committed-artifact freshness gate (VERDICT r8 #1c).
+
+``CORRECTNESS_LOCAL.json`` is the committed record that the FULL registry
+(not just the driver's 50-query window) holds oracle parity. Rounds 5-8
+each shipped a stale copy — generated several commits before the snapshot,
+so its query list and provenance lagged the registry it claimed to cover.
+This test turns that process failure into a red test: the artifact must
+have been regenerated from the EXACT package sources being tested.
+
+The check is pure file I/O (no Spark): compare the artifact's recorded
+``provenance.source_sha256`` against a fresh hash of the current package
+tree, and its ``queries_n`` against the live registry size. Regenerate
+with ``python correctness_full.py`` (~minutes) as the final commit of any
+round that touched the package.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(ROOT, "CORRECTNESS_LOCAL.json")
+
+
+def _load():
+    assert os.path.exists(ARTIFACT), (
+        "CORRECTNESS_LOCAL.json missing — run `python correctness_full.py`"
+    )
+    with open(ARTIFACT) as fh:
+        return json.load(fh)
+
+
+def test_artifact_matches_current_sources():
+    """The artifact's provenance hash must equal a hash of the sources as
+    they exist NOW — any package edit without regeneration is a failure."""
+    sys.path.insert(0, ROOT)
+    try:
+        from correctness_full import _provenance
+    finally:
+        sys.path.remove(ROOT)
+    art = _load()
+    prov = art.get("provenance") or {}
+    current = _provenance()["source_sha256"]
+    assert prov.get("source_sha256") == current, (
+        "CORRECTNESS_LOCAL.json is stale: provenance.source_sha256 "
+        f"{str(prov.get('source_sha256'))[:12]}… does not match the current "
+        f"package hash {current[:12]}… — rerun `python correctness_full.py` "
+        "and commit the refreshed artifact."
+    )
+
+
+def test_artifact_covers_full_registry():
+    from distributed_system_mapreduce_spark.registry import QUERIES
+
+    art = _load()
+    n = art.get("queries_n", len(art.get("results", {})))
+    assert n == len(QUERIES), (
+        f"artifact covers {n} queries but the registry holds {len(QUERIES)}"
+    )
+
+
+def test_artifact_reports_zero_failures():
+    art = _load()
+    assert art.get("failed_n") == 0, art.get("failed_n")
+    bad = [
+        k for k, v in art.get("results", {}).items()
+        # "no_oracle" marks the declared rows-only queries, not a failure
+        if isinstance(v, dict) and v.get("err") not in (None, "no_oracle")
+    ]
+    assert not bad, bad
