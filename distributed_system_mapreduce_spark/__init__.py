@@ -150,6 +150,16 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       orders_repeat_purchase_curve (retention curve, new r8),
     #       events_inactivity_churn (lifecycle segments, new r8),
     #       sim_ivfpq_recall (rows-only composed-ANN witness, new r8)
+    #   r18: graph_adamic_adar (link-prediction family, new r9),
+    #       eval_f1_macro (class-balanced eval, new r9),
+    #       agg_weighted_median (chunked-scan threshold crossing, new r9),
+    #       cdc_scd2_history (change-compressed SCD2, new r9)
+    #   r19: events_burstiness (decimal moment sums, new r9),
+    #       text_source_bigram_overlap (provenance audit, new r9),
+    #       graph_degree_gini (chunked-rank Gini, new r9),
+    #       sql_returned_items (Q10 salted top-k, new r9)
+    #   r20: events_dau_mau_ratio, json_modal_prop, text_char_entropy,
+    #       pipeline_mix_rebalance (all new r9)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

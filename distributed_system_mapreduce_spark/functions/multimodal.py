@@ -310,3 +310,60 @@ def _register_multimodal_dedup() -> None:
 
 
 _register_multimodal_dedup()
+
+
+def _register_multimodal_budget() -> None:
+    from pyspark.sql import SparkSession
+
+    from ..registry import register
+    from ..sources.io import load
+
+    @register(
+        "multimodal_frame_budget",
+        oracle="""
+        select case when doc_id % 3 = 0 then 'image'
+                    when doc_id % 3 = 1 then 'audio'
+                    else 'video' end as media_type,
+               cast(count(*) as bigint) as n_items,
+               cast(sum(octet_length(encode(text))) as bigint) as total_bytes,
+               cast(sum((n_chars % 64 + 16) * (n_chars % 48 + 12)
+                        * (n_chars % 8 + 1)) as bigint) as decode_cells
+        from documents
+        group by media_type
+        order by media_type
+        """,
+    )
+    def multimodal_frame_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Decode-capacity manifest over the media table: per media type,
+        blob bytes at rest and total decode output cells
+        (width x height x frames) — the two numbers that size a
+        preprocessing cluster (I/O is priced by stored bytes, CPU/accelerator
+        time by decoded cells; video dominates cells long before it
+        dominates bytes).
+
+        Pure metadata arithmetic: byte length reads the BINARY column's
+        length map-side (never decodes), cells multiply the typed metadata
+        columns — one types-sized rollup, no Python, no codec. The oracle
+        prices the same blobs from the source text (the fake blob IS the
+        text's bytes — same construction as multimodal_dedup).
+        """
+        docs = load(spark, sf_dir, "documents")
+        media = fake_media_from_documents(docs)
+        return (
+            media.groupBy("media_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.length("data").cast("bigint")).alias("total_bytes"),
+                F.sum(
+                    (
+                        F.col("width").cast("bigint")
+                        * F.col("height")
+                        * F.col("n_frames")
+                    )
+                ).alias("decode_cells"),
+            )
+            .orderBy("media_type")
+        )
+
+
+_register_multimodal_budget()

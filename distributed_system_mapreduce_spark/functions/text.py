@@ -1039,3 +1039,143 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("cnt") == 1).cast("bigint")) / F.count(F.lit(1)), 6
         ).alias("hapax_ratio"),
     )
+
+
+#: How many most-similar source pairs text_source_bigram_overlap reports.
+SOURCE_OVERLAP_TOP = 10
+
+
+@register(
+    "text_source_bigram_overlap",
+    oracle=f"""
+    with big as (
+      select distinct source, bigram
+      from (
+        select source,
+               unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                      x -> x[1] || ' ' || x[2])) as bigram
+        from (select source, string_split(text, ' ') as t from documents)
+        where len(t) >= 2)),
+    sizes as (select source, count(*) as v from big group by source),
+    inter as (
+      select a.source as s1, b.source as s2, count(*) as i
+      from big a join big b on a.bigram = b.bigram and a.source < b.source
+      group by a.source, b.source)
+    select s1, s2, cast(i as bigint) as n_common,
+           round(i * 1.0 / (x.v + y.v - i), 4) as jacc
+    from inter
+    join sizes x on x.source = s1
+    join sizes y on y.source = s2
+    order by jacc desc, s1, s2
+    limit {SOURCE_OVERLAP_TOP}
+    """,
+)
+def text_source_bigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {SOURCE_OVERLAP_TOP} most-similar source pairs by bigram-set
+    Jaccard — the corpus-provenance audit that surfaces mirrored or
+    scraped-from-each-other sources before they double-count in a
+    training mix (unigram vocab is too shared to discriminate; bigram
+    sets separate the fixture's sources at 0.54–0.70).
+
+    The candidate join is on the bigram KEY (posting-list equi-join,
+    vocabulary-sized shuffle), never sources x sources x texts; the pair
+    rollup is at most (n_sources choose 2) rows — a data-model constant —
+    so the final ranking sorts a bounded frame. Jaccard rounds before
+    ranking with (s1, s2) tiebreaks.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        """
+        transform(sequence(1, size(toks) - 1),
+                  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        """
+    )
+    big = track(
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 2)
+        .select("source", F.explode(bigrams).alias("bigram"))
+        .distinct()
+    )
+    sizes = big.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = big.alias("a"), big.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.bigram") == F.col("b.bigram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sizes.select(F.col("source").alias("s1"), F.col("v").alias("v1"))
+    sy = sizes.select(F.col("source").alias("s2"), F.col("v").alias("v2"))
+    return (
+        inter.join(F.broadcast(sx), "s1")
+        .join(F.broadcast(sy), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("v1") + F.col("v2") - F.col("n_common")),
+                4,
+            ).alias("jacc"),
+        )
+        .orderBy(F.desc("jacc"), F.asc("s1"), F.asc("s2"))
+        .limit(SOURCE_OVERLAP_TOP)
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    with chars as (
+      select lang, unnest(string_split(text, '')) as ch from documents),
+    cc as (
+      select lang, ch, count(*) as n from chars where ch <> ''
+      group by lang, ch),
+    tot as (select lang, sum(n) as t from cc group by lang)
+    select cc.lang as lang,
+           cast(count(*) as bigint) as n_distinct_chars,
+           cast(max(t) as bigint) as n_chars,
+           round(-sum((n * 1.0 / t) * log2(n * 1.0 / t)), 4)
+             as char_entropy_bits
+    from cc join tot on cc.lang = tot.lang
+    group by cc.lang
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-level Shannon entropy (bits/char) — the
+    lowest-level corpus-health number: natural language sits ~4-4.5 bits,
+    base64/hex blobs and binary-pasted garbage jump toward 6+, repeated
+    boilerplate collapses low. The cheap first filter before tokenized
+    quality scoring.
+
+    One char explode into a (lang, char)-sized rollup — the shuffle
+    carries charset-cardinality counts, not characters; the entropy fold
+    runs over the (langs × charset) frame joined to its lang totals
+    (broadcast — both frames are charset-bounded). p·log2(p) terms sum
+    over at most charset-many values per language, so 4-dp rounding
+    absorbs order noise.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cc = (
+        docs.select("lang", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cc.groupBy("lang").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        cc.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.max("t").alias("n_chars"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"),
+        )
+    )

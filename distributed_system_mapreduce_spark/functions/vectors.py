@@ -1978,3 +1978,61 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PQ_QUERIES).alias("n_queries"),
         F.round(F.col("h") / F.col("n_exact"), 4).alias("recall"),
     )
+
+
+#: embed_cosine_histogram: query-sample size and bin count. 20 bins over
+#: [-1, 1] — dot products of the unit-norm fixture vectors are cosines.
+COSHIST_QUERIES = 20
+COSHIST_BINS = 20
+
+
+@register(
+    "embed_cosine_histogram",
+    oracle=f"""
+    with q as (select vec_id as qid, embedding::DOUBLE[] as qe
+               from embeddings where vec_id < {COSHIST_QUERIES}),
+    s as (
+      select round(list_dot_product(q.qe, v.embedding::DOUBLE[]), 6) as c
+      from q join embeddings v on v.vec_id <> q.qid)
+    select cast(least(floor((c + 1.0) * {COSHIST_BINS} / 2.0),
+                      {COSHIST_BINS} - 1) as int) as bin,
+           cast(count(*) as bigint) as n
+    from s group by bin
+    """,
+)
+def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-score distribution: histogram of cosines between a
+    {COSHIST_QUERIES}-vector query sample and the whole corpus — the
+    embedding-geometry health check (a collapsed embedding space piles
+    into the top bins; a healthy one is concentrated near 0 with a thin
+    high-similarity tail) that decides whether ANN bucketing parameters
+    are even meaningful for this corpus.
+
+    The query sample broadcasts as a constant-size grid (the
+    knn_label_vote pattern — whitelisted bounded-grid BNLJ), each corpus
+    vector scores against all {COSHIST_QUERIES} queries map-side, and the
+    only shuffle is the {COSHIST_BINS}-row histogram rollup. Scores round
+    to 6 dp BEFORE binning so edge cosines bin identically on both
+    engines.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < COSHIST_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    c = F.round(dot(F.col("qe"), F.col("e")), 6)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.least(
+                F.floor((c + 1.0) * COSHIST_BINS / 2.0),
+                F.lit(COSHIST_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

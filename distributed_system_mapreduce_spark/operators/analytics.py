@@ -908,3 +908,47 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col="c_custkey",
         rank_col="rnk",
     )
+
+
+@register(
+    "orders_order_size_hist",
+    oracle="""
+    with per_order as (
+      select l_orderkey, count(*) as n_lines from lineitem group by l_orderkey),
+    hist as (
+      select n_lines, count(*) as n_orders from per_order group by n_lines)
+    select cast(n_lines as int) as n_lines,
+           cast(n_orders as bigint) as n_orders,
+           round(n_orders * 1.0 / sum(n_orders) over (), 6) as share
+    from hist
+    """,
+)
+def orders_order_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution: how many orders have k lineitems, with
+    shares — the basket-size profile that sizes the per-order working set
+    (and calibrates the co-purchase graph's expected pair fan-out, which
+    grows as k²).
+
+    Two partial-agg rollups (corpus → per-order counts → k-histogram);
+    the share normalization is a window over the k-cardinality histogram
+    only (k ≤ max lines per order — a data-model constant, the same
+    bounded-rollup class as orders_repeat_purchase_curve's whitelist
+    entry).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    hist = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("n_orders") / F.sum("n_orders").over(w), 6).alias(
+            "share"
+        ),
+    )

@@ -1042,3 +1042,109 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("start_pos"),
         F.sum("n_docs").over(w_incl).cast("bigint").alias("end_pos"),
     ).orderBy(F.desc("band"))
+
+
+#: corpus_lang_mix_kl: the target language mix the curation pipeline aims
+#: for — uniform over the fixture's five languages. A real pipeline loads
+#: this from its mix config; the KL machinery is identical.
+LANG_MIX_TARGET = 0.2
+
+
+@register(
+    "corpus_lang_mix_kl",
+    oracle=f"""
+    with tok as (
+      select lang,
+             cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+      from documents group by lang),
+    tot as (select sum(n_tokens) as t from tok)
+    select lang, n_tokens,
+           round(n_tokens * 1.0 / (select t from tot), 6) as share,
+           cast({LANG_MIX_TARGET} as double) as target_share,
+           round((n_tokens * 1.0 / (select t from tot))
+                 * ln((n_tokens * 1.0 / (select t from tot))
+                      / {LANG_MIX_TARGET}), 6) as kl_term
+    from tok
+    """,
+)
+def corpus_lang_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix audit: each language's observed token share vs the
+    target mix, with its KL-divergence contribution (sum of kl_term =
+    KL(observed ‖ target)) — the drift report a multilingual curation
+    pipeline checks before committing a training mix (positive terms =
+    over-represented languages).
+
+    One map-side token count (size(split), no explode) into a
+    languages-sized rollup; the total joins back as a broadcast scalar
+    combine. Shares and KL terms round identically on both engines; a
+    language present in the data is never 0-share, so ln is total.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    share = F.col("n_tokens") / F.col("t")
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(share, 6).alias("share"),
+            F.lit(float(LANG_MIX_TARGET)).alias("target_share"),
+            F.round(
+                share * F.log(share / F.lit(float(LANG_MIX_TARGET))), 6
+            ).alias("kl_term"),
+        )
+    )
+
+
+@register(
+    "pipeline_mix_rebalance",
+    oracle=f"""
+    with tok as (
+      select lang,
+             cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens
+      from documents group by lang),
+    tot as (select sum(n_tokens) as t from tok),
+    rates as (
+      select lang, n_tokens,
+             n_tokens * 1.0 / (select t from tot) as share,
+             least(1.0, {LANG_MIX_TARGET}
+                        / (n_tokens * 1.0 / (select t from tot)))
+               as keep_rate
+      from tok)
+    select lang, n_tokens,
+           round(share, 6) as share,
+           round(keep_rate, 6) as keep_rate,
+           cast(floor(n_tokens * keep_rate) as bigint) as tokens_after
+    from rates
+    """,
+)
+def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sampling rates that move the corpus toward the target language
+    mix: keep_rate = min(1, target_share / observed_share) per language —
+    the rebalancing manifest a curation pipeline feeds into its
+    per-language Bernoulli samplers (over-represented languages are
+    down-sampled, under-represented ones kept whole; the mix can only be
+    hit exactly by also up-weighting, which training-data pipelines do at
+    the loader, not by duplicating rows).
+
+    Same one-pass token rollup + broadcast scalar combine as
+    corpus_lang_mix_kl (the audit this manifest acts on); tokens_after
+    floors deterministically so both engines agree on the integer budget.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    share = F.col("n_tokens") / F.col("t")
+    keep = F.least(F.lit(1.0), F.lit(float(LANG_MIX_TARGET)) / share)
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(keep, 6).alias("keep_rate"),
+        F.floor(F.col("n_tokens") * keep).cast("bigint").alias("tokens_after"),
+    )

@@ -892,3 +892,58 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("aa"), F.asc("src"), F.asc("dst")).limit(20)
+
+
+@register(
+    "graph_degree_gini",
+    oracle=f"""
+    with {_PAIRS_SQL},
+    ranked as (
+      select deg, row_number() over (order by deg, id) as r from deg)
+    select cast(count(*) as bigint) as n_vertices,
+           cast(sum(deg) as bigint) as total_degree,
+           round(2.0 * sum(r * deg) / (count(*) * sum(deg))
+                 - (count(*) + 1.0) / count(*), 4) as gini
+    from ranked
+    """,
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the co-purchase degree distribution — the
+    one-number hub-concentration diagnostic (0 = every part co-purchased
+    equally, →1 = a few hub parts dominate) that decides whether skew
+    mitigation (salting, hub side-channels) is worth wiring into the
+    downstream graph jobs.
+
+    Gini needs every vertex's GLOBAL rank under (deg, id) — the classic
+    single-task global sort — so the rank routes through
+    ``plans.scan.chunked_global_rank`` with an (exact-degree, id-block)
+    chunk key: degrees are tie-heavy (power law), and the id sub-chunk
+    splits the giant low-degree tie classes the same way the RFM
+    frequency chunk does. Rank·degree products sum as decimal(38,0)
+    (exact, order-independent) before the one-row Gini arithmetic.
+    """
+    from ..plans.scan import chunked_global_rank
+
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    ranked = chunked_global_rank(
+        deg,
+        [F.asc("deg"), F.asc("id")],
+        F.struct(
+            F.col("deg").alias("d"),
+            F.floor(F.col("id") / 4096).alias("blk"),
+        ),
+        out_col="r",
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("deg").alias("total_degree"),
+        F.round(
+            2.0
+            * (F.sum(d38("r") * d38("deg")).cast("double"))
+            / (F.count(F.lit(1)) * F.sum("deg"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+    )

@@ -891,3 +891,147 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("burstiness"),
     )
+
+
+#: events_session_length_hist: a gap longer than this many minutes starts a
+#: new session (the same 30-min industry default as window_session).
+SESSION_HIST_GAP_MIN = 30
+
+
+@register(
+    "events_session_length_hist",
+    oracle=f"""
+    with flags as (
+      select user_id, ts, event_id,
+             case when lag(ts) over w is null
+                  or epoch_us(ts) - lag(epoch_us(ts)) over w
+                     > {SESSION_HIST_GAP_MIN} * 60 * 1000000
+                  then 1 else 0 end as new_sess
+      from events
+      window w as (partition by user_id order by ts, event_id)),
+    sess as (
+      select user_id, ts,
+             sum(new_sess) over (partition by user_id order by ts, event_id
+                                 rows unbounded preceding) as sess_id
+      from flags),
+    per_sess as (
+      select user_id, sess_id, count(*) as n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) as dur_us
+      from sess group by user_id, sess_id)
+    select cast(n_events as int) as session_len,
+           cast(count(*) as bigint) as n_sessions,
+           round(cast(sum(cast(dur_us as decimal(38,0))) as double)
+                 / count(*) / 1e6, 2) as avg_duration_s
+    from per_sess
+    group by n_events
+    """,
+)
+def events_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution under {SESSION_HIST_GAP_MIN}-min-gap
+    sessionization: how many sessions contain k events, with mean session
+    duration per length — the engagement profile behind session-window
+    state sizing (window_session shows per-session rows; this is the
+    corpus-level shape).
+
+    The sessionizer is the lag-flag + per-user running count idiom: both
+    windows partition by user (per-user slices, never corpus-sized), and
+    the unique event_id tiebreak plus integer-microsecond gap comparison
+    make session boundaries engine-deterministic. Durations sum as
+    decimal(38,0) before the mean (order-independent). Output is bounded
+    by the longest session.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flags = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (us - F.lag(us).over(w))
+                > SESSION_HIST_GAP_MIN * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flags.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_id"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        ),
+    )
+    return per_sess.groupBy(
+        F.col("n_events").cast("int").alias("session_len")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(
+            F.sum(F.col("dur_us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            2,
+        ).alias("avg_duration_s"),
+    )
+
+
+@register(
+    "events_dau_mau_ratio",
+    oracle="""
+    with daily as (
+      select strftime(ts, '%Y-%m') as month, strftime(ts, '%Y-%m-%d') as day,
+             count(distinct user_id) as dau
+      from events group by all),
+    monthly as (
+      select strftime(ts, '%Y-%m') as month, count(distinct user_id) as mau
+      from events group by month)
+    select d.month as month,
+           round(avg(dau), 2) as avg_dau,
+           cast(max(mau) as bigint) as mau,
+           round(avg(dau) / max(mau), 4) as stickiness
+    from daily d join monthly m on d.month = m.month
+    group by d.month
+    """,
+)
+def events_dau_mau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/MAU): average daily active users over monthly
+    active users, per month — the canonical engagement ratio (1.0 = every
+    monthly user shows up daily).
+
+    Two distinct-count rollups over (month, day) and (month) — each a
+    partial-distinct shuffle of (key, user) pairs, never raw events twice —
+    joined on the month key (months-sized frames; the join broadcasts).
+    At 100 TB the same shape runs on per-day HLL sketches with a 31-sketch
+    merge (agg_hll_union shows the machinery); exact kept for the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    month = F.date_format("ts", "yyyy-MM").alias("month")
+    daily = (
+        ev.select(month, F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  "user_id")
+        .groupBy("month", "day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    monthly = (
+        ev.select(month, "user_id")
+        .groupBy("month")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        daily.join(F.broadcast(monthly), "month")
+        .groupBy("month")
+        .agg(
+            F.round(F.avg("dau"), 2).alias("avg_dau"),
+            F.max("mau").alias("mau"),
+            F.round(F.avg("dau") / F.max("mau"), 4).alias("stickiness"),
+        )
+    )

@@ -206,6 +206,8 @@ _SCALAR_COMBINE_BNLJ = {
     "agg_weighted_median",
     "orders_abc_pareto",
     "cdc_merge_upserts",
+    "corpus_lang_mix_kl",
+    "embed_cosine_histogram",
     "eval_confusion_centroid",
     "eval_f1_macro",
     "eval_mrr_at_k",
@@ -230,6 +232,7 @@ _SCALAR_COMBINE_BNLJ = {
     "sim_ivfpq_recall",
     "sample_negative_pairs",
     "pipeline_dedup_corpus",
+    "pipeline_mix_rebalance",
     "pipeline_train_corpus",
     "sim_ann_ivf",
     "sim_ann_ivf_mp",
@@ -399,6 +402,8 @@ _BOUNDED_GLOBAL_WINDOW = {
     "orders_mom_growth",
     # order-count histogram: at most max(orders per customer) rows
     "orders_repeat_purchase_curve",
+    # lines-per-order histogram: at most max(lines per order) rows
+    "orders_order_size_hist",
     # per-curriculum-band rollup: fixed band count
     "pipeline_curriculum_order",
 }
