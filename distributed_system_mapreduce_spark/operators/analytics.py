@@ -952,3 +952,67 @@ def orders_order_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+#: sql_idle_customers: dormancy cutoff — a customer with no order on/after
+#: this date is dormant (the fixture's orders span to 2001-08, so the last
+#: seven months define the recency window).
+IDLE_CUTOFF = "2001-01-01"
+
+
+@register(
+    "sql_idle_customers",
+    oracle=f"""
+    with threshold as (
+      select avg(c_acctbal) as avg_bal from customer where c_acctbal > 0),
+    idle as (
+      select c_mktsegment, c_acctbal
+      from customer
+      where c_acctbal > (select avg_bal from threshold)
+        and not exists (select 1 from orders
+                        where o_custkey = c_custkey
+                          and o_orderdate >= timestamp '{IDLE_CUTOFF}'))
+    select c_mktsegment,
+           cast(count(*) as bigint) as n_customers,
+           cast(round(sum(cast(c_acctbal as decimal(18,2))), 2) as double)
+             as total_acctbal
+    from idle
+    group by c_mktsegment
+    order by c_mktsegment
+    """,
+)
+def sql_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone dormant (no order since
+    {IDLE_CUTOFF}), by market segment — the win-back-campaign report
+    (above-average account balance, nothing in the recency window).
+
+    The average-balance threshold is a one-row broadcast scalar combine
+    (whitelisted BNLJ class); the dormancy test is a LEFT ANTI join
+    against the recency-filtered orders key projection — the date filter
+    is pushed to the orders scan, and no NOT IN ever materializes.
+    Balances sum in decimal.
+    """
+    cust = load(spark, sf_dir, "customer")
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= IDLE_CUTOFF)
+        .select("o_custkey")
+    )
+    idle = (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+            ).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1148,3 +1148,142 @@ def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(keep, 6).alias("keep_rate"),
         F.floor(F.col("n_tokens") * keep).cast("bigint").alias("tokens_after"),
     )
+
+
+#: sample_class_balanced: per-label sample size.
+BALANCED_PER_CLASS = 30
+
+
+@register(
+    "sample_class_balanced",
+    oracle=f"""
+    with ranked as (
+      select vec_id, label,
+             row_number() over (partition by label
+                                order by md5(cast(vec_id as varchar)),
+                                         vec_id) as rn
+      from embeddings)
+    select label,
+           cast(count(*) as bigint) as n_sampled,
+           cast(min(vec_id) as bigint) as min_id,
+           cast(max(vec_id) as bigint) as max_id,
+           cast(sum(vec_id) as bigint) as id_checksum
+    from ranked where rn <= {BALANCED_PER_CLASS}
+    group by label
+    """,
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sample: exactly {BALANCED_PER_CLASS} vectors per
+    label, chosen by the hash order — the equal-representation draw a
+    fine-tuning set builder runs when the raw label distribution is
+    skewed (sample_stratified keeps proportions; this equalizes them).
+
+    Same deterministic md5-order contract as every sampler here (identical
+    bytes on any engine, vec_id tiebreak). The per-label rank routes
+    through ``plans.salted_topk`` — labels are few, so a naive per-label
+    window is one corpus/k-sized task per label at scale; the salted
+    two-stage form keeps stage-1 partitions bucket-sized. The output
+    reports per-label membership checksums, not the rows, so the result
+    frame is label-cardinality.
+    """
+    from ..plans.topk import salted_topk
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    picked = salted_topk(
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string"))),
+        [F.asc("h"), F.asc("vec_id")],
+        BALANCED_PER_CLASS,
+        salt_col="vec_id",
+        group_cols=("label",),
+        rank_col="rn",
+    )
+    return picked.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        F.sum("vec_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    with d as (
+      select count(*) as n_docs,
+             count(distinct text) as n_unique_texts,
+             cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
+             round(avg(n_chars), 2) as avg_chars
+      from documents),
+    v as (
+      select count(distinct word) as vocab
+      from (select unnest(string_split(text, ' ')) as word from documents)
+      where word <> ''),
+    lc as (select lang, count(*) as n from documents group by lang),
+    lt as (select sum(n) as t from lc),
+    l as (
+      select round(-sum((n * 1.0 / (select t from lt))
+                        * ln(n * 1.0 / (select t from lt))), 4)
+               as lang_entropy_nats,
+             cast(count(*) as int) as n_langs
+      from lc)
+    select cast(n_docs as bigint) as n_docs,
+           cast(n_unique_texts as bigint) as n_unique_texts,
+           round(1.0 - n_unique_texts * 1.0 / n_docs, 4) as exact_dup_rate,
+           n_tokens,
+           avg_chars,
+           cast(vocab as bigint) as vocab,
+           n_langs,
+           lang_entropy_nats
+    from d, v, l
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the corpus summary a training-data release
+    publishes — document and unique-text counts, exact-dup rate, token
+    total, mean length, vocabulary size, language count and entropy. The
+    composed "front page" whose per-metric drill-downs are the dedicated
+    queries (dedup_exact, text_tokens_stats, corpus_lang_mix_kl,
+    text_zipf_fit).
+
+    Three corpus passes (doc stats incl. distinct-text, distinct-word
+    vocabulary, language counts) — each a partial-agg/distinct shuffle —
+    combined as one-row broadcast scalar joins. Language entropy folds
+    over the languages-sized rollup with its total attached by another
+    scalar combine, so no unpartitioned window anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.relational import tokens
+
+    d = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    v = tokens(docs).agg(F.countDistinct("word").alias("vocab"))
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    lt = lc.agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    l_ = (
+        lc.crossJoin(F.broadcast(lt))
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy_nats"),
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+        )
+    )
+    return (
+        d.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(l_))
+        .select(
+            "n_docs",
+            "n_unique_texts",
+            F.round(
+                1.0 - F.col("n_unique_texts") / F.col("n_docs"), 4
+            ).alias("exact_dup_rate"),
+            "n_tokens",
+            "avg_chars",
+            "vocab",
+            "n_langs",
+            "lang_entropy_nats",
+        )
+    )

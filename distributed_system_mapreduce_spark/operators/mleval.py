@@ -420,10 +420,11 @@ def eval_confusion_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_confusion(spark, sf_dir)
 
 
-def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(label, pred_label, n) confusion counts of the nearest-centroid
-    classifier — the shared builder behind eval_confusion_centroid and
-    eval_f1_macro (k x k rows at any corpus size)."""
+def centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, cl, d): every vector's rounded squared-L2 distance
+    to every label centroid — the shared k-per-row scored grid behind
+    eval_confusion_centroid / eval_f1_macro (argmin) and
+    eval_topk_accuracy (rank membership)."""
     from ..functions.vectors import EMBED_DIM, label_centroids, spread
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -435,7 +436,7 @@ def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cl"),
         F.array(*[F.col(f"c{i}") for i in range(EMBED_DIM)]).alias("c"),
     )
-    scored = (
+    return (
         spread(emb)
         .crossJoin(F.broadcast(cent))
         .select(
@@ -451,7 +452,13 @@ def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
     )
-    pred = scored.groupBy("vec_id", "label").agg(
+
+
+def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, pred_label, n) confusion counts of the nearest-centroid
+    classifier — the shared builder behind eval_confusion_centroid and
+    eval_f1_macro (k x k rows at any corpus size)."""
+    pred = centroid_scores(spark, sf_dir).groupBy("vec_id", "label").agg(
         F.min_by(F.col("cl"), F.struct("d", "cl")).alias("pred_label")
     )
     return pred.groupBy("label", "pred_label").agg(
@@ -718,3 +725,74 @@ def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+#: eval_topk_accuracy: the k values reported.
+TOPK_ACC_KS = (1, 3, 5)
+
+
+@register(
+    "eval_topk_accuracy",
+    oracle=f"""
+    with e as (select vec_id, label, embedding::DOUBLE[] as x from embeddings),
+    percoord as (
+      select label, i, avg(x[i]) as cv
+      from e cross join unnest(range(1, 65)) as t(i) group by label, i),
+    cent as (select label as cl, list(cv order by i) as c
+             from percoord group by label),
+    scored as (
+      select e.vec_id, e.label, ct.cl,
+             round(list_sum(list_transform(list_zip(e.x, ct.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) as d
+      from e cross join cent ct),
+    rk as (
+      select vec_id, label, cl,
+             row_number() over (partition by vec_id order by d, cl) as rn
+      from scored)
+    select cast(k as int) as k,
+           round(sum(case when hit then 1 else 0 end) * 1.0 / count(*), 6)
+             as topk_accuracy
+    from (select vec_id, label, k, bool_or(label = cl) as hit
+          from rk cross join (select unnest([{', '.join(map(str, TOPK_ACC_KS))}]) as k) ks
+          where rn <= k
+          group by vec_id, label, k)
+    group by k
+    """,
+)
+def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k accuracy curve of the nearest-centroid classifier: is the
+    true label among the k nearest centroids, for k in {TOPK_ACC_KS} —
+    the eval that separates "wrong" from "close" (a steep 1→3 jump means
+    confusable class pairs, not noise; it reads directly off
+    eval_confusion_centroid's off-diagonal mass).
+
+    Reuses the shared ``centroid_scores`` grid. The per-vector centroid
+    ranking never uses a window: each vector's k distances collect into
+    one array (bounded by the label count), array_sort orders it, and the
+    true label's position tests against each k — one partial-agg shuffle,
+    three constant-size rollup rows out.
+    """
+    scored = centroid_scores(spark, sf_dir)
+    ranked = scored.groupBy("vec_id", "label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("cl")))
+        ).alias("order")
+    )
+    # 1-based position of the true label in the distance-sorted list
+    pos = F.array_position(
+        F.transform(F.col("order"), lambda s: s["cl"]), F.col("label")
+    )
+    ranked = ranked.select(pos.alias("pos"))
+    rows = [
+        ranked.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.round(
+                F.sum((F.col("pos") <= k).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("topk_accuracy"),
+        )
+        for k in TOPK_ACC_KS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

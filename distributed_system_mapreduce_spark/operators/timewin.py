@@ -1035,3 +1035,61 @@ def events_dau_mau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dau") / F.max("mau"), 4).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    with v as (select user_id, min(ts) as first_view from events
+               where event_type = 'view' group by user_id),
+    p as (select e.user_id, min(e.ts) as first_purchase
+          from events e join v on e.user_id = v.user_id
+          where e.event_type = 'purchase' and e.ts >= v.first_view
+          group by e.user_id),
+    d as (select (epoch_us(first_purchase) - epoch_us(v.first_view))
+                 / 3600000000.0 as hours
+          from v join p on v.user_id = p.user_id)
+    select cast(count(*) as bigint) as n_converted,
+           round(quantile_cont(hours, 0.5), 2) as p50_hours,
+           round(quantile_cont(hours, 0.9), 2) as p90_hours,
+           round(avg(hours), 2) as avg_hours
+    from d
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel velocity: hours from a user's first view to their first
+    subsequent purchase — funnel_conversion counts WHO converts, this
+    measures HOW FAST (the number an activation team actually moves).
+
+    Two per-user min rollups (view floor, then purchase-after-view floor)
+    joined on user_id — co-partitioned shuffles, no window over raw
+    events. Hours derive from integer microsecond differences (exact,
+    engine-stable); the percentile is Spark's exact interpolated
+    ``percentile`` mirroring DuckDB quantile_cont (the agg_percentiles
+    parity pattern) over the converted-users frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = v.join(p, "user_id").select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / 3.6e9
+        ).alias("hours")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.5)), 2).alias("p50_hours"),
+        F.round(F.percentile("hours", F.lit(0.9)), 2).alias("p90_hours"),
+        F.round(F.avg("hours"), 2).alias("avg_hours"),
+    )

@@ -13,6 +13,12 @@ from .dedup import (  # noqa: F401
     minhash_verified_stream,
     read_documents_stream,
 )
+from .tws import (  # noqa: F401
+    TwsUnavailable,
+    UserTotalsProcessor,
+    tws_runtime_available,
+    user_totals_tws,
+)
 from .joins import (  # noqa: F401
     asof_attribution_stream,
     theta_range_pairs_stream,

@@ -210,6 +210,7 @@ _SCALAR_COMBINE_BNLJ = {
     "embed_cosine_histogram",
     "eval_confusion_centroid",
     "eval_f1_macro",
+    "eval_topk_accuracy",
     "eval_mrr_at_k",
     "eval_ndcg_at_k",
     "mv_incremental_refresh",
@@ -229,9 +230,11 @@ _SCALAR_COMBINE_BNLJ = {
     "knn_label_vote",
     "layout_zorder_cluster",
     "sim_pq_recall",
+    "sql_idle_customers",
     "sim_ivfpq_recall",
     "sample_negative_pairs",
     "pipeline_dedup_corpus",
+    "pipeline_dataset_card",
     "pipeline_mix_rebalance",
     "pipeline_train_corpus",
     "sim_ann_ivf",

@@ -764,3 +764,57 @@ def test_streaming_watermarked_dedup_expires_state(spark, tmp_path):
     # all four rows admitted: doc 3's fingerprint no longer in state.
     # (an unbounded dropDuplicates would admit only three)
     assert sorted(admitted) == [1, 2, 3, 4]
+
+
+def test_transform_with_state_totals_or_documented_gate(spark, tmp_path):
+    """transformWithState (Spark 4 arbitrary-state API): when the Python
+    runner can start, the per-user totals processor must equal the batch
+    rollup; when the environment can't run it (broken protobuf — this
+    container), the probe must say so with an actionable reason and the
+    plan must still CONSTRUCT (the same import-everywhere/gate-at-runtime
+    contract as the Delta/Iceberg connectors)."""
+    from pyspark.sql import functions as F
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        read_events_stream,
+        tws_runtime_available,
+        user_totals_tws,
+    )
+
+    stream = user_totals_tws(read_events_stream(spark, SF_SMOKE))
+    assert stream.isStreaming  # plan construction always works
+
+    ok, reason = tws_runtime_available()
+    if not ok:
+        assert "protobuf" in reason  # actionable gate, not a bare crash
+        import pytest
+
+        pytest.skip(f"transformWithState runtime gated: {reason}")
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink: last emission per user wins
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("t_tws_totals")
+        .orderBy("user_id")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
