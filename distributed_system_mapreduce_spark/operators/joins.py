@@ -316,6 +316,77 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    with pc as (
+      select event_id, user_id, ts, event_type
+      from events where event_type in ('click', 'purchase')),
+    p as (select event_id, user_id, ts from pc where event_type = 'purchase'),
+    a as (
+      select p.event_id as purchase_id, p.user_id, p.ts,
+             (select min(c.ts) from pc c
+               where c.user_id = p.user_id
+                 and c.event_type = 'click'
+                 and c.ts > p.ts) as ct
+      from p)
+    select purchase_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') as purchase_ts,
+           strftime(ct, '%Y-%m-%d %H:%M:%S') as next_click_ts,
+           cast(date_diff('second', ts, ct) as bigint) as gap_s
+    from a
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's earliest
+    strictly-LATER click (the post-purchase re-engagement lookup) —
+    completing the direction pair with join_asof (pandas merge_asof
+    direction='forward' / kdb aj's mirror).
+
+    Same one-shuffle union plan as join_asof with the window reversed: a
+    running ``min(click ts)`` over a DESCENDING (ts, side, event_id)
+    rows frame — clicks sort after purchases in the reversed order at
+    equal ts, so the running min sees exactly the strictly-later clicks.
+    Still O(n log n) per user partition, never clicks x purchases.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # in DESC ts order, clicks must still trail purchases at equal ts
+        # for the strict '>' as-of, so clicks get the larger side value
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("side"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = tagged.withColumn(
+        "next_click_ts",
+        F.min(F.when(F.col("side") == 1, F.col("ts"))).over(w),
+    )
+    return fwd.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("next_click_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "next_click_ts"
+        ),
+        (
+            F.unix_timestamp("next_click_ts") - F.unix_timestamp("ts")
+        ).alias("gap_s"),
+    )
+
+
+@register(
     "join_interval_overlap",
     oracle="""
     select o1.o_custkey as custkey, count(*) as n_overlap_pairs

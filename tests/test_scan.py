@@ -135,3 +135,42 @@ def test_converted_ntiles_have_no_global_sort_window(name, spark):
     plan = explain_str(QUERIES[name](spark, SF_DIR), mode="formatted")
     assert "__scan_chunk" in plan, f"{name} lost its chunked ntile"
     assert "ntile(" not in plan, f"{name} still plans a naive ntile window"
+
+
+# ---------------------------------------------------------------------------
+# Property check (hypothesis): chunked_ntile must equal the naive global
+# ntile for ARBITRARY tie structures, bucket counts, and chunk granularity —
+# the deterministic cases above pin known branches (c < n, ceil-first
+# remainder); this sweeps the space between them. Examples are capped and
+# frames kept tiny: each case is two small local jobs.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=13),
+    rows=st.integers(min_value=1, max_value=120),
+    tie_mod=st.integers(min_value=1, max_value=9),
+    chunk_div=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_chunked_ntile_property(spark, n, rows, tie_mod, chunk_div, seed):
+    data = [(((i * 131 + seed) % 1009) % tie_mod, i) for i in range(rows)]
+    df = spark.createDataFrame(data, "score int, id bigint")
+    order = [F.asc("score"), F.asc("id")]
+    chunk = F.struct(
+        F.col("score").alias("s"),
+        F.floor(F.col("id") / chunk_div).alias("blk"),
+    )
+    got = chunked_ntile(df, n, order, chunk, out_col="b")
+    want = df.withColumn("b", F.ntile(n).over(Window.orderBy(*order)))
+    assert {r.id: r.b for r in got.collect()} == {
+        r.id: r.b for r in want.collect()
+    }
