@@ -113,15 +113,17 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r8: sql_market_share (TPC-H-style multiway), dedup_incremental
     #       (batch-probes-index), events_retention_cohort (cohort family),
     #       data_quality_checks (validation family)
-    #   r9 (active): agg_approx_error (hash-checked HLL++ quality bound — promotes
+    #   r9: agg_approx_error (hash-checked HLL++ quality bound — promoted
     #       the one §2 rows-only row to a measured-quality driver row,
-    #       VERDICT r6 #8), dedup_winnow (re-verify post r7 BIGINT rework),
-    #       sim_mmr_topk (re-verify post r7 hardening), text_collocations
-    #       (PMI family)
-    #   r10: dedup_minhash_est_error (hash-checked MinHash quality, new r7),
-    #       agg_cms_heavy_hitters (hash-checked count-min bound, new r7),
-    #       orders_rfm_segments (segmentation family),
-    #       events_transition_matrix (Markov family)
+    #       VERDICT r6 #8), dedup_winnow (re-verified post r7 BIGINT
+    #       rework), sim_mmr_topk (re-verified post r7 hardening),
+    #       text_collocations (PMI family) — all four driver-green in
+    #       CORRECTNESS_r09.
+    #   r10 (active): dedup_minhash_est_error (hash-checked MinHash quality,
+    #       new r7), agg_cms_heavy_hitters (hash-checked count-min bound,
+    #       new r7), orders_rfm_segments (segmentation family, re-planned
+    #       through chunked_ntile in r9), events_transition_matrix
+    #       (Markov family)
     #   r11: join_bloom_pruned (runtime-filter family, new r7),
     #       layout_zorder_cluster (data-layout family, new r7),
     #       part_skyline_brand (skyline family, new r7),
@@ -164,10 +166,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
     #    by events_series_topk's dense grid.)
-    "agg_approx_error",
-    "dedup_winnow",
-    "sim_mmr_topk",
-    "text_collocations",
+    "dedup_minhash_est_error",
+    "agg_cms_heavy_hitters",
+    "orders_rfm_segments",
+    "events_transition_matrix",
 )
 
 
