@@ -44,7 +44,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     with k as (
       select event_type, cast(props->>'$.k' as int) as kv from events),
-    cnt as (select event_type, kv, count(*) as n from k group by all)
+    cnt as (select event_type, kv, count(*) as n from k
+            where kv is not null group by all)
     select event_type, modal_k, n_occurrences,
            cast(n_distinct as bigint) as n_distinct_k from (
       select event_type, kv as modal_k, n as n_occurrences,
@@ -65,8 +66,12 @@ def json_modal_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min_by`` over a (count desc, value) ordering struct — map-side
     combinable, no rank window over the value frame (DuckDB has no
     min_by-with-struct-ordering tiebreak, so the oracle keeps the naive
-    window; results are row-identical). JSON parsing is JVM-side
-    get_json_object — no Python.
+    window; results are row-identical). Rows with a missing/non-numeric
+    ``$.k`` are excluded BEFORE the rollup on both engines — Spark's
+    ordering struct sorts a NULL field first while the oracle's
+    ``order by n desc, kv`` sorts NULLs last, so a NULL group tying the
+    max count would otherwise pick a different modal_k per engine
+    (ADVICE r9). JSON parsing is JVM-side get_json_object — no Python.
     """
     ev = load(spark, sf_dir, "events")
     cnt = (
@@ -74,6 +79,7 @@ def json_modal_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.get_json_object("props", "$.k").cast("int").alias("kv"),
         )
+        .filter(F.col("kv").isNotNull())
         .groupBy("event_type", "kv")
         .agg(F.count(F.lit(1)).alias("n"))
     )

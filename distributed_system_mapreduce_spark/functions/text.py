@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
@@ -858,10 +858,34 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
 
 
-#: Exact-count chunking threshold for text_zipf_fit's chunked global rank:
-#: counts >= T chunk by exact count ('' sub-key), counts < T add the first
-#: word char. Metadata cardinality <= T*charset + distinct-counts-above-T.
+#: Tie-splitting threshold for text_zipf_fit's chunked global rank: every
+#: chunk leads with the EXACT negated count (monotone along the c-desc
+#: order by construction); counts < T additionally split by the first word
+#: char so the tie-heavy Zipf tail (mostly c=1) doesn't collapse into one
+#: giant chunk. Metadata cardinality <= distinct-counts-above-T +
+#: (T-1)*charset.
 ZIPF_CHUNK_T = 256
+
+
+def zipf_chunk_key(c: Column, word: Column) -> Column:
+    """Chunk key for a (count desc, word asc) global rank over a word
+    rollup — monotone non-decreasing along that order, as
+    ``plans.scan.chunked_global_rank`` requires.
+
+    The LEADING field is the exact negated count, so chunks order exactly
+    like the count-desc order regardless of the sub-key (ADVICE r9 fixed a
+    prior form whose leading field banded all sub-threshold counts
+    together, letting the first-letter sub-key reorder across counts). The
+    first-letter field only splits ties WITHIN one count value — and
+    within equal counts the order is word asc, along which a word prefix
+    is monotone.
+    """
+    return F.struct(
+        (-c).alias("cb"),
+        F.when(c < ZIPF_CHUNK_T, F.substring(word, 1, 1))
+        .otherwise(F.lit(""))
+        .alias("wb"),
+    )
 
 
 @register(
@@ -890,12 +914,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The regression runs over the VOCABULARY (one word rollup), not the
     corpus — but a web-scale vocabulary is still billions of rows, so the
     global frequency rank routes through ``plans.scan.chunked_global_rank``
-    (VERDICT r8 #3 class): chunk = (-greatest(c, T), c < T ? first word
-    char : '') — above the threshold each exact count is its own chunk
-    (few high-frequency words, so few metadata rows); below it the first
-    word char splits the tie-heavy Zipf tail (most words have count 1,
-    and within equal counts the order IS word asc, so a word prefix is
-    monotone there) — row-identical to the naive global row_number.
+    (VERDICT r8 #3 class) under :func:`zipf_chunk_key`: the exact negated
+    count leads every chunk (monotone along c desc by construction), and
+    counts below the threshold add the first word char to split the
+    tie-heavy Zipf tail (most words have count 1, and within equal counts
+    the order IS word asc, so a word prefix is monotone there) —
+    row-identical to the naive global row_number
+    (tests/test_scan.py::test_zipf_chunk_key_matches_naive_rank pins this
+    on a multi-count sub-threshold vocabulary, the shape ADVICE r9 showed
+    the previous banded key got wrong).
     Slope/intercept use Spark's regr_slope/regr_intercept — the same
     Welford-style moment aggregates DuckDB implements, rounded to absorb
     accumulation-order noise. Rank ties break by word so both engines rank
@@ -912,12 +939,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = chunked_global_rank(
         wc,
         [F.desc("c"), F.asc("word")],
-        F.struct(
-            (-F.greatest(F.col("c"), F.lit(ZIPF_CHUNK_T))).alias("cb"),
-            F.when(
-                F.col("c") < ZIPF_CHUNK_T, F.substring("word", 1, 1)
-            ).otherwise(F.lit("")).alias("wb"),
-        ),
+        zipf_chunk_key(F.col("c"), F.col("word")),
         out_col="__rank",
     ).select(
         F.log("__rank").alias("lr"),

@@ -134,6 +134,19 @@ def chunked_global_rank(
     return out
 
 
+def _exact_div(a: Column, b: Column) -> Column:
+    """``a div b`` for non-negative longs with NO floating-point rounding.
+
+    ``a / b`` in Spark is double division; near 2**53 the FP quotient can
+    land on the wrong side of the cast-truncation boundary (ADVICE r9).
+    Subtracting the remainder first makes the numerator an exact multiple,
+    and decimal(38,0) division of an exact multiple is exact at any long
+    magnitude, so the cast back to long is the true integer quotient.
+    """
+    num = (a - a % b).cast("decimal(38,0)")
+    return (num / b.cast("decimal(38,0)")).cast("long")
+
+
 def chunked_ntile(
     df: DataFrame,
     n: int,
@@ -150,19 +163,26 @@ def chunked_ntile(
 
     SQL ntile over total rows ``c``: the first ``c % n`` buckets take
     ``c div n + 1`` rows, the rest ``c div n``. Derived per row from the
-    chunked global rank ``r`` and the metadata-frame total with integer
-    math only (the ``greatest(q, 1)`` guards the unreachable second
+    chunked global rank ``r`` and the metadata-frame total via
+    :func:`_exact_div` — true integer division, exact at any long
+    magnitude (the ``greatest(q, 1)`` guards the unreachable second
     branch when ``c < n`` from ANSI div-by-zero).
     """
     _gr = "__scan_grank"
     ranked = chunked_global_rank(
         df, order_cols, chunk_col, out_col=_gr, total_col=_TOT
     )
-    q = (F.col(_TOT) / n).cast("long")
-    rem = F.col(_TOT) % n
+    tot = F.col(_TOT).cast("long")
+    nl = F.lit(n).cast("long")
+    q = _exact_div(tot, nl)
+    rem = tot % nl
     cut = rem * (q + F.lit(1))
-    r = F.col(_gr)
+    r = F.col(_gr).cast("long")
     bucket = F.when(
-        r <= cut, ((r - 1) / (q + 1)).cast("long") + 1
-    ).otherwise(rem + ((r - cut - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
+        r <= cut, _exact_div(r - F.lit(1), q + F.lit(1)) + F.lit(1)
+    ).otherwise(
+        rem
+        + _exact_div(r - cut - F.lit(1), F.greatest(q, F.lit(1)))
+        + F.lit(1)
+    )
     return ranked.withColumn(out_col, bucket.cast("int")).drop(_gr, _TOT)

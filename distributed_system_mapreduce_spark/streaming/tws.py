@@ -22,10 +22,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from pyspark.sql.streaming.stateful_processor import (
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
+try:  # the module contract is "importable everywhere, gate at RUNTIME":
+    # streaming/__init__ re-exports this module, so a Spark without the
+    # transformWithState API must not take the whole streaming package
+    # down with it (ADVICE r9). The probe folds the miss into
+    # tws_runtime_available().
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _TWS_IMPORT_ERROR: Exception | None = None
+except Exception as _exc:  # pragma: no cover - Spark-version-specific
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
+    _TWS_IMPORT_ERROR = _exc
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
@@ -39,8 +50,14 @@ def tws_runtime_available() -> tuple[bool, str]:
     The runner imports protobuf-generated message classes on startup; a
     missing/broken ``google.protobuf`` kills the driver-side worker with a
     non-actionable stream crash, so probe the import up front and report
-    the actual remedy.
+    the actual remedy. A Spark without the stateful_processor module at
+    all (gated at import above) reports through the same channel.
     """
+    if _TWS_IMPORT_ERROR is not None:
+        return False, (
+            "this Spark has no pyspark.sql.streaming.stateful_processor "
+            f"(transformWithState needs Spark 4: {_TWS_IMPORT_ERROR})"
+        )
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -174,3 +174,55 @@ def test_chunked_ntile_property(spark, n, rows, tie_mod, chunk_div, seed):
     assert {r.id: r.b for r in got.collect()} == {
         r.id: r.b for r in want.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9 regressions: (1) text_zipf_fit's chunk key must be monotone for
+# vocabularies with MANY distinct sub-threshold counts spread across first
+# letters — the prior banded key collapsed all c < T into one band and let
+# the letter sub-key reorder across counts (a c=200 'z' word ranked after a
+# c=100 'a' word); (2) chunked_ntile's bucket math must be true integer
+# division — double division + cast-truncation can misassign near 2**53.
+# ---------------------------------------------------------------------------
+
+from distributed_system_mapreduce_spark.functions.text import (  # noqa: E402
+    ZIPF_CHUNK_T,
+    zipf_chunk_key,
+)
+from distributed_system_mapreduce_spark.plans.scan import _exact_div  # noqa: E402
+
+
+def test_zipf_chunk_key_matches_naive_rank(spark):
+    # counts 1..ZIPF_CHUNK_T+40 interleaved across first letters a..j so
+    # sub-threshold counts and letters anti-correlate: high counts get
+    # late letters, the shape that breaks a (band, letter)-keyed chunking.
+    rows = []
+    for i in range(ZIPF_CHUNK_T + 40):
+        c = ZIPF_CHUNK_T + 40 - i
+        letter = chr(ord("a") + (i % 10))
+        rows.append((f"{letter}word{i:04d}", c))
+        rows.append((f"{letter}tie{i:04d}", c))  # ties within one count
+    df = spark.createDataFrame(rows, "word string, c bigint")
+    order = [F.desc("c"), F.asc("word")]
+    got = chunked_global_rank(
+        df, order, zipf_chunk_key(F.col("c"), F.col("word")), out_col="r"
+    )
+    want = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    assert {r.word: r.r for r in got.collect()} == {
+        r.word: r.r for r in want.collect()
+    }
+
+
+def test_exact_div_no_fp_rounding_near_2_53(spark):
+    # quotients whose double-division lands on the wrong side of the
+    # truncation boundary: a = k*b + (b-1) with k near 2**53/b
+    cases = []
+    for b in (3, 7, 1_000_003, 2**31 - 1):
+        for k in (2**53 // b, 2**53 // b - 1, (2**62 - 1) // b):
+            a = k * b + (b - 1)
+            if a < 2**63:
+                cases.append((a, b, k))
+    df = spark.createDataFrame(cases, "a bigint, b bigint, want bigint")
+    got = df.select("a", "b", "want", _exact_div(F.col("a"), F.col("b")).alias("got"))
+    bad = got.filter(F.col("got") != F.col("want")).collect()
+    assert not bad, bad
