@@ -119,12 +119,12 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       rework), sim_mmr_topk (re-verified post r7 hardening),
     #       text_collocations (PMI family) — all four driver-green in
     #       CORRECTNESS_r09.
-    #   r10 (active): dedup_minhash_est_error (hash-checked MinHash quality,
+    #   r10: dedup_minhash_est_error (hash-checked MinHash quality,
     #       new r7), agg_cms_heavy_hitters (hash-checked count-min bound,
     #       new r7), orders_rfm_segments (segmentation family, re-planned
     #       through chunked_ntile in r9), events_transition_matrix
-    #       (Markov family)
-    #   r11: join_bloom_pruned (runtime-filter family, new r7),
+    #       (Markov family) — all four driver-green in CORRECTNESS_r10.
+    #   r11 (active): join_bloom_pruned (runtime-filter family, new r7),
     #       layout_zorder_cluster (data-layout family, new r7),
     #       part_skyline_brand (skyline family, new r7),
     #       pipeline_epoch_shuffle (training-order family, new r7)
@@ -166,10 +166,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
     #    by events_series_topk's dense grid.)
-    "dedup_minhash_est_error",
-    "agg_cms_heavy_hitters",
-    "orders_rfm_segments",
-    "events_transition_matrix",
+    "join_bloom_pruned",
+    "layout_zorder_cluster",
+    "part_skyline_brand",
+    "pipeline_epoch_shuffle",
 )
 
 

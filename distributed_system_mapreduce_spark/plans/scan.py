@@ -107,6 +107,11 @@ def chunked_global_rank(
     ``total_col`` additionally attaches the group total row count — it
     rides the same chunk-cardinality offsets frame (a full-frame window
     over the rollup), NOT a one-row crossJoin, so no BNLJ enters the plan.
+
+    ``out_col`` is a LONG (ADVICE r10): the global rank exceeds 2**31 as
+    soon as the frame does, so the int cast the first version carried
+    would silently overflow exactly at the scale this helper exists for.
+    Callers that expose the rank in an int-typed result cast at the edge.
     """
     tagged = df.withColumn(_CHUNK, chunk_col)
     counts = tagged.groupBy(_CHUNK).agg(F.count(F.lit(1)).alias("__chunk_n"))
@@ -128,23 +133,26 @@ def chunked_global_rank(
     out = (
         tagged.withColumn(_RN, F.row_number().over(w_in))
         .join(F.broadcast(offsets), [_CHUNK])
-        .withColumn(out_col, (F.col(_RN) + F.col(_OFF)).cast("int"))
+        .withColumn(out_col, F.col(_RN).cast("long") + F.col(_OFF))
         .drop(_CHUNK, _RN, _OFF)
     )
     return out
 
 
 def _exact_div(a: Column, b: Column) -> Column:
-    """``a div b`` for non-negative longs with NO floating-point rounding.
+    """``a div b`` on longs with NO floating-point rounding and NO config
+    dependence.
 
     ``a / b`` in Spark is double division; near 2**53 the FP quotient can
     land on the wrong side of the cast-truncation boundary (ADVICE r9).
-    Subtracting the remainder first makes the numerator an exact multiple,
-    and decimal(38,0) division of an exact multiple is exact at any long
-    magnitude, so the cast back to long is the true integer quotient.
+    The first fix routed through decimal(38,0) division, but that is only
+    exact under ``spark.sql.decimal.operations.allowPrecisionLoss=true``
+    (ADVICE r10) — with it false the quotient type is scale-capped and
+    nulls for any result >= 1. ``div`` (IntegralDivide, registered as a
+    SQL function) is long-native integer division: exact at any long
+    magnitude under either setting.
     """
-    num = (a - a % b).cast("decimal(38,0)")
-    return (num / b.cast("decimal(38,0)")).cast("long")
+    return F.call_function("div", a.cast("long"), b.cast("long"))
 
 
 def chunked_ntile(

@@ -226,3 +226,24 @@ def test_exact_div_no_fp_rounding_near_2_53(spark):
     got = df.select("a", "b", "want", _exact_div(F.col("a"), F.col("b")).alias("got"))
     bad = got.filter(F.col("got") != F.col("want")).collect()
     assert not bad, bad
+
+
+def test_exact_div_independent_of_decimal_precision_loss_conf(spark):
+    # ADVICE r10: the decimal(38,0)-division version of _exact_div was only
+    # exact under spark.sql.decimal.operations.allowPrecisionLoss=true; the
+    # long-native `div` rewrite must give the true quotient (not null, not
+    # rounded) under BOTH settings.
+    conf_key = "spark.sql.decimal.operations.allowPrecisionLoss"
+    before = spark.conf.get(conf_key, "true")
+    cases = [(2**62 - 1, 3), (2**53 + 1, 7), (9, 10), (0, 5)]
+    df = spark.createDataFrame(cases, "a bigint, b bigint")
+    want = {(a, b): a // b for a, b in cases}
+    try:
+        for setting in ("false", "true"):
+            spark.conf.set(conf_key, setting)
+            got = df.select(
+                "a", "b", _exact_div(F.col("a"), F.col("b")).alias("q")
+            ).collect()
+            assert {(r.a, r.b): r.q for r in got} == want, setting
+    finally:
+        spark.conf.set(conf_key, before)
