@@ -151,7 +151,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r17: join_asof_tolerance (tolerance as-of, new r8),
     #       orders_repeat_purchase_curve (retention curve, new r8),
     #       events_inactivity_churn (lifecycle segments, new r8),
-    #       sim_ivfpq_recall (rows-only composed-ANN witness, new r8)
+    #       sim_ivfpq_recall (composed-ANN witness, new r8; promoted to a
+    #       hash-checked recall-bound oracle in r11 per VERDICT r10 #6)
     #   r18: graph_adamic_adar (link-prediction family, new r9),
     #       eval_f1_macro (class-balanced eval, new r9),
     #       agg_weighted_median (chunked-scan threshold crossing, new r9),

@@ -496,18 +496,52 @@ def lloyd_centroids(
     lineage. Cells that lose all members drop out (k can shrink).
 
     Returns (cent_id, cent_emb array<double>).
+
+    Trained centroids are memoized per (session, corpus, k, iters) —
+    the same session-materialized-view contract as the PQ codebook memo:
+    Lloyd is deterministic given the seed and corpus, so sim_ann_ivf /
+    sim_ivf_nprobe_sweep / sim_ivfpq_recall and friends share ONE
+    training run instead of each re-paying {iters} collect rounds
+    (VERDICT r10 #5 — the iterative heavies' fixed cost is scheduling,
+    not data). The memo stores k·dim doubles: driver-bounded by design.
     """
     spark = emb_d.sparkSession
+    memo_key = (
+        spark.sparkContext.applicationId, emb_d.semanticHash(), k, iters,
+    )
+    cached = _LLOYD_MEMO.get(memo_key)
+    if cached is not None:
+        return spark.createDataFrame(
+            cached, "cent_id long, cent_emb array<double>"
+        )
     cents = (
         emb_d.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
     )
+    rows = None
     for _ in range(iters):
         mean = lloyd_recompute(ivf_assign(emb_d, cents, round_scores=False))
         rows = mean.collect()  # k x dim doubles — bounded, driver-sized
         cents = spark.createDataFrame(rows, "cent_id long, cent_emb array<double>")
+    if rows is not None:
+        _LLOYD_MEMO[memo_key] = rows
     return cents
+
+
+#: Session-scoped memo of IVF centroids (k·dim doubles per entry) — see
+#: the lloyd_centroids docstring; cleared through the cache registry like
+#: the PQ codebook and CC label memos.
+_LLOYD_MEMO: dict[tuple, list] = {}
+
+
+def _clear_lloyd_memo() -> int:
+    n = len(_LLOYD_MEMO)
+    _LLOYD_MEMO.clear()
+    return n
+
+
+register_memo_clearer(_clear_lloyd_memo)
 
 
 def lloyd_recompute(assign: DataFrame) -> DataFrame:
@@ -1232,6 +1266,20 @@ KMEANS_ITERS = 3
 #: quantized Gram matrix.
 KMEANS_ROUND = 6
 
+#: Session-scoped memo of embed_kmeans' final-round input centroids
+#: (K·dim doubles) — see the embed_kmeans docstring; cleared through the
+#: cache registry like the PQ/Lloyd/CC memos.
+_KMEANS_MEMO: dict[tuple, list] = {}
+
+
+def _clear_kmeans_memo() -> int:
+    n = len(_KMEANS_MEMO)
+    _KMEANS_MEMO.clear()
+    return n
+
+
+register_memo_clearer(_clear_kmeans_memo)
+
 
 def _kmeans_oracle() -> str:
     """Unrolled Lloyd iterations as chained CTEs (like the PageRank
@@ -1312,17 +1360,6 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    init = emb.orderBy("vec_id").limit(KMEANS_K).collect()
-    if len(init) < KMEANS_K:
-        # same guard class as embed_pca_top_component's empty-table check
-        # (ADVICE r3): fail loudly instead of iterating on a ragged
-        # centroid list
-        raise ValueError(
-            f"embed_kmeans needs >= {KMEANS_K} vectors, got {len(init)}"
-        )
-    cents = [
-        [round(float(x), KMEANS_ROUND) for x in r["e"]] for r in init
-    ]
 
     def dist_to(c: list) -> "F.Column":
         carr = F.array(*[F.lit(x) for x in c])
@@ -1332,10 +1369,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    assigned = None
-    entry_cents = cents
-    for _ in range(KMEANS_ITERS):
-        entry_cents = cents
+    def assign(cents: list) -> DataFrame:
         choices = F.array(
             *[
                 F.struct(dist_to(c).alias("d"), F.lit(i).alias("i"))
@@ -1343,26 +1377,54 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         best = F.array_min(choices)
-        assigned = emb.select(
+        return emb.select(
             "vec_id",
             "e",
             best["i"].alias("cluster"),
             best["d"].alias("dist"),
         )
-        means = assigned.groupBy("cluster").agg(
-            *[
-                F.avg(F.element_at("e", d + 1)).alias(f"m{d}")
-                for d in range(EMBED_DIM)
-            ]
-        )
-        got = {
-            r["cluster"]: [
-                round(float(r[f"m{d}"]), KMEANS_ROUND)
-                for d in range(EMBED_DIM)
-            ]
-            for r in means.collect()
-        }
-        cents = [got.get(i, cents[i]) for i in range(KMEANS_K)]
+
+    # Lloyd is deterministic given the init and corpus, so the FINAL
+    # round's input centroids are memoized per (session, corpus, params) —
+    # the PQ-codebook/CC-label session-materialized-view contract: repeat
+    # callers skip the {KMEANS_ITERS} collect rounds and rebuild only the
+    # final assignment plan (VERDICT r10 #5). K·dim doubles: driver-bounded.
+    memo_key = (
+        spark.sparkContext.applicationId, emb.semanticHash(),
+        KMEANS_K, KMEANS_ITERS, KMEANS_ROUND,
+    )
+    entry_cents = _KMEANS_MEMO.get(memo_key)
+    if entry_cents is None:
+        init = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+        if len(init) < KMEANS_K:
+            # same guard class as embed_pca_top_component's empty-table
+            # check (ADVICE r3): fail loudly instead of iterating on a
+            # ragged centroid list
+            raise ValueError(
+                f"embed_kmeans needs >= {KMEANS_K} vectors, got {len(init)}"
+            )
+        cents = [
+            [round(float(x), KMEANS_ROUND) for x in r["e"]] for r in init
+        ]
+        entry_cents = cents
+        for _ in range(KMEANS_ITERS):
+            entry_cents = cents
+            means = assign(cents).groupBy("cluster").agg(
+                *[
+                    F.avg(F.element_at("e", d + 1)).alias(f"m{d}")
+                    for d in range(EMBED_DIM)
+                ]
+            )
+            got = {
+                r["cluster"]: [
+                    round(float(r[f"m{d}"]), KMEANS_ROUND)
+                    for d in range(EMBED_DIM)
+                ]
+                for r in means.collect()
+            }
+            cents = [got.get(i, cents[i]) for i in range(KMEANS_K)]
+        _KMEANS_MEMO[memo_key] = entry_cents
+    assigned = assign(entry_cents)
 
     # inertia and norms report against the centroids the FINAL assignment
     # used (the oracle's c_{iters-1}) — the standard per-round objective
@@ -1622,6 +1684,58 @@ def pq_codebooks(emb: DataFrame) -> DataFrame:
     return cents
 
 
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Byte-code table ``(vec_id, m, cent_id)`` for the whole corpus,
+    tracked-persisted: encoding assigns every subvector its argmin codeword
+    (one broadcast join over the corpus — the most expensive non-training
+    stage of the PQ path), and BOTH consumers (sim_pq_recall's exhaustive
+    ADC and sim_ivfpq_recall's probed ADC) score from the identical code
+    table, so one materialization serves the family within a session
+    (VERDICT r10 #5). The projection to the three narrow columns happens
+    BEFORE the persist: caching the raw pq_assign output would freeze the
+    carried ``sv`` subvector arrays into the cache — the exact float
+    payload PQ exists to shed — and the first materialization would pay
+    to store it.
+
+    The tracked FRAME (not just the codebook rows) is memoized per
+    (session, corpus): the codebook underneath is rebuilt from driver rows
+    via createDataFrame, whose RDD-backed plan never canonicalizes equal
+    across calls, so the CacheManager cannot dedupe repeat encodes —
+    without the frame memo every caller persisted and re-materialized its
+    own copy of the identical code table (measured ~2.3 s/call at sf0.1).
+    Same DataFrame-object memo contract as the backbone-CC labels
+    (operators/graph.py); the dict clears through the cache registry in
+    the same sweep that unpersists the tracked frame.
+    """
+    memo_key = (
+        emb.sparkSession.sparkContext.applicationId, emb.semanticHash(),
+        PQ_M, PQ_K, PQ_ITERS, PQ_TRAIN_MOD,
+    )
+    cached = _PQ_CODES_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    codes = track(
+        pq_assign(pq_subvectors(emb), pq_codebooks(emb)).select(
+            "vec_id", "m", "cent_id"
+        )
+    )
+    _PQ_CODES_MEMO[memo_key] = codes
+    return codes
+
+
+#: Session-scoped memo of the TRACKED code-table frame — see pq_codes.
+_PQ_CODES_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _clear_pq_codes_memo() -> int:
+    n = len(_PQ_CODES_MEMO)
+    _PQ_CODES_MEMO.clear()
+    return n
+
+
+register_memo_clearer(_clear_pq_codes_memo)
+
+
 @register("sim_pq_recall")
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{PQ_TOPK} of product-quantized ADC search against the exact
@@ -1648,7 +1762,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cents = pq_codebooks(emb)
-    codes = pq_assign(pq_subvectors(emb), cents)
+    codes = pq_codes(emb)
 
     q = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("e")
@@ -1875,26 +1989,21 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivfpq_recall")
-def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{PQ_TOPK} of the COMPOSED production ANN path — IVF probing x
-    product-quantized ADC scoring x exact re-rank — against the shared
-    brute-force baseline. sim_ann_recall audits the IVF stage alone and
-    sim_pq_recall audits exhaustive ADC; a deployment runs them together:
-    probe the {RECALL_NPROBE} nearest inverted lists, ADC-score ONLY those
-    candidates from the byte codes, exactly re-rank the top-{PQ_RERANK}.
-    This query measures what that composition actually loses.
+#: recall@{PQ_TOPK} floor the composed IVF x PQ x re-rank path must hold —
+#: the hash-CHECKED quality claim (measured 0.6533 at sf0.01, 0.5233 at
+#: sf0.1; a broken probe, code table, LUT join, or re-rank scores near 0).
+#: Margin class of APPROX_DISTINCT_MAX_REL_ERR: wide enough that a
+#: regenerated fixture or a larger SF (recall declines with corpus size at
+#: fixed nprobe) can't flip a healthy path to a hash mismatch, while a
+#: broken stage is off by far more.
+IVFPQ_RECALL_FLOOR = 0.40
 
-    Scale shape: the candidate set is sum(probed list sizes) ~= corpus *
-    nprobe / n_cents per query (never the full corpus); the ADC join fans
-    candidates out by M byte-codes and collapses map-side via the
-    partial-sum groupBy; both candidate membership (tracked
-    ``seeded_ivf_assign``) and ground truth (tracked
-    ``exact_topk_baseline``) are the session-shared builders, and the
-    codebooks train on the 1-in-{PQ_TRAIN_MOD} sample once. Rows-only by
-    design (Lloyd-trained codebooks); pinned at sf0.01 with the recall
-    floor asserted in tests/test_ann_quality.py.
-    """
+
+def _ivfpq_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (n_exact, h) frame for the composed IVF x PQ x re-rank path:
+    ``h`` of the ``n_exact`` exact top-{PQ_TOPK} pairs survive the
+    composition. Shared by the registered bound query and the quality
+    tests (which assert on the raw recall ``h / n_exact``)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -1930,8 +2039,9 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     # PQ stage: byte codes + per-query LUT, ADC only over the candidates
+    # (codes tracked and shared with sim_pq_recall — one encode per session)
     pq_cents = pq_codebooks(emb)
-    codes = pq_assign(pq_subvectors(emb), pq_cents).select(
+    codes = pq_codes(emb).select(
         "vec_id", "m", F.col("cent_id").alias("code")
     )
     lut = (
@@ -1967,16 +2077,74 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("q_id",),
     ).select("q_id", "v_id")
     exact = exact_topk_baseline(spark, sf_dir, n_queries=PQ_QUERIES, k=PQ_TOPK)
-    hits = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
         exact.join(rerank, ["q_id", "v_id"], "left_semi").agg(
             F.count(F.lit(1)).alias("h")
         )
     )
+
+
+@register(
+    "sim_ivfpq_recall",
+    oracle=f"""
+    with emb as (
+      select vec_id, embedding::DOUBLE[] as e from embeddings),
+    q as (
+      select vec_id as q_id, e as qe from emb
+      where vec_id < {PQ_QUERIES}),
+    exact_scored as (
+      select q_id, v.vec_id as v_id,
+             row_number() over (
+               partition by q_id
+               order by round(list_dot_product(qe, v.e), 4) desc, v.vec_id
+             ) as rn
+      from emb v join q on v.vec_id <> q.q_id)
+    select cast({RECALL_NPROBE} as int) as nprobe,
+           cast({PQ_M} as int) as m_subspaces,
+           cast({PQ_QUERIES} as int) as n_queries,
+           cast(count(*) as bigint) as n_exact,
+           true as recall_floor_met
+    from exact_scored where rn <= {PQ_TOPK}
+    """,
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{PQ_TOPK} of the COMPOSED production ANN path — IVF probing x
+    product-quantized ADC scoring x exact re-rank — against the shared
+    brute-force baseline, promoted from rows-only to a hash-CHECKED
+    quality bound (VERDICT r10 #6). sim_ann_recall audits the IVF stage
+    alone and sim_pq_recall audits exhaustive ADC; a deployment runs them
+    together: probe the {RECALL_NPROBE} nearest inverted lists, ADC-score
+    ONLY those candidates from the byte codes, exactly re-rank the
+    top-{PQ_RERANK}. This query measures what that composition loses.
+
+    Oracle split, same as agg_approx_error / dedup_minhash_est_error: the
+    recall VALUE depends on Lloyd-trained codebooks (no DuckDB twin), but
+    the exact-arm size ``n_exact`` is plain SQL and the quality CLAIM
+    ``recall >= {IVFPQ_RECALL_FLOOR}`` is engine-portable — the oracle
+    pins ``recall_floor_met = true``, so a broken probe/code/LUT/re-rank
+    stage (recall ~ 0) hash-mismatches instead of passing rows-only. The
+    raw recall stays available to the quality tests through
+    ``_ivfpq_hits``; tests/test_ann_quality.py asserts the tighter
+    measured floor (0.55 at fixture scale).
+
+    Scale shape: the candidate set is sum(probed list sizes) ~= corpus *
+    nprobe / n_cents per query (never the full corpus); the ADC join fans
+    candidates out by M byte-codes and collapses map-side via the
+    partial-sum groupBy; candidate membership (tracked
+    ``seeded_ivf_assign``), ground truth (tracked ``exact_topk_baseline``)
+    and the byte codes (tracked ``pq_codes``) are the session-shared
+    builders, and the codebooks train on the 1-in-{PQ_TRAIN_MOD} sample
+    once.
+    """
+    hits = _ivfpq_hits(spark, sf_dir)
     return hits.select(
         F.lit(RECALL_NPROBE).alias("nprobe"),
         F.lit(PQ_M).alias("m_subspaces"),
         F.lit(PQ_QUERIES).alias("n_queries"),
-        F.round(F.col("h") / F.col("n_exact"), 4).alias("recall"),
+        F.col("n_exact"),
+        (
+            F.col("h") / F.col("n_exact") >= F.lit(IVFPQ_RECALL_FLOOR)
+        ).alias("recall_floor_met"),
     )
 
 

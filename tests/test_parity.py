@@ -88,10 +88,11 @@ ROWS_ONLY_EXPECTED = {
     # quantized before the driver-local eigensolve, so the spectral summary
     # is exact-stable across runs/partitionings
     "embed_pca_top_component": [(500, 100, 0.0276, 9, 0.403)],
-    # (nprobe, m_subspaces, n_queries, recall): the composed IVF x PQ x
-    # re-rank path loses a little of each stage — 0.6533 sits between the
-    # IVF-only (0.69) and exhaustive-ADC (0.7267) audits, as it must
-    "sim_ivfpq_recall": [(4, 8, 30, 0.6533)],
+    # sim_ivfpq_recall left this table in r11: it now carries a DuckDB
+    # oracle (hash-checked recall bound, VERDICT r10 #6); its raw recall
+    # (0.6533 at sf0.01, between the IVF-only 0.69 and exhaustive-ADC
+    # 0.7267 audits, as it must sit) is asserted via _ivfpq_hits in
+    # tests/test_ann_quality.py.
 }
 
 
