@@ -1,0 +1,104 @@
+"""google.protobuf availability shim (VERDICT r10 #7).
+
+Spark 4's transformWithState Python runner speaks a protobuf state
+protocol: ``pyspark.sql.streaming.proto.StateMessage_pb2`` imports
+``google.protobuf`` at module load, so a driver/executor Python without
+the protobuf runtime kills the worker before the first batch. This
+container has no ``google`` package and pip installs are unavailable —
+but a pure-Python protobuf runtime (6.32.0) ships vendored inside the
+locally-installed Google Cloud SDK, a public location this shim can
+borrow it from read-only.
+
+:func:`ensure_protobuf` makes ``google.protobuf`` importable if it can:
+
+- native install present → no-op;
+- else build a PEP 420 namespace shim dir in the system temp dir whose
+  ONLY content is a ``google/protobuf`` symlink to the vendored runtime
+  (never the whole vendored tree — the SDK dir carries many other
+  packages that would shadow site-packages), put it on ``sys.path`` for
+  this process and on ``PYTHONPATH`` for the JVM-spawned Python workers
+  (so call this BEFORE SparkSession creation — session.get_spark does);
+- set protobuf's own documented escape hatch
+  ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``: pyspark's generated
+  StateMessage code was built with gencode 6.33 and the vendored runtime
+  is 6.32 — one minor apart within the same major, where the wire format
+  and descriptor API are stable; without the flag the generated module
+  refuses to load on the older runtime.
+
+Everything is idempotent and degrades to an actionable (False, reason):
+the tws probe (streaming/tws.py) folds this into its remedy message.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+#: publicly-known locations of a vendored pure-Python google.protobuf
+#: runtime, probed in order. Only the protobuf subpackage is ever linked.
+_VENDORED_PROTOBUF_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf",
+)
+
+_RESULT: tuple[bool, str] | None = None
+
+
+def _import_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def ensure_protobuf() -> tuple[bool, str]:
+    """Make ``google.protobuf`` importable if possible; (ok, detail)."""
+    global _RESULT
+    if _RESULT is not None:
+        return _RESULT
+    if _import_ok():
+        _RESULT = (True, "native google.protobuf")
+        return _RESULT
+    for src in _VENDORED_PROTOBUF_DIRS:
+        if not os.path.isdir(src):
+            continue
+        try:
+            shim = os.path.join(tempfile.gettempdir(), "dsmr_pbshim")
+            gdir = os.path.join(shim, "google")
+            os.makedirs(gdir, exist_ok=True)
+            link = os.path.join(gdir, "protobuf")
+            if not os.path.lexists(link):
+                os.symlink(src, link)
+            if shim not in sys.path:
+                sys.path.insert(0, shim)
+            # JVM-spawned Python workers resolve imports from PYTHONPATH —
+            # effective only for SparkSessions created AFTER this call.
+            parts = os.environ.get("PYTHONPATH", "")
+            if shim not in parts.split(os.pathsep):
+                os.environ["PYTHONPATH"] = (
+                    shim + (os.pathsep + parts if parts else "")
+                )
+            os.environ.setdefault(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+            )
+            # a failed earlier import can leave a dead namespace module
+            sys.modules.pop("google", None)
+            import importlib
+
+            importlib.invalidate_caches()
+        except OSError as exc:  # tempdir unwritable, symlink denied, ...
+            _RESULT = (False, f"protobuf shim setup failed: {exc}")
+            return _RESULT
+        if _import_ok():
+            _RESULT = (True, f"vendored protobuf runtime linked from {src}")
+            return _RESULT
+        _RESULT = (False, f"vendored protobuf at {src} did not import")
+        return _RESULT
+    _RESULT = (
+        False,
+        "no google.protobuf installed and no vendored runtime found; "
+        "install the 'protobuf' package on driver and executors",
+    )
+    return _RESULT

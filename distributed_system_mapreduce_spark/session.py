@@ -20,6 +20,14 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # make google.protobuf importable (vendored-runtime shim) BEFORE the
+    # JVM exists: the transformWithState Python workers inherit PYTHONPATH
+    # from the JVM environment, which is frozen at session creation
+    # (pbcompat.ensure_protobuf is idempotent and a no-op when protobuf is
+    # natively installed or no vendored runtime exists).
+    from .pbcompat import ensure_protobuf
+
+    ensure_protobuf()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

@@ -16,6 +16,7 @@ from .dedup import (  # noqa: F401
 from .tws import (  # noqa: F401
     TwsUnavailable,
     UserTotalsProcessor,
+    configure_tws,
     tws_runtime_available,
     user_totals_tws,
 )

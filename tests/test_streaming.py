@@ -768,14 +768,17 @@ def test_streaming_watermarked_dedup_expires_state(spark, tmp_path):
 
 def test_transform_with_state_totals_or_documented_gate(spark, tmp_path):
     """transformWithState (Spark 4 arbitrary-state API): when the Python
-    runner can start, the per-user totals processor must equal the batch
-    rollup; when the environment can't run it (broken protobuf — this
-    container), the probe must say so with an actionable reason and the
-    plan must still CONSTRUCT (the same import-everywhere/gate-at-runtime
-    contract as the Delta/Iceberg connectors)."""
+    runner can start — which, since r11's pbcompat shim links the
+    vendored protobuf runtime, it DOES on this container — the per-user
+    totals processor must equal the batch rollup; where the environment
+    genuinely can't run it, the probe must say so with an actionable
+    reason and the plan must still CONSTRUCT (the same
+    import-everywhere/gate-at-runtime contract as the Delta/Iceberg
+    connectors)."""
     from pyspark.sql import functions as F
     from distributed_system_mapreduce_spark.sources.io import load
     from distributed_system_mapreduce_spark.streaming import (
+        configure_tws,
         read_events_stream,
         tws_runtime_available,
         user_totals_tws,
@@ -791,15 +794,25 @@ def test_transform_with_state_totals_or_documented_gate(spark, tmp_path):
 
         pytest.skip(f"transformWithState runtime gated: {reason}")
 
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("t_tws_totals")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # typed state needs the multi-column-family RocksDB provider; scope
+    # the conf to this query and restore the session default after
+    prev_provider = configure_tws(spark)
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        if prev_provider is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev_provider)
     # update-mode memory sink: last emission per user wins
     got = {
         r.user_id: (r.n_events, r.total_value)
