@@ -131,7 +131,9 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r12: sample_weighted_reservoir (E-S weighted sampling, new r7),
     #       compact_file_bins (lakehouse maintenance, new r7),
     #       events_ohlc_daily (hypertable downsample, new r7),
-    #       sim_pq_recall (rows-only PQ quality witness, new r7)
+    #       sim_pq_recall (PQ quality witness, new r7; promoted to a
+    #       hash-checked recall-bound oracle in r11 alongside
+    #       sim_ivfpq_recall)
     #   r13: eval_auc (distributed Mann-Whitney AUC, new r7),
     #       eval_calibration_bins (reliability rollup, new r7),
     #       cdc_merge_upserts (lakehouse MERGE witness, new r7),

@@ -1736,27 +1736,19 @@ def _clear_pq_codes_memo() -> int:
 register_memo_clearer(_clear_pq_codes_memo)
 
 
-@register("sim_pq_recall")
-def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{PQ_TOPK} of product-quantized ADC search against the exact
-    brute-force top-{PQ_TOPK}, averaged over {PQ_QUERIES} query vectors —
-    the engine measures its own compression loss as a first-class query
-    (the honest-ANN pattern of sim_ann_recall / sim_quantized_recall).
+#: recall@{PQ_TOPK} floor the exhaustive-ADC + exact-re-rank path must
+#: hold — the hash-CHECKED quality claim (measured 0.7267 at sf0.01; a
+#: broken codebook, code table, LUT join, or re-rank scores near 0). Same
+#: margin class as IVFPQ_RECALL_FLOOR, sitting above it because the
+#: exhaustive scan never loses candidates to unprobed lists.
+PQ_RECALL_FLOOR = 0.50
 
-    Asymmetric distance computation (ADC): each vector is stored as M
-    one-byte codes; each query precomputes a LUT of <q_m, codeword>
-    partial dots (M·K entries — kilobytes, broadcast), and a candidate's
-    approximate score is the sum of M LUT lookups, expressed as an
-    equi-join of the code table against the broadcast LUT plus a
-    (q_id, vec_id) partial-sum aggregation. Nothing touches the original
-    vectors after encoding — at 100 TB the float embeddings are read ONCE
-    to train/encode, and every subsequent query scans only the 64×-smaller
-    code table. The q×N candidate fan-out here is the exhaustive-ADC
-    baseline; the production composition probes IVF lists first
-    (sim_ann_ivf) and ADC-scores only those candidates.
 
-    Rows-only by design: the codebooks come from iterative Lloyd training
-    (not SQL-expressible); quality is pinned by tests/test_ann_quality.py.
+def _pq_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (n_exact, h) frame for exhaustive-ADC PQ search: ``h`` of
+    the ``n_exact`` exact top-{PQ_TOPK} pairs survive quantization +
+    shortlist + exact re-rank. Shared by the registered bound query and
+    the quality tests (which assert on the raw recall ``h / n_exact``).
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -1808,18 +1800,73 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall denominator = the exact set's true size, not PQ_QUERIES*PQ_TOPK:
     # on a corpus with < PQ_TOPK+1 vectors the literal would silently
     # deflate recall (ADVICE r7)
-    hits = exact.agg(
+    return exact.agg(
         F.count(F.lit(1)).alias("n_exact"),
     ).crossJoin(
         exact.join(approx, ["q_id", "v_id"], "left_semi").agg(
             F.count(F.lit(1)).alias("h")
         )
     )
+
+
+@register(
+    "sim_pq_recall",
+    oracle=f"""
+    with emb as (
+      select vec_id, embedding::DOUBLE[] as e from embeddings),
+    q as (
+      select vec_id as q_id, e as qe from emb
+      where vec_id < {PQ_QUERIES}),
+    exact_scored as (
+      select q_id, v.vec_id as v_id,
+             row_number() over (
+               partition by q_id
+               order by round(list_dot_product(qe, v.e), 4) desc, v.vec_id
+             ) as rn
+      from emb v join q on v.vec_id <> q.q_id)
+    select cast({PQ_M} as int) as m_subspaces,
+           cast({PQ_K} as int) as k_codes,
+           cast({PQ_QUERIES} as int) as n_queries,
+           cast(count(*) as bigint) as n_exact,
+           true as recall_floor_met
+    from exact_scored where rn <= {PQ_TOPK}
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{PQ_TOPK} of product-quantized ADC search against the exact
+    brute-force top-{PQ_TOPK}, averaged over {PQ_QUERIES} query vectors —
+    the engine measures its own compression loss as a first-class query
+    (the honest-ANN pattern of sim_ann_recall / sim_quantized_recall),
+    promoted in r11 from rows-only to the hash-checked quality-bound
+    shape of sim_ivfpq_recall (VERDICT r10 #6): the recall VALUE depends
+    on Lloyd-trained codebooks (no DuckDB twin), but ``n_exact`` is plain
+    SQL and the claim ``recall >= {PQ_RECALL_FLOOR}`` is engine-portable,
+    so the oracle pins ``recall_floor_met = true``. Raw recall stays
+    available through ``_pq_hits``; tests/test_ann_quality.py asserts the
+    tighter measured floor (0.6 at fixture scale).
+
+    Asymmetric distance computation (ADC): each vector is stored as M
+    one-byte codes; each query precomputes a LUT of <q_m, codeword>
+    partial dots (M·K entries — kilobytes, broadcast), and a candidate's
+    approximate score is the sum of M LUT lookups, expressed as an
+    equi-join of the code table against the broadcast LUT plus a
+    (q_id, vec_id) partial-sum aggregation. Nothing touches the original
+    vectors after encoding — at 100 TB the float embeddings are read ONCE
+    to train/encode, and every subsequent query scans only the 64×-smaller
+    code table (tracked + session-memoized: pq_codes). The q×N candidate
+    fan-out here is the exhaustive-ADC baseline; the production
+    composition probes IVF lists first (sim_ann_ivf) and ADC-scores only
+    those candidates.
+    """
+    hits = _pq_hits(spark, sf_dir)
     return hits.select(
         F.lit(PQ_M).alias("m_subspaces"),
         F.lit(PQ_K).alias("k_codes"),
         F.lit(PQ_QUERIES).alias("n_queries"),
-        F.round(F.col("h") / F.col("n_exact"), 4).alias("recall"),
+        F.col("n_exact"),
+        (
+            F.col("h") / F.col("n_exact") >= F.lit(PQ_RECALL_FLOOR)
+        ).alias("recall_floor_met"),
     )
 
 

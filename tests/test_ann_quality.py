@@ -202,15 +202,23 @@ def test_pq_adc_with_rerank_recall(spark):
     """Product quantization + exact re-rank must hold recall@10 >= 0.6 at
     fixture scale (measured ~0.75), and the whole pipeline — Lloyd
     codebooks, code assignment, ADC shortlist, re-rank — must be
-    deterministic across runs."""
+    deterministic across runs. The registered query now emits the
+    hash-checked bound row (r11); raw recall comes from _pq_hits."""
+    from distributed_system_mapreduce_spark.functions.vectors import (
+        PQ_RECALL_FLOOR,
+        _pq_hits,
+    )
     from distributed_system_mapreduce_spark.registry import QUERIES
 
-    a = QUERIES["sim_pq_recall"](spark, SF_DIR).collect()
+    a = _pq_hits(spark, SF_DIR).collect()
     assert len(a) == 1
-    row = a[0]
-    assert 0.6 <= row.recall <= 1.0
-    b = QUERIES["sim_pq_recall"](spark, SF_DIR).collect()
+    recall = a[0].h / a[0].n_exact
+    assert 0.6 <= recall <= 1.0
+    b = _pq_hits(spark, SF_DIR).collect()
     assert a == b
+    row = QUERIES["sim_pq_recall"](spark, SF_DIR).collect()[0]
+    assert row.recall_floor_met == (recall >= PQ_RECALL_FLOOR)
+    assert row.n_exact == a[0].n_exact
 
 
 def test_ivfpq_composed_recall_floor(spark):
