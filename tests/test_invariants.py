@@ -178,6 +178,8 @@ def test_memo_clear_releases_checkpoint_rdds(spark):
         corpus_cc_labels,
     )
 
+    from distributed_system_mapreduce_spark.sources.io import _TABLE_MEMO
+
     cache.clear_tracked_caches()
     jsc = spark.sparkContext._jsc.sc()
     base = jsc.getPersistentRDDs().size()
@@ -186,8 +188,11 @@ def test_memo_clear_releases_checkpoint_rdds(spark):
     assert n_memo >= 1
     assert jsc.getPersistentRDDs().size() > base  # checkpoint blocks pinned
     tracked_before = cache.tracked_count()
+    # the source-frame memo (r11, sources/io.py) clears through the same
+    # registry sweep, so its entries are part of the released count
+    n_tables = len(_TABLE_MEMO)
     released = cache.clear_tracked_caches()
-    assert released == tracked_before + n_memo  # memo entries counted
+    assert released == tracked_before + n_memo + n_tables
     assert not _CC_LABELS_MEMO
     # every RDD this build pinned (tracked frames + memo checkpoints) is
     # out of the JVM registry again — nothing left for ContextCleaner
