@@ -15,9 +15,11 @@ from .dedup import (  # noqa: F401
 )
 from .tws import (  # noqa: F401
     TwsUnavailable,
+    TypeCountsProcessor,
     UserTotalsProcessor,
     configure_tws,
     tws_runtime_available,
+    type_counts_tws,
     user_totals_tws,
 )
 from .joins import (  # noqa: F401

@@ -49,7 +49,13 @@ except Exception as _exc:  # pragma: no cover - Spark-version-specific
     StatefulProcessor = object  # type: ignore[assignment,misc]
     StatefulProcessorHandle = object  # type: ignore[assignment,misc]
     _TWS_IMPORT_ERROR = _exc
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 class TwsUnavailable(RuntimeError):
@@ -177,6 +183,75 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
     ).transformWithStateInPandas(
         statefulProcessor=UserTotalsProcessor(),
         outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+#: output schema of :class:`TypeCountsProcessor`
+TYPE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+class TypeCountsProcessor(StatefulProcessor):
+    """Running per-(user, event_type) event counts on typed MapState — the
+    second state kind the r11-unblocked runtime exercises (ValueState:
+    UserTotalsProcessor). The map key is the event type, the value its
+    running count; each batch folds its per-type increments into the map
+    and emits the updated rows (update semantics), so bounded replay
+    equals the batch ``groupBy(user_id, event_type).count()`` rollup.
+
+    MapState is the right shape here because the per-user key space is
+    data-dependent and sparse: a ValueState would pickle the whole dict
+    per update, a ListState would append unbounded — the map handle
+    updates exactly the touched keys in the state store.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        import pandas as pd
+
+        batch: dict[str, int] = {}
+        for pdf in rows:
+            for et, c in pdf["event_type"].value_counts().items():
+                batch[et] = batch.get(et, 0) + int(c)
+        types, counts = [], []
+        for et in sorted(batch):
+            prev = self._counts.getValue((et,))
+            n = (int(prev[0]) if prev is not None else 0) + batch[et]
+            self._counts.updateValue((et,), (n,))
+            types.append(et)
+            counts.append(n)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(types),
+                "event_type": types,
+                "n_events": counts,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def type_counts_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-(user, event_type) counts via MapState — same runtime
+    contract as :func:`user_totals_tws` (probe first, RocksDB provider via
+    :func:`configure_tws`)."""
+    return events.select("user_id", "event_type").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=TypeCountsProcessor(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
         outputMode="Update",
         timeMode="None",
     )

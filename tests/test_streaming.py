@@ -831,3 +831,58 @@ def test_transform_with_state_totals_or_documented_gate(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_map_state_type_counts(spark, tmp_path):
+    """MapState twin of the totals test: per-(user, event_type) running
+    counts on a typed map handle must equal the batch rollup — exercises
+    the second typed-state kind (sparse data-dependent key space) through
+    the r11-unblocked runtime."""
+    from pyspark.sql import functions as F
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        configure_tws,
+        read_events_stream,
+        tws_runtime_available,
+        type_counts_tws,
+    )
+
+    stream = type_counts_tws(read_events_stream(spark, SF_SMOKE))
+    assert stream.isStreaming
+
+    ok, reason = tws_runtime_available()
+    if not ok:
+        assert "protobuf" in reason
+        import pytest
+
+        pytest.skip(f"transformWithState runtime gated: {reason}")
+
+    prev_provider = configure_tws(spark)
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tws_type_counts")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_map_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        if prev_provider is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev_provider)
+    got = {
+        (r.user_id, r.event_type): r.n_events
+        for r in spark.table("t_tws_type_counts").collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
