@@ -440,3 +440,35 @@ def test_registry_no_unbounded_global_window(name, spark):
 def test_global_window_whitelists_are_not_stale(spark):
     assert _BOUNDED_GLOBAL_WINDOW <= set(_ALL)
     assert _CONSTANT_GROUP_WITNESSES <= set(_ALL)
+
+
+def test_pagerank_rounds_compile_to_broadcast_joins(spark):
+    """r11 (VERDICT r10 #5): below the vertex bound the PageRank loop hints
+    the rank broadcast explicitly, so every round is a BroadcastHashJoin in
+    the STATIC plan — no round waits for AQE to materialize a shuffle
+    before converting, and no SortMergeJoin appears anywhere in the loop."""
+    from distributed_system_mapreduce_spark.operators.graph import PR_ITERS
+
+    plan = explain_str(QUERIES["graph_pagerank"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= PR_ITERS, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_codes_frame_is_memoized_per_session(spark):
+    """r11: the tracked code table must be ONE frame per (session, corpus)
+    — the codebook LocalRelation under it never canonicalizes equal across
+    createDataFrame calls, so without the frame memo every caller persisted
+    and re-materialized its own copy of identical codes."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.functions.vectors import pq_codes
+    from distributed_system_mapreduce_spark.sources.io import load
+
+    def emb():
+        return load(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+
+    a = pq_codes(emb())
+    b = pq_codes(emb())
+    assert a is b  # same tracked DataFrame object, one cache entry
