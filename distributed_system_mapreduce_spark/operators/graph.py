@@ -431,7 +431,7 @@ def backbone_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels as (select src as id, min(dst) as label from reach group by src),
     csizes as (select label, count(*) as component_size from labels
                group by label)
-    select cast(component_size as int) as component_size,
+    select cast(component_size as bigint) as component_size,
            cast(count(*) as bigint) as n_components
     from csizes
     group by component_size
@@ -454,10 +454,13 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability closure the dedup_cluster oracle uses.
     """
     labels = backbone_cc_labels(spark, sf_dir)
+    # component_size stays LONG (ADVICE r10 class): a giant component's
+    # vertex count crosses 2^31 exactly at the scale CC exists for, and an
+    # int cast here would silently wrap the histogram key.
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("component_size"))
-        .groupBy(F.col("component_size").cast("int").alias("component_size"))
+        .groupBy("component_size")
         .agg(F.count(F.lit(1)).alias("n_components"))
         .orderBy("component_size")
     )
