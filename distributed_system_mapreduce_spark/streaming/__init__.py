@@ -14,10 +14,12 @@ from .dedup import (  # noqa: F401
     read_documents_stream,
 )
 from .tws import (  # noqa: F401
+    LastKValuesProcessor,
     TwsUnavailable,
     TypeCountsProcessor,
     UserTotalsProcessor,
     configure_tws,
+    lastk_values_tws,
     tws_runtime_available,
     type_counts_tws,
     user_totals_tws,

@@ -255,3 +255,68 @@ def type_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: how many most-recent events :class:`LastKValuesProcessor` retains.
+LASTK_K = 5
+
+#: output schema of :class:`LastKValuesProcessor`
+LASTK_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("sum_lastk", DoubleType()),
+    ]
+)
+
+
+class LastKValuesProcessor(StatefulProcessor):
+    """Rolling "last {LASTK_K} events per user" window on typed ListState —
+    the third state kind (ValueState: totals, MapState: type counts).
+    Recency is defined by event_id (unique, so the window is deterministic
+    under any batch split); each batch merges its rows into the retained
+    list, truncates to the K largest ids, and emits the kept count and
+    value sum. ListState is the right shape because the retained window is
+    a bounded ORDERED collection: put() replaces it wholesale without
+    re-pickling unrelated keys (MapState) or encoding a list in one value
+    blob (ValueState).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._lastk = handle.getListState(
+            "lastk", "event_id bigint, value double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        import pandas as pd
+
+        kept = list(self._lastk.get()) if self._lastk.exists() else []
+        pairs = {int(eid): float(v) for eid, v in kept}
+        for pdf in rows:
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                pairs[int(eid)] = float(v)
+        top = sorted(pairs, reverse=True)[:LASTK_K]
+        self._lastk.put([(eid, pairs[eid]) for eid in top])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_kept": [len(top)],
+                "sum_lastk": [round(sum(pairs[eid] for eid in top), 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def lastk_values_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user last-{LASTK_K} value sum via ListState — same
+    runtime contract as :func:`user_totals_tws`."""
+    return events.select("user_id", "event_id", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=LastKValuesProcessor(),
+        outputStructType=LASTK_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

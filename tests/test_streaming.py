@@ -886,3 +886,65 @@ def test_transform_with_state_map_state_type_counts(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_list_state_lastk(spark, tmp_path):
+    """ListState twin: per-user last-K (by event_id) value sum must equal
+    the batch row_number window — completes the typed-state coverage
+    (ValueState totals, MapState type counts, ListState bounded window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from distributed_system_mapreduce_spark.sources.io import load
+    from distributed_system_mapreduce_spark.streaming import (
+        configure_tws,
+        lastk_values_tws,
+        read_events_stream,
+        tws_runtime_available,
+    )
+    from distributed_system_mapreduce_spark.streaming.tws import LASTK_K
+
+    stream = lastk_values_tws(read_events_stream(spark, SF_SMOKE))
+    assert stream.isStreaming
+
+    ok, reason = tws_runtime_available()
+    if not ok:
+        assert "protobuf" in reason
+        import pytest
+
+        pytest.skip(f"transformWithState runtime gated: {reason}")
+
+    prev_provider = configure_tws(spark)
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tws_lastk")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_list_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        if prev_provider is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev_provider)
+    got = {
+        r.user_id: (r.n_kept, r.sum_lastk)
+        for r in spark.table("t_tws_lastk").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in load(spark, SF_SMOKE, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LASTK_K)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
