@@ -203,20 +203,17 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_union")  # rows-only: sketch binary is engine-specific
-def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch distinct counting: one HLL (Apache DataSketches)
-    sketch of user_id per event type, then the per-type SKETCHES — not the
-    raw rows — union into the global estimate.
+#: relative-error bound the merged DataSketches HLL estimates must hold vs
+#: exact distinct counts — same margin class as APPROX_DISTINCT_MAX_REL_ERR
+#: (lgk=12 default gives ~1.6% rsd; a broken merge or estimate is off by
+#: far more, and the sf0.01 fixture's 150 users sit in exact mode: 0 err).
+HLL_UNION_MAX_REL_ERR = 0.05
 
-    This is the 100 TB pattern agg_approx_distinct's monolithic HLL++ can't
-    show: sketches are associative state, so shards/days/partitions each
-    keep their own and any rollup (per type, per day, global) is a cheap
-    sketch merge with NO second pass over the data. DuckDB has no
-    wire-compatible HLL, so the query is rows-only; outputs are pinned in
-    tests/test_parity.py (DataSketches estimates are deterministic for
-    fixed input sets).
-    """
+
+def _hll_union_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, approx_users) per type plus the '__all__' row whose
+    estimate comes from merging the per-type SKETCHES, never re-reading
+    rows. Shared by the registered bound query and the determinism test."""
     ev = load(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -231,6 +228,58 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return per_est.unionAll(merged)
+
+
+@register(
+    "agg_hll_union",
+    oracle="""
+    select event_type,
+           cast(count(distinct user_id) as bigint) as exact_users,
+           true as within_bound
+    from events
+    group by event_type
+    union all
+    select '__all__' as event_type,
+           cast(count(distinct user_id) as bigint) as exact_users,
+           true as within_bound
+    from events
+    """,
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: one HLL (Apache DataSketches)
+    sketch of user_id per event type, then the per-type SKETCHES — not the
+    raw rows — union into the global estimate.
+
+    This is the 100 TB pattern agg_approx_distinct's monolithic HLL++ can't
+    show: sketches are associative state, so shards/days/partitions each
+    keep their own and any rollup (per type, per day, global) is a cheap
+    sketch merge with NO second pass over the data. Promoted in r11 from
+    rows-only to the hash-checked quality-bound shape (the
+    agg_approx_error split): DuckDB has no wire-compatible HLL, but the
+    exact counts are plain SQL and the claim "every estimate — including
+    the merged one — lands within {HLL_UNION_MAX_REL_ERR:.0%} of exact" is
+    engine-portable, so a broken sketch, merge, or estimate
+    hash-mismatches. Raw estimates stay pinned via
+    ``_hll_union_estimates`` in tests/test_parity.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    ).unionAll(
+        ev.agg(F.count_distinct("user_id").alias("n")).select(
+            F.lit("__all__").alias("event_type"),
+            F.col("n").alias("exact_users"),
+        )
+    )
+    return _hll_union_estimates(spark, sf_dir).join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(HLL_UNION_MAX_REL_ERR)
+        ).alias("within_bound"),
+    )
 
 
 #: columns profiled by table_profile — fixed list so the plan is static.
@@ -299,18 +348,17 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_sketch_error")  # rows-only: sketch is engine-specific
-def agg_percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine measures its own percentile sketch: exact interpolated
-    p50/p99 vs approx_percentile (Greenwald-Khanna at accuracy 1000) per
-    event type, with the absolute error — the measured quality bound that
-    justifies swapping agg_percentiles' exact per-group sort for the
-    mergeable one-pass sketch at 100 TB (same pattern as sim_ann_recall
-    for ANN and sim_quantized_recall for int8).
+#: relative-error bound the GK percentile sketch (accuracy 1000) must hold
+#: vs the exact interpolated quantiles — measured 1.6% worst (p99, sf0.01);
+#: 5% is the usual regenerated-fixture margin, a broken sketch is off by
+#: far more.
+PCTL_SKETCH_MAX_REL_ERR = 0.05
 
-    Rows-only: no DuckDB twin of Spark's sketch exists; the output is
-    deterministic for a fixed input set and pinned in tests/test_parity.py.
-    """
+
+def _percentile_sketch_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact p50/p99, sketch p50/p99, and absolute errors —
+    shared by the registered bound query and the pinned determinism
+    test."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -337,6 +385,44 @@ def agg_percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p99_abs_err"
             ),
         )
+    )
+
+
+@register(
+    "agg_percentile_sketch_error",
+    oracle="""
+    select event_type,
+           round(quantile_cont(value, 0.5), 4) as p50_exact,
+           round(quantile_cont(value, 0.99), 4) as p99_exact,
+           true as within_bound
+    from events
+    group by event_type
+    """,
+)
+def agg_percentile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine measures its own percentile sketch: exact interpolated
+    p50/p99 vs approx_percentile (Greenwald-Khanna at accuracy 1000) per
+    event type — the measured quality bound that justifies swapping
+    agg_percentiles' exact per-group sort for the mergeable one-pass
+    sketch at 100 TB (same pattern as sim_ann_recall for ANN and
+    sim_quantized_recall for int8).
+
+    Promoted in r11 from rows-only to the hash-checked quality-bound
+    shape: no DuckDB twin of Spark's sketch exists, but the exact
+    interpolated quantiles are `quantile_cont` (parity proven by
+    agg_percentiles since r2) and the claim "both sketch quantiles land
+    within {PCTL_SKETCH_MAX_REL_ERR:.0%} of exact" is engine-portable —
+    the oracle pins ``within_bound = true`` per type. Raw sketch values
+    and errors stay pinned via ``_percentile_sketch_errors`` in
+    tests/test_parity.py.
+    """
+    err = _percentile_sketch_errors(spark, sf_dir)
+    rel_ok = (
+        (F.col("p50_abs_err") / F.abs(F.col("p50_exact")) <= PCTL_SKETCH_MAX_REL_ERR)
+        & (F.col("p99_abs_err") / F.abs(F.col("p99_exact")) <= PCTL_SKETCH_MAX_REL_ERR)
+    )
+    return err.select(
+        "event_type", "p50_exact", "p99_exact", rel_ok.alias("within_bound")
     )
 
 

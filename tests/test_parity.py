@@ -50,27 +50,11 @@ ROWS_ONLY_EXPECTED = {
     # produced 30 candidates for the same 25 dups, its correlated-minima
     # false positives (MINHASH_N_PERMS note in operators/dedup.py)
     "dedup_near_minhash": [(500, 25, 25)],
-    # DataSketches HLL estimates are deterministic per input set; 150
-    # distinct users at sf0.01 is below the sketch's exact-mode cutoff, so
-    # per-type and merged estimates are all exactly 150
-    "agg_hll_union": [
-        ("__all__", 150), ("click", 150), ("error", 150),
-        ("purchase", 150), ("signup", 150), ("view", 150),
-    ],
     "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
     # k-core of the support>=2 backbone: the peel's fixpoint is
     # order-invariant, so (k, core nodes, core edges, rounds) is exact
     "graph_kcore": [(2, 1562, 3315, 4)],
     "graph_kcore_k3": [(3, 1055, 2346, 9)],
-    # Greenwald-Khanna sketch outputs are deterministic per input set;
-    # (type, p50_exact, p50_approx, p50_err, p99_exact, p99_approx, p99_err)
-    "agg_percentile_sketch_error": [
-        ("click", 35.31, 35.23, 0.08, 221.9675, 219.76, 2.2075),
-        ("error", 34.39, 34.24, 0.15, 236.0178, 232.27, 3.7478),
-        ("purchase", 33.95, 33.73, 0.22, 222.036, 220.13, 1.906),
-        ("signup", 35.92, 35.85, 0.07, 233.0392, 230.3, 2.7392),
-        ("view", 33.835, 33.71, 0.125, 209.8429, 209.23, 0.6129),
-    ],
     # 64-bit codes (4 x 16-bit blocks): near-orthogonal hashes make d<=3
     # collisions rare — the discriminative regime the 16-bit query lacks
     "dedup_simhash64": [(500, 17)],  # (n_docs, n_close_pairs)
@@ -100,6 +84,55 @@ ROWS_ONLY_EXPECTED = {
 def test_rows_only_pinned_values(name, spark):
     got = sorted(tuple(r) for r in QUERIES[name](spark, SF_DIR).collect())
     assert got == ROWS_ONLY_EXPECTED[name]
+
+
+# r11 sketch-bound promotions: agg_hll_union and agg_percentile_sketch_error
+# now emit hash-checked bound rows (exact values + within_bound, oracled);
+# the RAW sketch outputs keep the exact-pin contract here through the
+# shared internal builders, so a sketch regression still surfaces even
+# though the registered queries no longer expose the estimates.
+def _hll_raw(spark):
+    from distributed_system_mapreduce_spark.operators.aggregations import (
+        _hll_union_estimates,
+    )
+
+    return _hll_union_estimates(spark, SF_DIR)
+
+
+def _pctl_raw(spark):
+    from distributed_system_mapreduce_spark.operators.aggregations import (
+        _percentile_sketch_errors,
+    )
+
+    return _percentile_sketch_errors(spark, SF_DIR)
+
+
+BUILDER_PINNED = {
+    # DataSketches HLL estimates are deterministic per input set; 150
+    # distinct users at sf0.01 is below the sketch's exact-mode cutoff, so
+    # per-type and merged estimates are all exactly 150
+    _hll_raw: [
+        ("__all__", 150.0), ("click", 150.0), ("error", 150.0),
+        ("purchase", 150.0), ("signup", 150.0), ("view", 150.0),
+    ],
+    # Greenwald-Khanna sketch outputs are deterministic per input set;
+    # (type, p50_exact, p50_approx, p50_err, p99_exact, p99_approx, p99_err)
+    _pctl_raw: [
+        ("click", 35.31, 35.23, 0.08, 221.9675, 219.76, 2.2075),
+        ("error", 34.39, 34.24, 0.15, 236.0178, 232.27, 3.7478),
+        ("purchase", 33.95, 33.73, 0.22, 222.036, 220.13, 1.906),
+        ("signup", 35.92, 35.85, 0.07, 233.0392, 230.3, 2.7392),
+        ("view", 33.835, 33.71, 0.125, 209.8429, 209.23, 0.6129),
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "builder", sorted(BUILDER_PINNED, key=lambda f: f.__name__)
+)
+def test_promoted_sketch_raw_outputs_pinned(builder, spark):
+    got = sorted(tuple(r) for r in builder(spark).collect())
+    assert got == BUILDER_PINNED[builder]
 
 
 def test_every_oracle_has_query():
