@@ -753,28 +753,95 @@ def _kcore_summary(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
 
 
-@register("graph_kcore")  # rows-only: iterative peel has no SQL fixpoint
+#: unroll depth of the k-core ORACLE (not the Spark loop, which runs to
+#: its data-dependent fixpoint under KCORE_MAX_ROUNDS): the sf0.01 peels
+#: converge in 4 (k=2) / 9 (k=3) rounds; 16 leaves regeneration margin,
+#: and a fixture needing more fails LOUDLY (the oracle's n_rounds goes
+#: NULL -> hash mismatch), never silently.
+KCORE_ORACLE_UNROLL = 16
+
+
+def _kcore_oracle(k: int, unroll: int = KCORE_ORACLE_UNROLL) -> str:
+    """Unrolled peel as chained CTEs (the PageRank-oracle technique,
+    promoted in r11 — DuckDB's recursive CTEs are fixpoint-only with no
+    per-iteration aggregation, but a FIXED unroll expresses the peel
+    exactly): e0 = the symmetric support>={BACKBONE_SUPPORT} backbone,
+    e_i = e_{{i-1}} restricted to endpoints with surviving degree >= k,
+    and n_rounds = the first i whose edge count matches round i-1 — the
+    identical termination rule as kcore_peel's convergence scalar."""
+    rounds = []
+    for i in range(1, unroll + 1):
+        prev = f"e{i - 1}"
+        # MATERIALIZED is load-bearing: each round references its
+        # predecessor three times (degree rollup + two endpoint joins),
+        # so default CTE inlining re-expands the whole chain per
+        # reference — exponential plan growth that exhausts file handles
+        # on the base scan before round 16.
+        rounds.append(
+            f"""
+    a{i} as materialized (
+      select src from {prev} group by src having count(*) >= {k}),
+    e{i} as materialized (
+      select e.src, e.dst from {prev} e
+      join a{i} u on e.src = u.src
+      join a{i} v on e.dst = v.src)"""
+        )
+    counts = "\n      union all ".join(
+        f"select {i} as i, (select count(*) from e{i}) as c"
+        for i in range(unroll + 1)
+    )
+    return f"""
+    with
+    co as materialized (
+      select a.l_partkey as src, b.l_partkey as dst
+      from lineitem a
+      join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by all
+      having count(*) >= {BACKBONE_SUPPORT}),
+    e0 as materialized (
+      select src, dst from co
+      union all
+      select dst as src, src as dst from co),{",".join(rounds)},
+    counts as (
+      {counts}),
+    fix as (
+      select min(cur.i) as n_rounds
+      from counts cur join counts prv on prv.i = cur.i - 1
+      where cur.c = prv.c)
+    select cast({k} as int) as k,
+           cast((select count(distinct src) from e{unroll}) as bigint)
+             as n_core_nodes,
+           cast((select count(*) from e{unroll}) // 2 as bigint)
+             as n_core_edges,
+           cast((select n_rounds from fix) as int) as n_rounds
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle(KCORE_K))
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k={KCORE_K} on the backbone): repeatedly peel
     vertices of degree < k until none remain — the density-filter workload
     (community cores, spam-cluster seeds) whose "recompute degrees after
-    deletion" loop no single SQL query expresses, making it the graph twin
-    of the connected-components driver loop. The 2-core strips pendant
-    trees and leaves the cyclic skeleton. DuckDB has no terminating-
-    fixpoint recursion with aggregation, so the query is rows-only; the
-    sf0.01 output is pinned in tests/test_parity.py.
+    deletion" loop is a driver loop on the Spark side, making it the graph
+    twin of the connected-components fixpoint. The 2-core strips pendant
+    trees and leaves the cyclic skeleton. Promoted in r11 from rows-only
+    to a full hash-checked oracle: the peel UNROLLS into chained CTEs
+    (see _kcore_oracle — the PageRank-oracle technique), with n_rounds
+    derived from the same first-unchanged-count rule the Spark loop uses.
     """
     return _kcore_summary(spark, sf_dir, KCORE_K)
 
 
-@register("graph_kcore_k3")  # rows-only: iterative peel has no SQL fixpoint
+@register("graph_kcore_k3", oracle=_kcore_oracle(3))
 def graph_kcore_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the backbone — one peel step denser than graph_kcore's
     cyclic skeleton: vertices must keep >= 3 surviving neighbors, which
     additionally dissolves isolated cycles and exposes the clique-ish
-    community cores. Same peel (kcore_peel), different k; pinned rows-only
-    like its k=2 sibling, and property-tested against a brute-force
-    reference peel on random graphs in tests/test_property.py.
+    community cores. Same peel (kcore_peel), different k; same r11
+    unrolled-CTE oracle promotion as its k=2 sibling, and property-tested
+    against a brute-force reference peel on random graphs in
+    tests/test_property.py.
     """
     return _kcore_summary(spark, sf_dir, 3)
 

@@ -52,7 +52,9 @@ ROWS_ONLY_EXPECTED = {
     "dedup_near_minhash": [(500, 25, 25)],
     "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
     # k-core of the support>=2 backbone: the peel's fixpoint is
-    # order-invariant, so (k, core nodes, core edges, rounds) is exact
+    # order-invariant, so (k, core nodes, core edges, rounds) is exact.
+    # (Oracled since r11 via the unrolled-CTE oracle; the exact pin stays
+    # as a second, independent witness of the fixpoint.)
     "graph_kcore": [(2, 1562, 3315, 4)],
     "graph_kcore_k3": [(3, 1055, 2346, 9)],
     # 64-bit codes (4 x 16-bit blocks): near-orthogonal hashes make d<=3
