@@ -169,6 +169,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
     #    by events_series_topk's dense grid.)
+    #   (r11 note: graph_kcore/graph_kcore_k3, agg_hll_union and
+    #    agg_percentile_sketch_error gained full/bound oracles this round —
+    #    strong swap-in candidates for any later slot whose family is
+    #    already driver-covered by then; graph_kcore would be the graph
+    #    family's first hash-checked driver row.)
     "join_bloom_pruned",
     "layout_zorder_cluster",
     "part_skyline_brand",
