@@ -124,12 +124,13 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       new r7), orders_rfm_segments (segmentation family, re-planned
     #       through chunked_ntile in r9), events_transition_matrix
     #       (Markov family) — all four driver-green in CORRECTNESS_r10.
-    #   r11 (active): join_bloom_pruned (runtime-filter family, new r7),
+    #   r11: join_bloom_pruned (runtime-filter family, new r7),
     #       layout_zorder_cluster (data-layout family, new r7),
     #       part_skyline_brand (skyline family, new r7),
     #       pipeline_epoch_shuffle (training-order family, new r7)
-    #   r12: sample_weighted_reservoir (E-S weighted sampling, new r7),
-    #       compact_file_bins (lakehouse maintenance, new r7),
+    #       — all four driver-green in CORRECTNESS_r11.
+    #   r12 (active): sample_weighted_reservoir (E-S weighted sampling,
+    #       new r7), compact_file_bins (lakehouse maintenance, new r7),
     #       events_ohlc_daily (hypertable downsample, new r7),
     #       sim_pq_recall (PQ quality witness, new r7; promoted to a
     #       hash-checked recall-bound oracle in r11 alongside
@@ -174,10 +175,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    strong swap-in candidates for any later slot whose family is
     #    already driver-covered by then; graph_kcore would be the graph
     #    family's first hash-checked driver row.)
-    "join_bloom_pruned",
-    "layout_zorder_cluster",
-    "part_skyline_brand",
-    "pipeline_epoch_shuffle",
+    "sample_weighted_reservoir",
+    "compact_file_bins",
+    "events_ohlc_daily",
+    "sim_pq_recall",
 )
 
 

@@ -43,6 +43,13 @@ _VENDORED_PROTOBUF_DIRS = (
 
 _RESULT: tuple[bool, str] | None = None
 
+#: shim dir prepended to sys.path/PYTHONPATH when the vendored runtime is
+#: in use, else None. Callers (streaming/tws.py's probe) use it to verify a
+#: SparkSession's JVM actually inherited the shim — a session created
+#: before :func:`ensure_protobuf` ran froze its env without it, and its
+#: state-protocol Python workers would die despite a green driver import.
+SHIM_DIR: str | None = None
+
 
 def _import_ok() -> bool:
     try:
@@ -65,10 +72,34 @@ def ensure_protobuf() -> tuple[bool, str]:
         if not os.path.isdir(src):
             continue
         try:
-            shim = os.path.join(tempfile.gettempdir(), "dsmr_pbshim")
+            # Per-user, mode-0700 shim dir (ADVICE r11: a fixed path in the
+            # shared system temp dir lets another user pre-create the
+            # dir/symlink and inject code into the driver and every
+            # JVM-spawned worker; it also silently reuses stale links).
+            shim = os.path.join(
+                tempfile.gettempdir(), f"dsmr_pbshim_{os.getuid()}"
+            )
+            os.makedirs(shim, mode=0o700, exist_ok=True)
+            st = os.lstat(shim)
+            if st.st_uid != os.getuid() or os.path.islink(shim):
+                _RESULT = (
+                    False,
+                    f"protobuf shim dir {shim} not owned by current user",
+                )
+                return _RESULT
+            os.chmod(shim, 0o700)
             gdir = os.path.join(shim, "google")
             os.makedirs(gdir, exist_ok=True)
             link = os.path.join(gdir, "protobuf")
+            # Recreate the link unless it already points exactly at src —
+            # a stale link to a moved/removed SDK must never be reused.
+            if os.path.lexists(link):
+                try:
+                    current = os.readlink(link)
+                except OSError:
+                    current = None
+                if current != src:
+                    os.unlink(link)
             if not os.path.lexists(link):
                 os.symlink(src, link)
             if shim not in sys.path:
@@ -92,6 +123,8 @@ def ensure_protobuf() -> tuple[bool, str]:
             _RESULT = (False, f"protobuf shim setup failed: {exc}")
             return _RESULT
         if _import_ok():
+            global SHIM_DIR
+            SHIM_DIR = shim
             _RESULT = (True, f"vendored protobuf runtime linked from {src}")
             return _RESULT
         _RESULT = (False, f"vendored protobuf at {src} did not import")

@@ -71,11 +71,28 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 #: holds exactly this in its catalog (a metastore table's schema +
 #: snapshot), so the memo is the honest steady state: DataFrames are
 #: immutable and every caller composes fresh transforms on the shared
-#: leaf, so lineage/caching semantics are unchanged. Keyed per session;
-#: cleared through the cache registry with the other session memos.
-#: (Fixture paths are written once and never mutated mid-session — the
-#: file-listing snapshot inside the frame cannot go stale.)
+#: leaf, so lineage/caching semantics are unchanged. Keyed per session
+#: AND per a cheap path fingerprint (mtime_ns + size, ADVICE r11): a
+#: harness that regenerates fixture files into the same sf_dir mid-session
+#: bumps the path's mtime, which changes the key and forces a re-list
+#: instead of silently serving the stale file-listing snapshot. Cleared
+#: through the cache registry with the other session memos.
 _TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """(mtime_ns, size) of ``path`` — local-filesystem staleness guard for
+    the table memo. A rewrite into the same directory (new/replaced part
+    files) bumps the directory mtime; a single-file rewrite bumps both
+    fields. Non-local paths (s3://, hdfs://) stat-fail and fall back to a
+    constant — memo-forever, matching a catalog's snapshot pinning."""
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("unstattable",)
 
 
 def _clear_table_memo() -> int:
@@ -98,16 +115,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = table_path(sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        _path_fingerprint(path),
+    )
     df = _TABLE_MEMO.get(key)
     if df is not None:
         return df
     if name == "events":
         # harmless when ts is already µs; required to read NANOS fixtures
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
+        df = normalize_events_ts(spark.read.parquet(path))
     else:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
     _TABLE_MEMO[key] = df
     return df
 

@@ -86,13 +86,43 @@ def tws_runtime_available() -> tuple[bool, str]:
         # runs protobuf's gencode/runtime version validation, which a bare
         # google.protobuf import would not exercise
         from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
-
-        return True, f"ok ({_PB_DETAIL})"
     except Exception as exc:  # pragma: no cover - env-specific
         return False, (
             "google.protobuf imports but the state-protocol messages do "
             f"not load: {exc}"
         )
+    # Driver imports alone are not sufficient when the vendored shim is in
+    # use (ADVICE r11): the state-protocol Python WORKERS are spawned by
+    # the JVM with the PYTHONPATH the JVM inherited at startup. A session
+    # created before pbcompat ran froze its env without the shim, and its
+    # workers die at the first batch despite green driver-side imports —
+    # so verify the active session's JVM env actually carries it.
+    from .. import pbcompat
+
+    if pbcompat.SHIM_DIR is not None:
+        import os
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            try:
+                jvm_pp = (
+                    spark._jvm.java.lang.System.getenv("PYTHONPATH") or ""
+                )
+            except Exception:
+                jvm_pp = None  # no py4j gateway (connect mode): can't check
+            if jvm_pp is not None and pbcompat.SHIM_DIR not in jvm_pp.split(
+                os.pathsep
+            ):
+                return False, (
+                    "the active SparkSession's JVM started before the "
+                    "protobuf shim was on PYTHONPATH, so its state-protocol "
+                    "Python workers cannot import google.protobuf; stop the "
+                    "session and create it AFTER importing this package "
+                    "(session.get_spark does this in the right order)"
+                )
+    return True, f"ok ({_PB_DETAIL})"
 
 
 #: transformWithState keeps several typed-state column families per
@@ -217,19 +247,28 @@ class TypeCountsProcessor(StatefulProcessor):
             "type_counts", "event_type string", "n bigint"
         )
 
+    #: MapState keys cannot be NULL, but the batch twin's groupBy keeps a
+    #: null event_type group — store nulls under a sentinel the data can't
+    #: contain (NUL prefix) and translate back to None on emission, so the
+    #: batch-equality contract holds on fixtures with null types
+    #: (ADVICE r11: plain value_counts() silently dropped them).
+    _NULL_KEY = "\x00<null>"
+
     def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
         import pandas as pd
 
         batch: dict[str, int] = {}
         for pdf in rows:
-            for et, c in pdf["event_type"].value_counts().items():
-                batch[et] = batch.get(et, 0) + int(c)
+            vc = pdf["event_type"].value_counts(dropna=False)
+            for et, c in vc.items():
+                k = self._NULL_KEY if pd.isna(et) else str(et)
+                batch[k] = batch.get(k, 0) + int(c)
         types, counts = [], []
         for et in sorted(batch):
             prev = self._counts.getValue((et,))
             n = (int(prev[0]) if prev is not None else 0) + batch[et]
             self._counts.updateValue((et,), (n,))
-            types.append(et)
+            types.append(None if et == self._NULL_KEY else et)
             counts.append(n)
         yield pd.DataFrame(
             {
