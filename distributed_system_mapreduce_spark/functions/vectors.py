@@ -983,40 +983,26 @@ def gram_matrix(emb: DataFrame) -> "tuple[list[list[float]], int]":
     return g, n
 
 
-@register("embed_pca_top_component")  # rows-only: iterative, no SQL twin
-def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding table — the spectral summary
-    an embedding-space QA step computes (detecting collapsed/anisotropic
-    spaces before indexing).
+def _pca_power_summary(spark: SparkSession, sf_dir: str):
+    """Driver-local power-iteration eigensolve over the one-pass Gram
+    matrix (:func:`gram_matrix`) — the shared core of
+    ``embed_pca_top_component``. Returns
+    ``(n, dim, lam, top_dim, top_weight, trace, vnorm2)`` where ``lam`` is
+    the Rayleigh eigenvalue of (1/n)·Σ xxᵀ, ``trace`` the quantized Gram
+    trace, and ``vnorm2`` the squared norm of the final iterate.
 
-    Distributed part: ONE pass building the Gram matrix (see
-    :func:`gram_matrix`). The power-iteration eigensolve then runs
-    driver-local on the 64×64 matrix — looping over a dim² table is driver
-    work, not cluster work, at any corpus size.
-
-    Determinism: the Gram entries are quantized to ``PCA_QUANT_DP`` decimals
-    before the eigensolve (float summation-order noise across batches is
-    ~1e-12 relative, far below the quantum), and the iteration itself is
-    pure driver arithmetic — so the output is pinned in tests like the
-    other rows-only queries. Iterative linear algebra is not
-    SQL-expressible, hence no oracle (like the connected-components loop).
-    Output: corpus size, iterations, Rayleigh eigenvalue of (1/n)·Σ xxᵀ,
-    and the dominant dimension of the component (argmax |v_j|).
-    """
+    Determinism: the Gram entries are quantized to ``PCA_QUANT_DP``
+    decimals before the eigensolve (float summation-order noise across
+    batches is ~1e-12 relative, far below the quantum), and the iteration
+    itself is pure driver arithmetic — so the raw spectral summary is
+    pinned exactly in tests/test_parity.py (``_pca_raw``)."""
     import math
 
     emb = load(spark, sf_dir, "embeddings")
     g, n = gram_matrix(emb)
     dim = len(g)
     if dim == 0:
-        # empty embedding table: gram_matrix derives dim from the data, so
-        # there is no component to extract — return the zero summary row
-        # instead of dividing by sqrt(0) (ADVICE r3)
-        return spark.createDataFrame(
-            [(0, 0, 0.0, -1, 0.0)],
-            "n_vecs bigint, n_iters int, eigenvalue double, "
-            "top_dim int, top_weight double",
-        )
+        return 0, 0, 0.0, -1, 0.0, 0.0, 1.0
     g = [[round(x, PCA_QUANT_DP) for x in row] for row in g]
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(PCA_ITERS):
@@ -1027,10 +1013,75 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         v[j] * sum(g[j][k] * v[k] for k in range(dim)) for j in range(dim)
     ) / n
     top_dim = max(range(dim), key=lambda j: abs(v[j]))
+    trace = sum(g[j][j] for j in range(dim))
+    vnorm2 = sum(x * x for x in v)
+    return n, dim, lam, top_dim, abs(v[top_dim]), trace, vnorm2
+
+
+def pca_power_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw spectral summary (n_vecs, n_iters, eigenvalue, top_dim,
+    top_weight) — the pre-r12 shape of ``embed_pca_top_component``, kept
+    as the exact-pin witness in tests/test_parity.py (the registered query
+    now emits the oracled bound row instead, VERDICT r11 #2)."""
+    n, dim, lam, top_dim, top_w, _, _ = _pca_power_summary(spark, sf_dir)
     return spark.createDataFrame(
-        [(n, PCA_ITERS, round(lam, 4), top_dim, round(abs(v[top_dim]), 3))],
+        [(n, PCA_ITERS if dim else 0, round(lam, 4), top_dim,
+          round(top_w, 3))],
         "n_vecs bigint, n_iters int, eigenvalue double, "
         "top_dim int, top_weight double",
+    )
+
+
+@register(
+    "embed_pca_top_component",
+    oracle="""
+    select cast(count(*) as bigint) as n_vecs,
+           cast(coalesce(max(len(embedding)), 0) as int) as dim,
+           round(coalesce(sum(list_sum(list_transform(
+               embedding, x -> cast(x as double) * cast(x as double)
+           ))), 0) / greatest(count(*), 1), 2) as total_var,
+           true as var_floor_ok,
+           true as var_ceil_ok,
+           true as unit_norm_ok
+    from embeddings
+    """,
+)
+def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table — the spectral summary
+    an embedding-space QA step computes (detecting collapsed/anisotropic
+    spaces before indexing).
+
+    Distributed part: ONE pass building the Gram matrix (see
+    :func:`gram_matrix`). The power-iteration eigensolve then runs
+    driver-local on the 64×64 matrix — looping over a dim² table is driver
+    work, not cluster work, at any corpus size.
+
+    Promoted in r12 from rows-only to the hash-checked quality-bound shape
+    (VERDICT r11 #2, the HLL/CMS/PQ split): the eigensolve itself has no
+    SQL twin, but the total variance trace(G)/n IS plain SQL (sum of
+    squared components over n), and the claims that pin the solve are
+    engine-portable mathematical invariants of the top eigenvalue of a PSD
+    matrix —
+
+    - ``var_floor_ok``: λ ≥ total_var/dim (the top eigenvalue dominates
+      the eigenvalue mean; a diverged/misconverged iterate violates it),
+    - ``var_ceil_ok``: λ ≤ total_var (any Rayleigh quotient is bounded by
+      the trace; a Gram assembly bug that double-counts rows violates it),
+    - ``unit_norm_ok``: |‖v‖² − 1| ≤ 1e-9 (normalization residual).
+
+    A broken Gram pass, eigensolve, or normalization hash-mismatches. The
+    raw spectral summary (eigenvalue, top_dim, top_weight) stays pinned
+    exactly via :func:`pca_power_frame` in tests/test_parity.py.
+    """
+    n, dim, lam, _, _, trace, vnorm2 = _pca_power_summary(spark, sf_dir)
+    total_var = trace / n if n else 0.0
+    floor_ok = (lam >= total_var / dim - 1e-9) if dim else True
+    ceil_ok = lam <= total_var + 1e-9
+    unit_ok = abs(vnorm2 - 1.0) <= 1e-9
+    return spark.createDataFrame(
+        [(n, dim, round(total_var, 2), floor_ok, ceil_ok, unit_ok)],
+        "n_vecs bigint, dim int, total_var double, var_floor_ok boolean, "
+        "var_ceil_ok boolean, unit_norm_ok boolean",
     )
 
 

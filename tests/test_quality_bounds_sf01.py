@@ -20,39 +20,47 @@ from distributed_system_mapreduce_spark.registry import QUERIES
 
 SF_BENCH = "/root/testdata/sf0.1"
 
-#: query -> boolean column carrying the oracled quality claim
+#: query -> boolean column(s) carrying the oracled quality claim
 BOUND_QUERIES = {
-    "agg_approx_error": "within_bound",
-    "agg_cms_heavy_hitters": "within_bound",
-    "agg_hll_union": "within_bound",
-    "agg_percentile_sketch_error": "within_bound",
-    "dedup_minhash_est_error": "within_bound",
-    "sim_pq_recall": "recall_floor_met",
-    "sim_ivfpq_recall": "recall_floor_met",
+    "agg_approx_error": ("within_bound",),
+    "agg_cms_heavy_hitters": ("within_bound",),
+    "agg_hll_union": ("within_bound",),
+    "agg_percentile_sketch_error": ("within_bound",),
+    "dedup_minhash_est_error": ("within_bound",),
+    "sim_pq_recall": ("recall_floor_met",),
+    "sim_ivfpq_recall": ("recall_floor_met",),
+    "embed_pca_top_component": (
+        "var_floor_ok", "var_ceil_ok", "unit_norm_ok",
+    ),
 }
+
+#: oracle-SQL substrings that mark a query as bound-carrying; any oracled
+#: query matching one must appear in BOUND_QUERIES (completeness check).
+BOUND_MARKERS = ("within_bound", "recall_floor_met", "_ok")
 
 
 @pytest.mark.parametrize("name", sorted(BOUND_QUERIES))
 def test_quality_bound_holds_at_bench_scale(name, spark):
-    col = BOUND_QUERIES[name]
+    cols = BOUND_QUERIES[name]
     rows = QUERIES[name](spark, SF_BENCH).collect()
     assert rows, f"{name} returned no rows at sf0.1"
-    bad = [tuple(r) for r in rows if not r[col]]
-    assert not bad, (
-        f"{name}: {col} is FALSE at sf0.1 for {bad} — quality regression "
-        "or under-margined bound"
-    )
+    for col in cols:
+        bad = [tuple(r) for r in rows if not r[col]]
+        assert not bad, (
+            f"{name}: {col} is FALSE at sf0.1 for {bad} — quality "
+            "regression or under-margined bound"
+        )
 
 
 def test_bound_query_list_is_complete():
-    """Any oracled query emitting a within_bound/recall_floor_met column
-    must be in BOUND_QUERIES, so new promotions inherit the sf0.1 check."""
+    """Any oracled query emitting a bound-marker column must be in
+    BOUND_QUERIES, so new promotions inherit the sf0.1 check."""
     from distributed_system_mapreduce_spark.registry import ORACLES
 
     flagged = {
         name
         for name, sql in ORACLES.items()
-        if "within_bound" in sql or "recall_floor_met" in sql
+        if any(m in sql for m in BOUND_MARKERS)
     }
     assert flagged == set(BOUND_QUERIES), (
         f"bound queries drifted: missing {flagged - set(BOUND_QUERIES)}, "
