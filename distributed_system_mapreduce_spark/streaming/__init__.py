@@ -15,14 +15,18 @@ from .dedup import (  # noqa: F401
 )
 from .tws import (  # noqa: F401
     LastKValuesProcessor,
+    SessionTimeoutProcessor,
     TwsUnavailable,
     TypeCountsProcessor,
     UserTotalsProcessor,
+    UserTotalsTtlProcessor,
     configure_tws,
     lastk_values_tws,
+    session_timeout_tws,
     tws_runtime_available,
     type_counts_tws,
     user_totals_tws,
+    user_totals_ttl_tws,
 )
 from .joins import (  # noqa: F401
     asof_attribution_stream,

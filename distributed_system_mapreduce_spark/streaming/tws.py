@@ -359,3 +359,185 @@ def lastk_values_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: inactivity gap closing a session — same 30 minutes as the batch
+#: ``window_session`` (operators/timewin.py) and its session_window twin.
+SESSION_GAP_MS = 30 * 60 * 1000
+
+#: output schema of :class:`SessionTimeoutProcessor` (closed sessions)
+SESSION_TIMEOUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Per-user inactivity sessionization driven by EVENT-TIME TIMERS — the
+    registerTimer surface (VERDICT r11 #3) and the transformWithState twin
+    of ``window_session`` / ``session_window``.
+
+    State per key is one open session (start_ms, last_ms, n) in ValueState.
+    Each batch folds its rows in event-time order: a row more than
+    ``SESSION_GAP_MS`` past the open session's last event CLOSES that
+    session inline (emitted, append semantics) and starts a new one;
+    otherwise it extends the session. After folding, the previous timer is
+    dropped and ONE timer is registered at ``last_ms + SESSION_GAP_MS`` —
+    when the watermark passes it with no intervening activity,
+    :meth:`handleExpiredTimer` emits the session and clears the state, the
+    timeout path no batch can take (there is no later row to observe the
+    gap against). Exactly one live timer per key at any time, so timer
+    state is O(active users) like the session state itself.
+
+    The gap comparison is strict ``>`` — an exactly-30-minute pause stays
+    in-session — matching the batch twin's ``gap_us > 30min`` flag.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+    def _emit(self, key, start_ms, last_ms, n):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start_ms": [start_ms],
+                "session_end_ms": [last_ms],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        start = last = n = None
+        if self._sess.exists():
+            prev = self._sess.get()
+            start, last, n = int(prev[0]), int(prev[1]), int(prev[2])
+        ts_ms: list[int] = []
+        for pdf in rows:
+            # event-time millis; pandas Timestamp -> ns since epoch
+            ts_ms.extend(
+                int(t.value // 1_000_000) for t in pdf["ts"]
+            )
+        if not ts_ms:
+            return
+        for t in sorted(ts_ms):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > SESSION_GAP_MS:
+                yield self._emit(key, start, last, n)
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        # one live timer per key: re-arm at the (possibly new) deadline.
+        # (materialize before deleting — the timer listing is a paged
+        # iterator over the same state server connection)
+        for old in list(self._handle.listTimers()):
+            self._handle.deleteTimer(old)
+        self._sess.update((start, last, n))
+        self._handle.registerTimer(last + SESSION_GAP_MS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
+        if self._sess.exists():
+            prev = self._sess.get()
+            start, last, n = int(prev[0]), int(prev[1]), int(prev[2])
+            # the timer was re-armed on every extension, so expiry means
+            # the gap really elapsed — close and clear
+            if expiredTimerInfo.getExpiryTimeInMs() >= last + SESSION_GAP_MS:
+                yield self._emit(key, start, last, n)
+                self._sess.clear()
+
+    def close(self) -> None:
+        pass
+
+
+def session_timeout_tws(
+    events: DataFrame, delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming timer-closed sessions via ``transformWithStateInPandas``
+    in EventTime mode — requires a watermark on ``ts`` (drives both late-row
+    admission and timer expiry). Same runtime contract as
+    :func:`user_totals_tws` (probe first, RocksDB provider)."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionTimeoutProcessor(),
+            outputStructType=SESSION_TIMEOUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+class UserTotalsTtlProcessor(StatefulProcessor):
+    """:class:`UserTotalsProcessor` with a state TTL — the composable
+    typed-state expiry surface (VERDICT r11 #3). The ONLY difference is
+    ``ttlDurationMs`` on the ValueState handle: a key's totals vanish
+    ``ttl_ms`` of processing time after their last update, so an idle
+    user's counters restart from zero instead of accreting forever — the
+    state-size bound you'd run with at 100 TB where the key space never
+    stops growing. With a TTL comfortably above the run's duration the
+    output is bit-identical to the un-TTL'd processor (pinned in tests);
+    with a tiny TTL each batch sees the previous batch's state already
+    evicted (also pinned).
+    """
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "totals", _STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        import pandas as pd
+
+        n, s = 0, 0.0
+        if self._state.exists():
+            prev = self._state.get()
+            n, s = int(prev[0]), float(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(s, 2)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_ttl_tws(events: DataFrame, ttl_ms: int) -> DataFrame:
+    """Streaming per-user running totals whose state expires ``ttl_ms``
+    after last update (processing-time TTL needs a time mode — TTL is the
+    only clock user here). Same runtime contract as
+    :func:`user_totals_tws`."""
+    return events.select("user_id", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=UserTotalsTtlProcessor(ttl_ms),
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
