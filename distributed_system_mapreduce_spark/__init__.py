@@ -175,6 +175,12 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    strong swap-in candidates for any later slot whose family is
     #    already driver-covered by then; graph_kcore would be the graph
     #    family's first hash-checked driver row.)
+    #   (r12 note: embed_pca_top_component (variance/eigenvalue bound
+    #    oracle, VERDICT r11 #2) and the new dedup_simhash_block_quality
+    #    (pigeonhole-recall + precision-floor oracle, VERDICT r11 #6)
+    #    joined the oracled pool — queue the simhash quality row for the
+    #    first slot freed after r13 so the bit-block LSH family gets a
+    #    driver-verified quality floor like MinHash's.)
     "sample_weighted_reservoir",
     "compact_file_bins",
     "events_ohlc_daily",

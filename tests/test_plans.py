@@ -218,6 +218,7 @@ _SCALAR_COMBINE_BNLJ = {
     "dedup_near_minhash",
     "dedup_simhash",
     "dedup_simhash64",
+    "dedup_simhash_block_quality",
     "events_gap_fill",
     "events_inactivity_churn",
     "events_rolling_dau",

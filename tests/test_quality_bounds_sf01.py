@@ -32,11 +32,14 @@ BOUND_QUERIES = {
     "embed_pca_top_component": (
         "var_floor_ok", "var_ceil_ok", "unit_norm_ok",
     ),
+    "dedup_simhash_block_quality": (
+        "lsh_matches_exact", "precision_floor_met",
+    ),
 }
 
 #: oracle-SQL substrings that mark a query as bound-carrying; any oracled
 #: query matching one must appear in BOUND_QUERIES (completeness check).
-BOUND_MARKERS = ("within_bound", "recall_floor_met", "_ok")
+BOUND_MARKERS = ("within_bound", "_met", "_ok")
 
 
 @pytest.mark.parametrize("name", sorted(BOUND_QUERIES))
