@@ -196,25 +196,49 @@ class UserTotalsProcessor(StatefulProcessor):
             }
         )
 
+    def handleInitialState(self, key, initialState, timerValues):  # noqa: ANN001
+        # warm-start from a batch rollup (the initialState bootstrap, r12):
+        # called once per key in the FIRST batch, before any input rows —
+        # seeding the ValueState makes a takeover of an existing batch
+        # table seamless (totals continue, not restart)
+        self._state.update(
+            (
+                int(initialState["n_events"].iloc[0]),
+                float(initialState["total_value"].iloc[0]),
+            )
+        )
+
     def close(self) -> None:
         pass
 
 
-def user_totals_tws(events: DataFrame) -> DataFrame:
+def user_totals_tws(
+    events: DataFrame, initial: DataFrame | None = None
+) -> DataFrame:
     """Streaming per-user running totals via ``transformWithStateInPandas``.
 
     Plan construction always works (the gate is a RUNTIME property of the
     Python runner); call :func:`tws_runtime_available` before starting the
     query, or let the stream raise and map the crash back through
     :class:`TwsUnavailable`.
+
+    ``initial`` (optional): a batch frame (user_id, n_events, total_value)
+    — an existing rollup the stream takes over from. Routed through the
+    initialState bootstrap, folded into each key's ValueState by
+    ``handleInitialState`` before the first input row.
     """
-    return events.select("user_id", "value").groupBy(
-        "user_id"
-    ).transformWithStateInPandas(
+    grouped = events.select("user_id", "value").groupBy("user_id")
+    kwargs = {}
+    if initial is not None:
+        kwargs["initialState"] = initial.select(
+            "user_id", "n_events", "total_value"
+        ).groupBy("user_id")
+    return grouped.transformWithStateInPandas(
         statefulProcessor=UserTotalsProcessor(),
         outputStructType=USER_TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+        **kwargs,
     )
 
 

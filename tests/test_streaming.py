@@ -1165,3 +1165,83 @@ def test_transform_with_state_ttl_keeps_then_expires(spark, tmp_path):
         .collect()
     }
     assert got_short == want_short
+
+
+def test_transform_with_state_initial_state_bootstrap(spark, tmp_path):
+    """initialState bootstrap (the last transformWithState surface after
+    r11 ValueState/MapState/ListState and r12 timers/TTL): a stream seeded
+    with a batch rollup of EARLIER data must continue that rollup — final
+    totals equal the batch rollup of (seed data + streamed data) — and a
+    user present only in the seed must keep the seeded totals untouched."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+    from distributed_system_mapreduce_spark.streaming import (
+        configure_tws,
+        tws_runtime_available,
+        user_totals_tws,
+    )
+
+    ok, reason = tws_runtime_available()
+    if not ok:
+        assert "protobuf" in reason
+        import pytest
+
+        pytest.skip(f"transformWithState runtime gated: {reason}")
+
+    src = str(tmp_path / "boot_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "user_id long, value double, ts timestamp"
+    base = dt.datetime(2026, 1, 1)
+
+    seed_rows = [(1, 10.0, base), (1, 2.5, base), (9, 5.0, base)]
+    stream_rows = [(1, 4.0, base), (2, 3.0, base)]
+    spark.createDataFrame(stream_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    seed = (
+        spark.createDataFrame(seed_rows, schema)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    stream = user_totals_tws(
+        spark.readStream.schema(schema).parquet(src), initial=seed
+    )
+    assert stream.isStreaming
+
+    prev_provider = configure_tws(spark)
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tws_boot")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_boot_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        if prev_provider is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev_provider)
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("t_tws_boot").collect()
+    }
+    # user 1: seeded (2, 12.5) + streamed 4.0 -> (3, 16.5)
+    # user 2: stream-only -> (1, 3.0)
+    # user 9: seed-only -> update-mode emissions only happen for keys with
+    #   input rows, so 9 appears in the sink ONLY if the runtime emitted it
+    #   during bootstrap — either way its state must not leak into others
+    want_streamed = {1: (3, 16.5), 2: (1, 3.0)}
+    for uid, totals in want_streamed.items():
+        assert got[uid] == totals, (uid, got)
+    assert set(got) <= {1, 2, 9}
