@@ -117,3 +117,27 @@ def test_read_json_skip_bad_quarantines_corrupt_rows(spark, tmp_path):
     assert bad.count() == 2  # parse failure + type clash, both captured
     assert all(r["_corrupt_record"] for r in bad.collect())
     df.unpersist()
+
+
+def test_table_memo_invalidates_on_fixture_rewrite(spark, tmp_path):
+    """ADVICE r11: the per-session table memo must not serve a stale
+    file-listing snapshot after a harness regenerates fixture files into
+    the same sf_dir — the memo key carries a path fingerprint
+    (mtime_ns, size), so a rewrite forces a re-list."""
+    import time
+
+    from distributed_system_mapreduce_spark.sources.io import load
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "AFRICA", "x")], "r_regionkey long, r_name string, r_comment string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/region.parquet")
+    first = load(spark, sf_dir, "region")
+    assert first.count() == 1
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns on the rewrite
+    spark.createDataFrame(
+        [(0, "AFRICA", "x"), (1, "AMERICA", "y")],
+        "r_regionkey long, r_name string, r_comment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/region.parquet")
+    assert load(spark, sf_dir, "region").count() == 2

@@ -34,3 +34,51 @@ def test_tws_runtime_available_here(spark):
 
     ok, reason = tws_runtime_available()
     assert ok, reason
+
+
+def test_shim_dir_is_per_user_and_stale_links_are_repaired(tmp_path):
+    """ADVICE r11: the shim dir must be per-user (mode 0700, ownership
+    checked) and a pre-existing symlink pointing anywhere but the vendored
+    source must be recreated, never silently reused. Runs in a clean
+    subprocess (the in-process result is memoized and the shim already
+    sits on sys.path here)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    shim = os.path.join(
+        tempfile.gettempdir(), f"dsmr_pbshim_{os.getuid()}"
+    )
+    gdir = os.path.join(shim, "google")
+    link = os.path.join(gdir, "protobuf")
+    os.makedirs(gdir, exist_ok=True)
+    # plant a stale link (simulates a moved/removed SDK or tampering)
+    stale_target = str(tmp_path / "nowhere")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(stale_target, link)
+
+    code = (
+        "import os\n"
+        "from distributed_system_mapreduce_spark.pbcompat import "
+        "ensure_protobuf, _VENDORED_PROTOBUF_DIRS\n"
+        "ok, detail = ensure_protobuf()\n"
+        f"link = {link!r}\n"
+        "assert ok, detail\n"
+        "assert os.readlink(link) in _VENDORED_PROTOBUF_DIRS, "
+        "os.readlink(link)\n"
+        "st = os.stat(os.path.dirname(os.path.dirname(link)))\n"
+        "assert st.st_uid == os.getuid()\n"
+        "assert (st.st_mode & 0o077) == 0, oct(st.st_mode)\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = "/root/repo"
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stderr
