@@ -1007,6 +1007,90 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("aa"), F.asc("src"), F.asc("dst")).limit(20)
 
 
+#: neighbor cap of the degree-capped Adamic-Adar variant — per-vertex
+#: wedge work is bounded at C(CAP, 2) regardless of hub size.
+ADAMIC_ADAR_NEIGHBOR_CAP = 16
+
+
+@register(
+    "graph_adamic_adar_capped",
+    oracle=f"""
+    with {_PAIRS_SQL},
+    capped as (
+      select src, dst from (
+        select src, dst,
+               row_number() over (partition by src order by dst) as rn
+        from edges) t
+      where rn <= {ADAMIC_ADAR_NEIGHBOR_CAP}),
+    wedge as (
+      select a.src as w, a.dst as u, b.dst as v
+      from capped a join capped b on a.src = b.src and a.dst < b.dst)
+    select wg.u as src, wg.v as dst,
+           cast(count(*) as bigint) as n_common,
+           round(sum(1.0 / ln(d.deg)), 4) as aa
+    from wedge wg
+    join pairs p on p.src = wg.u and p.dst = wg.v
+    join deg d on d.id = wg.w
+    group by wg.u, wg.v
+    order by aa desc, src, dst
+    limit 20
+    """,
+)
+def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped Adamic-Adar — the documented 100 TB scale path for
+    the wedge-enumeration pair (VERDICT r11 #5: the x16 probe shows the
+    exact variant's local slope reaching ~1.1 past x8, i.e. its
+    output-proportional triangle term turning linear; this variant BOUNDS
+    per-vertex wedge work at C({ADAMIC_ADAR_NEIGHBOR_CAP}, 2) so total
+    work is O(V·cap²) — corpus-linear with a constant, hub-immune).
+
+    Each wedge center keeps only its {ADAMIC_ADAR_NEIGHBOR_CAP} lowest-id
+    neighbors (deterministic and SQL-mirrorable; a production ranking
+    would keep the strongest-support neighbors instead — same plan, one
+    orderBy key swap). Wedge pairs are generated MAP-SIDE from the capped
+    sorted adjacency array (nested higher-order transform over slice — no
+    self-join, no explode-then-join), then scored against the real edge
+    set and the FULL degree table exactly like :func:`graph_adamic_adar`.
+    Capping loses wedges through hub centers (their 17th+ neighbors), so
+    scores are a lower bound of the exact query's — the standard
+    truncated-adjacency trade every production link-prediction pipeline
+    makes.
+    """
+    cap = ADAMIC_ADAR_NEIGHBOR_CAP
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    capped = _symmetric(pairs).groupBy("src").agg(
+        F.slice(F.sort_array(F.collect_list("dst")), 1, cap).alias("nbrs")
+    )
+    wedges = capped.select(
+        F.col("src").alias("w"),
+        F.explode(
+            F.expr(
+                "flatten(transform(nbrs, (x, i) -> "
+                f"transform(slice(nbrs, i + 2, {cap}), "
+                "y -> named_struct('u', x, 'v', y))))"
+            )
+        ).alias("p"),
+    ).select("w", "p.u", "p.v")
+    d_w = deg.select(F.col("id").alias("w"), F.col("deg").alias("deg_w"))
+    return (
+        wedges.join(
+            pairs.select(
+                F.col("src").alias("u"), F.col("dst").alias("v")
+            ),
+            ["u", "v"],
+        )
+        .join(d_w, "w")
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("deg_w"))), 4).alias("aa"),
+        )
+        .orderBy(F.desc("aa"), F.asc("src"), F.asc("dst"))
+        .limit(20)
+    )
+
+
 @register(
     "graph_degree_gini",
     oracle=f"""
