@@ -729,6 +729,14 @@ def kcore_peel(
         eager=False
     )
     edges.count()  # materialize generation 0
+    # (r12 note: a size-guarded AQE bypass around this loop was measured
+    # and REJECTED — isolated peel timings improved ~30%, but the full
+    # registered query ran 1.5-1.8x SLOWER under the scope: with adaptive
+    # planning off, the alive-list semi-joins plan statically against the
+    # checkpoint's unknown size estimate and demote to full-width
+    # sort-merge joins, costing more than AQE's per-stage barrier saves.
+    # AQE stays on; the round's real win was dropping the redundant
+    # per-round repartition, see kcore_round.)
     rounds = 0
     for _ in range(max_rounds):
         nxt = kcore_round(edges, k, loop_parts).localCheckpoint(eager=False)
