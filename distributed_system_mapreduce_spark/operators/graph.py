@@ -1064,8 +1064,17 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated-adjacency trade every production link-prediction pipeline
     makes.
     """
-    cap = ADAMIC_ADAR_NEIGHBOR_CAP
-    pairs = copurchase_pairs(spark, sf_dir)
+    return adamic_adar_capped_scores(
+        copurchase_pairs(spark, sf_dir), ADAMIC_ADAR_NEIGHBOR_CAP
+    ).orderBy(F.desc("aa"), F.asc("src"), F.asc("dst")).limit(20)
+
+
+def adamic_adar_capped_scores(pairs: DataFrame, cap: int) -> DataFrame:
+    """(src, dst, n_common, aa) for every edge of ``pairs`` scored over the
+    ``cap``-lowest-id-neighbors adjacency — ``graph_adamic_adar_capped``'s
+    scoring stage before the top-20, exposed so the randomized property
+    test can pit it against a plain-Python reference on arbitrary graphs
+    (the kcore_peel testing pattern)."""
     deg = _degrees(pairs)
     capped = _symmetric(pairs).groupBy("src").agg(
         F.slice(F.sort_array(F.collect_list("dst")), 1, cap).alias("nbrs")
@@ -1094,8 +1103,6 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_common"),
             F.round(F.sum(1.0 / F.log(F.col("deg_w"))), 4).alias("aa"),
         )
-        .orderBy(F.desc("aa"), F.asc("src"), F.asc("dst"))
-        .limit(20)
     )
 
 

@@ -325,3 +325,55 @@ def test_mmr_greedy_degenerate_pools(n_cand, k, rels, drop_pairs):
         best_rel = max(rel.values())
         expect_first = min(v for v, r in rel.items() if r == best_rel)
         assert ids[0] == expect_first
+
+
+def _py_adamic_adar_capped(
+    edges: list[tuple[int, int]], cap: int
+) -> dict[tuple[int, int], tuple[int, float]]:
+    """Reference: for each edge (u, v), count centers w whose cap-lowest-id
+    neighbor list contains both u and v; weight by 1/ln(full degree of w)."""
+    import math
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    capped = {v: sorted(ns)[:cap] for v, ns in adj.items()}
+    out: dict[tuple[int, int], tuple[int, float]] = {}
+    for w, nbrs in capped.items():
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                u, v = nbrs[i], nbrs[j]
+                if v in adj.get(u, ()):  # only real edges are scored
+                    n, s = out.get((u, v), (0, 0.0))
+                    out[(u, v)] = (n + 1, s + 1.0 / math.log(len(adj[w])))
+    return {k: (n, round(s, 4)) for k, (n, s) in out.items()}
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    cap=st.integers(2, 5),
+)
+def test_adamic_adar_capped_matches_brute_force(spark, edges, cap):
+    """The map-side wedge generation over the capped sorted adjacency ==
+    a plain adjacency-dict reference on random graphs, for any cap — the
+    capped neighbor choice (lowest ids) is deterministic, so (n_common,
+    aa) must agree exactly per scored edge."""
+    from distributed_system_mapreduce_spark.operators.graph import (
+        adamic_adar_capped_scores,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    pairs = spark.createDataFrame(canon, "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): (r["n_common"], r["aa"])
+        for r in adamic_adar_capped_scores(pairs, cap).collect()
+    }
+    assert got == _py_adamic_adar_capped(canon, cap), (canon, cap)
