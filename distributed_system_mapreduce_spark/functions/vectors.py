@@ -1004,6 +1004,14 @@ def _pca_power_summary(spark: SparkSession, sf_dir: str):
     if dim == 0:
         return 0, 0, 0.0, -1, 0.0, 0.0, 1.0
     g = [[round(x, PCA_QUANT_DP) for x in row] for row in g]
+    if not any(any(row) for row in g):
+        # all-zero quantized Gram (all-zero vectors, or every entry under
+        # the quantum): the power iterate would collapse to the zero
+        # vector through the zero-norm guard and flunk the unit-norm
+        # invariant on valid degenerate input — there is no component to
+        # extract, so report the zero spectrum with a unit sentinel norm
+        # (same contract as the empty-table branch).
+        return n, dim, 0.0, -1, 0.0, 0.0, 1.0
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(PCA_ITERS):
         w = [sum(g[j][k] * v[k] for k in range(dim)) for j in range(dim)]

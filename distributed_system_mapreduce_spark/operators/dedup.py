@@ -813,6 +813,43 @@ def _simhash_pack_sql(bits: int) -> str:
     """
 
 
+def _simhash_block_entries(bits: int, n_blocks: int) -> list:
+    """Per-block (block_id, block_val) struct columns over a ``simhash``
+    column — ONE definition of the bit-block extraction shared by the
+    production LSH (:func:`simhash_close_pairs`) and its quality audit
+    (:func:`simhash_block_quality`), so a future change to the blocking
+    scheme cannot leave the audit silently checking the old one."""
+    bpb = bits // n_blocks
+    return [
+        F.struct(
+            F.lit(k).alias("block_id"),
+            F.shiftright(F.col("simhash"), k * bpb)
+            .bitwiseAND(F.lit((1 << bpb) - 1))
+            .alias("block_val"),
+        )
+        for k in range(n_blocks)
+    ]
+
+
+def _simhash_first_zero_block(xor, bits: int, n_blocks: int):
+    """Index of the FIRST block where two codes agree (given their xor) —
+    the map-side count-each-pair-once filter, shared by production and
+    audit (see :func:`_simhash_block_entries`)."""
+    bpb = bits // n_blocks
+    return F.coalesce(
+        *[
+            F.when(
+                F.shiftright(xor, k * bpb).bitwiseAND(
+                    F.lit((1 << bpb) - 1)
+                )
+                == 0,
+                F.lit(k),
+            )
+            for k in range(n_blocks)
+        ]
+    )
+
+
 def simhash_close_pairs(
     docs: DataFrame,
     bits: int = SIMHASH_BITS,
@@ -865,18 +902,11 @@ def simhash_close_pairs(
         ).alias("p")
     )
 
-    bits_per_block = bits // n_blocks
-    block_entries = [
-        F.struct(
-            F.lit(k).alias("block_id"),
-            F.shiftright(F.col("simhash"), k * bits_per_block)
-            .bitwiseAND(F.lit((1 << bits_per_block) - 1))
-            .alias("block_val"),
-        )
-        for k in range(n_blocks)
-    ]
     blocked = vals.select(
-        "simhash", "c", F.explode(F.array(*block_entries)).alias("b")
+        "simhash", "c",
+        F.explode(F.array(*_simhash_block_entries(bits, n_blocks))).alias(
+            "b"
+        ),
     ).select("simhash", "c", "b.block_id", "b.block_val")
     a = blocked.alias("a")
     b = blocked.alias("b")
@@ -885,18 +915,7 @@ def simhash_close_pairs(
     # pair is counted only at its FIRST agreeing block — a map-side filter
     # on the xor of the two codes, so the join output never re-shuffles.
     xor = F.col("u").bitwiseXOR(F.col("v"))
-    first_zero_block = F.coalesce(
-        *[
-            F.when(
-                F.shiftright(xor, k * bits_per_block).bitwiseAND(
-                    F.lit((1 << bits_per_block) - 1)
-                )
-                == 0,
-                F.lit(k),
-            )
-            for k in range(n_blocks)
-        ]
-    )
+    first_zero_block = _simhash_first_zero_block(xor, bits, n_blocks)
     cross = (
         a.join(
             b,
@@ -970,7 +989,6 @@ def simhash_block_quality(
         .orderBy("simhash")
         .limit(cap)
     )
-    bpb = bits // n_blocks
     a, b = vals.alias("a"), vals.alias("b")
     xor_ab = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     exact = (
@@ -982,32 +1000,15 @@ def simhash_block_quality(
             ).alias("exact_pairs")
         )
     )
-    block_entries = [
-        F.struct(
-            F.lit(k).alias("block_id"),
-            F.shiftright(F.col("simhash"), k * bpb)
-            .bitwiseAND(F.lit((1 << bpb) - 1))
-            .alias("block_val"),
-        )
-        for k in range(n_blocks)
-    ]
     blocked = vals.select(
-        "simhash", "c", F.explode(F.array(*block_entries)).alias("bk")
+        "simhash", "c",
+        F.explode(F.array(*_simhash_block_entries(bits, n_blocks))).alias(
+            "bk"
+        ),
     ).select("simhash", "c", "bk.block_id", "bk.block_val")
     aa, bb = blocked.alias("a"), blocked.alias("b")
     xor_uv = F.col("u").bitwiseXOR(F.col("v"))
-    first_zero = F.coalesce(
-        *[
-            F.when(
-                F.shiftright(xor_uv, k * bpb).bitwiseAND(
-                    F.lit((1 << bpb) - 1)
-                )
-                == 0,
-                F.lit(k),
-            )
-            for k in range(n_blocks)
-        ]
-    )
+    first_zero = _simhash_first_zero_block(xor_uv, bits, n_blocks)
     is_close = F.bit_count(xor_uv.cast("bigint")) <= max_dist
     candver = (
         aa.join(

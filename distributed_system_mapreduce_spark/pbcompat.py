@@ -93,15 +93,28 @@ def ensure_protobuf() -> tuple[bool, str]:
             link = os.path.join(gdir, "protobuf")
             # Recreate the link unless it already points exactly at src —
             # a stale link to a moved/removed SDK must never be reused.
+            # The repair is ATOMIC (temp-name symlink + os.replace) so two
+            # same-user processes racing on the shared shim dir can't
+            # observe a half-repaired state or memoize a spurious failure
+            # from each other's unlink/symlink interleaving.
             if os.path.lexists(link):
                 try:
                     current = os.readlink(link)
                 except OSError:
                     current = None
                 if current != src:
-                    os.unlink(link)
-            if not os.path.lexists(link):
-                os.symlink(src, link)
+                    tmp = link + f".tmp{os.getpid()}"
+                    try:
+                        os.symlink(src, tmp)
+                        os.replace(tmp, link)
+                    finally:
+                        if os.path.lexists(tmp):
+                            os.unlink(tmp)
+            else:
+                try:
+                    os.symlink(src, link)
+                except FileExistsError:
+                    pass  # concurrent creator won; target verified below
             if shim not in sys.path:
                 sys.path.insert(0, shim)
             # JVM-spawned Python workers resolve imports from PYTHONPATH —

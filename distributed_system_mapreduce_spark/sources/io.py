@@ -71,13 +71,15 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 #: holds exactly this in its catalog (a metastore table's schema +
 #: snapshot), so the memo is the honest steady state: DataFrames are
 #: immutable and every caller composes fresh transforms on the shared
-#: leaf, so lineage/caching semantics are unchanged. Keyed per session
-#: AND per a cheap path fingerprint (mtime_ns + size, ADVICE r11): a
+#: leaf, so lineage/caching semantics are unchanged. Keyed per (session,
+#: sf_dir, table); each entry stores (path fingerprint, frame) where the
+#: fingerprint is (mtime_ns, size) of the table path (ADVICE r11): a
 #: harness that regenerates fixture files into the same sf_dir mid-session
-#: bumps the path's mtime, which changes the key and forces a re-list
-#: instead of silently serving the stale file-listing snapshot. Cleared
-#: through the cache registry with the other session memos.
-_TABLE_MEMO: dict[tuple, DataFrame] = {}
+#: bumps the mtime, the fingerprint mismatches, and the entry is REPLACED
+#: (re-listing the files) instead of silently serving the stale snapshot —
+#: and superseded snapshots are evicted, not accumulated. Cleared through
+#: the cache registry with the other session memos.
+_TABLE_MEMO: dict[tuple, tuple] = {}
 
 
 def _path_fingerprint(path: str) -> tuple:
@@ -116,22 +118,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = table_path(sf_dir, name)
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        name,
-        _path_fingerprint(path),
-    )
-    df = _TABLE_MEMO.get(key)
-    if df is not None:
-        return df
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    fp = _path_fingerprint(path)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None and memo[0] == fp:
+        return memo[1]
+    # fingerprint changed (fixture rewritten in place): REPLACE the entry
+    # rather than keying on the fingerprint, so superseded snapshots are
+    # evicted instead of accumulating one dead DataFrame per rewrite.
     if name == "events":
         # harmless when ts is already µs; required to read NANOS fixtures
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = normalize_events_ts(spark.read.parquet(path))
     else:
         df = spark.read.parquet(path)
-    _TABLE_MEMO[key] = df
+    _TABLE_MEMO[key] = (fp, df)
     return df
 
 

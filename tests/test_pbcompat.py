@@ -73,7 +73,9 @@ def test_shim_dir_is_per_user_and_stale_links_are_repaired(tmp_path):
         "assert (st.st_mode & 0o077) == 0, oct(st.st_mode)\n"
     )
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env["PYTHONPATH"] = "/root/repo"
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     res = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
