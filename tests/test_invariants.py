@@ -819,3 +819,68 @@ def test_corpus_length_histogram_covers_docs(spark):
     assert sum(r.n_docs for r in rows) == docs.filter(F.col("n_chars") > 0).count()
     total = docs.agg(F.sum("n_chars")).collect()[0][0]
     assert sum(r.total_chars for r in rows) == total
+
+
+def test_capped_wedge_scores_dominated_by_exact(spark):
+    """The capped variants are lower bounds of the exact wedge queries by
+    construction: a capped wedge center contributes ONLY if both endpoints
+    sit among its cap lowest-id neighbors, i.e. capped centers ⊆ all
+    common neighbors — so per edge, capped n_common <= exact n_common and
+    capped aa <= exact aa (+ rounding quantum). Run over every scored
+    edge at sf0.01, not just the top-20s."""
+    from distributed_system_mapreduce_spark.operators.graph import (
+        ADAMIC_ADAR_NEIGHBOR_CAP,
+        _degrees,
+        _oriented_with_adj,
+        adamic_adar_capped_scores,
+        copurchase_pairs,
+    )
+
+    pairs = copurchase_pairs(spark, SF_DIR)
+    capped = {
+        (r.src, r.dst): (r.n_common, r.aa)
+        for r in adamic_adar_capped_scores(
+            pairs, ADAMIC_ADAR_NEIGHBOR_CAP
+        ).collect()
+    }
+    # exact per-edge (n_common, aa) — the graph_adamic_adar rollup before
+    # its top-20: triangle instances from the oriented intersection, each
+    # crediting its THREE id-canonical edges with the opposite vertex
+    # (an instance's base (u, v) is the degree-oriented edge, so grouping
+    # by it alone undercounts the other two edges of the triangle)
+    deg = _degrees(pairs)
+    inst = _oriented_with_adj(pairs, deg).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+    )
+    edge = lambda a, b, o: F.struct(  # noqa: E731
+        F.least(a, b).alias("src"),
+        F.greatest(a, b).alias("dst"),
+        o.alias("other"),
+    )
+    credits = inst.select(
+        F.explode(
+            F.array(
+                edge(F.col("u"), F.col("v"), F.col("w")),
+                edge(F.col("u"), F.col("w"), F.col("v")),
+                edge(F.col("v"), F.col("w"), F.col("u")),
+            )
+        ).alias("c")
+    ).select("c.src", "c.dst", "c.other")
+    d_w = deg.select(F.col("id").alias("other"), F.col("deg").alias("deg_w"))
+    exact = {
+        (r.src, r.dst): (r.n, r.aa)
+        for r in credits.join(d_w, "other")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(1.0 / F.log(F.col("deg_w"))), 4).alias("aa"),
+        )
+        .collect()
+    }
+    assert capped, "no capped-scored edges at sf0.01"
+    for edge, (n_c, aa_c) in capped.items():
+        n_e, aa_e = exact[edge]  # every capped edge must exist exactly
+        assert n_c <= n_e, (edge, n_c, n_e)
+        assert aa_c <= aa_e + 1e-4, (edge, aa_c, aa_e)
