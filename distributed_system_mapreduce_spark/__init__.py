@@ -129,43 +129,50 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       part_skyline_brand (skyline family, new r7),
     #       pipeline_epoch_shuffle (training-order family, new r7)
     #       — all four driver-green in CORRECTNESS_r11.
-    #   r12 (active): sample_weighted_reservoir (E-S weighted sampling,
+    #   r12: sample_weighted_reservoir (E-S weighted sampling,
     #       new r7), compact_file_bins (lakehouse maintenance, new r7),
     #       events_ohlc_daily (hypertable downsample, new r7),
     #       sim_pq_recall (PQ quality witness, new r7; promoted to a
     #       hash-checked recall-bound oracle in r11 alongside
-    #       sim_ivfpq_recall)
-    #   r13: eval_auc (distributed Mann-Whitney AUC, new r7),
-    #       eval_calibration_bins (reliability rollup, new r7),
-    #       cdc_merge_upserts (lakehouse MERGE witness, new r7),
+    #       sim_ivfpq_recall) — all four driver-green in CORRECTNESS_r12.
+    #   r13 (active, per VERDICT r12 #1): embed_pca_top_component
+    #       (variance/eigenvalue bound oracle, r12 promotion),
+    #       dedup_simhash_block_quality (pigeonhole-recall +
+    #       precision-floor oracle, new r12), graph_adamic_adar_capped and
+    #       graph_common_neighbors_capped (capped-wedge 100TB path, new
+    #       r12, hash-oracled top-20 parity) — every r12 deliverable gets
+    #       a hard driver row.
+    #   r14 (requeued from old r13): eval_auc (distributed Mann-Whitney
+    #       AUC, new r7), eval_calibration_bins (reliability rollup,
+    #       new r7), cdc_merge_upserts (lakehouse MERGE witness, new r7),
     #       events_seasonal_index (dow seasonality, new r7)
-    #   r14: eval_ndcg_at_k (retrieval ranking eval, new r7),
+    #   r15: eval_ndcg_at_k (retrieval ranking eval, new r7),
     #       mv_incremental_refresh (algebraic MV merge, new r7),
     #       graph_bfs_hops (single-plan bounded traversal, new r7),
     #       text_bpe_merge_step (tokenizer-training step, new r7)
-    #   r15: eval_confusion_centroid (prototype-classifier eval, new r7),
+    #   r16: eval_confusion_centroid (prototype-classifier eval, new r7),
     #       join_interval_overlap (range-join family, banked locally
     #       since r2), orders_abc_pareto (running-share window family),
     #       eval_pr_auc (average precision, new r8)
-    #   r16: sim_ivf_nprobe_sweep (IVF quality/cost curve, new r8),
+    #   r17: sim_ivf_nprobe_sweep (IVF quality/cost curve, new r8),
     #       corpus_ngram_overlap (memorization-risk audit, new r8),
     #       pipeline_curriculum_order (schedule manifest, new r8),
     #       orders_ship_latency (date-math percentiles, new r8)
-    #   r17: join_asof_tolerance (tolerance as-of, new r8),
+    #   r18: join_asof_tolerance (tolerance as-of, new r8),
     #       orders_repeat_purchase_curve (retention curve, new r8),
     #       events_inactivity_churn (lifecycle segments, new r8),
     #       sim_ivfpq_recall (composed-ANN witness, new r8; promoted to a
     #       hash-checked recall-bound oracle in r11 per VERDICT r10 #6)
-    #   r18: graph_adamic_adar (link-prediction family, new r9),
+    #   r19: graph_adamic_adar (link-prediction family, new r9),
     #       eval_f1_macro (class-balanced eval, new r9),
     #       agg_weighted_median (chunked-scan threshold crossing, new r9),
     #       cdc_scd2_history (change-compressed SCD2, new r9)
-    #   r19: events_burstiness (decimal moment sums, new r9),
+    #   r20: events_burstiness (decimal moment sums, new r9),
     #       text_source_bigram_overlap (provenance audit, new r9),
     #       graph_degree_gini (chunked-rank Gini, new r9),
     #       sql_returned_items (Q10 salted top-k, new r9)
-    #   r20: events_dau_mau_ratio, json_modal_prop, text_char_entropy,
-    #       pipeline_mix_rebalance (all new r9)
+    #   overflow pool: events_dau_mau_ratio, json_modal_prop,
+    #       text_char_entropy, pipeline_mix_rebalance (all new r9)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively
@@ -181,10 +188,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    joined the oracled pool — queue the simhash quality row for the
     #    first slot freed after r13 so the bit-block LSH family gets a
     #    driver-verified quality floor like MinHash's.)
-    "sample_weighted_reservoir",
-    "compact_file_bins",
-    "events_ohlc_daily",
-    "sim_pq_recall",
+    "embed_pca_top_component",
+    "dedup_simhash_block_quality",
+    "graph_adamic_adar_capped",
+    "graph_common_neighbors_capped",
 )
 
 
