@@ -148,10 +148,66 @@ def main() -> None:
     }
     if subset is not None:
         summary["subset"] = True
+    # Like-for-like diff vs the previous full run (VERDICT r12 #5): the
+    # committed BENCH_DETAIL.json is last round's per-query map; read it
+    # BEFORE overwriting, normalize by host speed (median per-query ratio
+    # over the common keys — robust to a few real regressions/improvements),
+    # and flag regressions with the judge's own band (>1.5x AND >0.3 s after
+    # host normalization). This replaces the hand-done COVERAGE.md analysis.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    prev_queries: dict[str, float] = {}
+    try:
+        # last COMMITTED detail, so intra-round reruns (which overwrite the
+        # working-tree file) don't shift the comparison base; falls back to
+        # the on-disk file outside a git checkout.
+        import subprocess
+
+        blob = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if blob.returncode == 0:
+            prev_queries = json.loads(blob.stdout).get("queries", {})
+        else:
+            with open(detail_path) as fh:
+                prev_queries = json.load(fh).get("queries", {})
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    common = sorted(set(prev_queries) & set(timings))
+    if subset is None and common:
+        ratios = sorted(
+            timings[q] / prev_queries[q] for q in common if prev_queries[q] > 0
+        )
+        host_ratio = ratios[len(ratios) // 2] if ratios else 1.0
+        per_query_delta = {
+            q: round(timings[q] - host_ratio * prev_queries[q], 3)
+            for q in common
+        }
+        regressions = sorted(
+            q for q in common
+            if prev_queries[q] > 0
+            and timings[q] > 1.5 * host_ratio * prev_queries[q]
+            and timings[q] - host_ratio * prev_queries[q] > 0.3
+        )
+        # Summary line must stay well under the driver's 2000-char tail
+        # capture (see header: BENCH_r02 lost a giant line's head), so it
+        # carries the compact verdict — host ratio, regression names, the
+        # 10 largest normalized deltas — while the full 209-key
+        # per_query_delta map rides the detail line / BENCH_DETAIL.json.
+        summary["host_speed_ratio"] = round(host_ratio, 3)
+        summary["regressions"] = regressions
+        summary["new_queries"] = sorted(set(timings) - set(prev_queries))[:20]
+        top = sorted(per_query_delta, key=lambda q: -abs(per_query_delta[q]))
+        summary["per_query_delta_top"] = {
+            q: per_query_delta[q] for q in top[:10]
+        }
+
     detail = {"detail": "per_query_min_seconds", "queries": timings, **summary}
+    if subset is None and common:
+        detail["per_query_delta"] = per_query_delta
     if subset is None:
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_DETAIL.json")
         try:
             with open(detail_path, "w") as fh:
                 json.dump(detail, fh, indent=1, sort_keys=True)

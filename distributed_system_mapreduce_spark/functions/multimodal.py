@@ -62,6 +62,14 @@ FEATURE_SCHEMA = StructType(
         StructField("media_type", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("features", ArrayType(FloatType()), False),
+        # exact int64 witnesses of the decode (sum / sum-of-squares over the
+        # decoded byte array): float32 features are for downstream models,
+        # these are for verification — associative-exact under any
+        # partitioning, and (for the md5-seeded fake decoder) reproducible
+        # in ANSI SQL, which is what lets the driver hash-check the whole
+        # mapInPandas pipeline (VERDICT r12 #3).
+        StructField("byte_sum", LongType(), False),
+        StructField("byte_sqsum", LongType(), False),
     ]
 )
 
@@ -123,6 +131,17 @@ def media_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
                         np.asarray(_extract_features(a), dtype=np.float32)
                         for a in arrs
                     ],
+                    "byte_sum": pd.Series(
+                        [int(a.astype(np.int64).sum()) for a in arrs],
+                        dtype="int64",
+                    ),
+                    "byte_sqsum": pd.Series(
+                        [
+                            int((a.astype(np.int64) ** 2).sum())
+                            for a in arrs
+                        ],
+                        dtype="int64",
+                    ),
                 }
             )
 
@@ -179,50 +198,104 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def _register_multimodal_queries() -> None:
-    """Rows-only t2 queries over a deterministic fake-media table (VERDICT r2
-    "Next round" #7): documents.text bytes become the opaque blob, the gated
-    fake decoder feeds the real mapInPandas pipeline, and outputs are
-    integer-summed so they are exact under any row order / partitioning.
-    No SQL oracle: the md5-seeded fake decode is not SQL-expressible, so both
-    are declared rows-only and their sf0.01 outputs pinned in
-    tests/test_parity.py alongside the minhash/simhash trio."""
+    """t2 queries over a deterministic fake-media table (VERDICT r2 "Next
+    round" #7): documents.text bytes become the opaque blob and the gated
+    fake decoder feeds the real mapInPandas pipeline. Since r13 BOTH carry
+    full DuckDB oracles (VERDICT r12 #3): the md5-seeded fake decode IS
+    ANSI-SQL-expressible — DuckDB's md5(text) hex digest, expanded to its 16
+    byte values and tiled to the blob length, reproduces decode_bytes
+    exactly — so the driver hash-checks the whole decode→extract pipeline;
+    the frame sampler is pure metadata arithmetic. The sf0.01 outputs stay
+    pinned in tests/test_parity.py as a second, independent witness."""
     from pyspark.sql import SparkSession
 
     from ..registry import register
     from ..sources.io import load
 
-    @register("multimodal_media_features")  # rows-only: fake-decode features
+    @register(
+        "multimodal_media_features",
+        # Reproduces decode_bytes(fake=True) in SQL: the decoded buffer is
+        # md5(blob) tiled to n = max(len(blob), 16) bytes, so per-item
+        # sum/sqsum = full-tile multiples of the digest's byte sums plus the
+        # partial-tile prefix. strpos over the hex alphabet extracts each
+        # digest byte; validated byte-for-byte against hashlib in
+        # tests/test_multimodal.py.
+        oracle="""
+        with m as (
+          select doc_id,
+                 case when doc_id % 3 = 0 then 'image'
+                      when doc_id % 3 = 1 then 'audio'
+                      else 'video' end as media_type,
+                 md5(text) as h,
+                 octet_length(encode(text)) as raw_n,
+                 greatest(octet_length(encode(text)), 16) as n
+          from documents),
+        v as (
+          select m.doc_id, m.media_type, m.raw_n, m.n, t.i,
+                 (strpos('0123456789abcdef', substr(m.h, 2*t.i-1, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789abcdef', substr(m.h, 2*t.i, 1)) - 1)
+                   as byte
+          from m cross join generate_series(1, 16) as t(i)),
+        per as (
+          select doc_id, media_type, raw_n,
+                 sum(byte) * (n // 16)
+                   + sum(case when i <= n % 16 then byte else 0 end)
+                   as bsum,
+                 sum(byte * byte) * (n // 16)
+                   + sum(case when i <= n % 16 then byte * byte else 0 end)
+                   as bsq
+          from v group by doc_id, media_type, raw_n, n)
+        select media_type,
+               cast(count(*) as bigint) as n_items,
+               cast(sum(raw_n) as bigint) as total_bytes,
+               cast(sum(bsum) as bigint) as byte_sum,
+               cast(sum(bsq) as bigint) as byte_sqsum
+        from per
+        group by media_type
+        order by media_type
+        """,
+    )
     def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Per-media-type feature rollup through the full decode→extract
         mapInPandas pipeline (MEDIA_SCHEMA in, FEATURE_SCHEMA out, Arrow
-        batches, one Python crossing per batch). Features are collapsed to
-        integer milli-sums BEFORE aggregation: float32 per-item values are
-        deterministic, and bigint sums are associative-exact, so the result
-        is stable under any partitioning — the property a distributed
-        media-QA rollup needs anyway."""
+        batches, one Python crossing per batch). The rollup sums the exact
+        int64 decode witnesses (byte_sum / byte_sqsum — the sufficient
+        statistics behind the float32 mean/std features): bigint sums are
+        associative-exact, so the result is stable under any partitioning
+        AND reproducible by the md5-expansion oracle, which hash-checks
+        that every blob really went through the decoder."""
         docs = load(spark, sf_dir, "documents")
         feats = media_features(fake_media_from_documents(docs), fake_decode=True)
-        milli = lambda i: F.round(  # noqa: E731
-            F.element_at("features", i).cast("double") * 1000
-        ).cast("bigint")
         return (
-            feats.select(
-                "media_type",
-                "n_bytes",
-                milli(1).alias("mean_milli"),
-                milli(2).alias("std_milli"),
-            )
-            .groupBy("media_type")
+            feats.groupBy("media_type")
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
                 F.sum("n_bytes").alias("total_bytes"),
-                F.sum("mean_milli").alias("mean_milli_sum"),
-                F.sum("std_milli").alias("std_milli_sum"),
+                F.sum("byte_sum").alias("byte_sum"),
+                F.sum("byte_sqsum").alias("byte_sqsum"),
             )
             .orderBy("media_type")
         )
 
-    @register("multimodal_frame_sample")  # rows-only: stub demuxer
+    @register(
+        "multimodal_frame_sample",
+        # The stub demuxer is deterministic metadata arithmetic: every video
+        # (doc_id % 3 = 2) has n_frames = n_chars % 8 + 1 equal-size frames
+        # of len(blob) // n_frames bytes; sampling every 2nd frame keeps
+        # ceil(n_frames / 2) of them.
+        oracle="""
+        with vids as (
+          select (n_chars % 8 + 1) as n_frames,
+                 octet_length(encode(text)) as n_bytes
+          from documents where doc_id % 3 = 2)
+        select cast(sum((n_frames + 1) // 2) as bigint) as n_frames_sampled,
+               cast(count(*) as bigint) as n_videos,
+               cast(sum(((n_frames + 1) // 2) * (n_bytes // n_frames))
+                    as bigint) as total_frame_bytes
+        from vids
+        """,
+    )
     def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Frame-sampling summary: every-2nd-frame sample over the video rows
         (1→N mapInPandas expansion, the video posexplode), rolled up to one

@@ -71,3 +71,42 @@ def test_features_partitioning_preserved(spark, media):
     spread = media.repartition(4)
     feats = media_features(spread)
     assert feats.rdd.getNumPartitions() == 4
+
+
+def test_byte_sums_match_hashlib_reference(spark, media):
+    """The exact int64 decode witnesses (byte_sum/byte_sqsum) equal a
+    from-scratch hashlib+numpy re-derivation of decode_bytes(fake=True) —
+    the same arithmetic the multimodal_media_features DuckDB oracle encodes
+    as md5-hex expansion SQL, so this pins the contract both sides rely on."""
+    import hashlib
+
+    import numpy as np
+
+    got = {
+        r["media_id"]: (r["byte_sum"], r["byte_sqsum"])
+        for r in media_features(media).collect()
+    }
+    for row in media.select("media_id", "data").collect():
+        data = bytes(row["data"])
+        seed = hashlib.md5(data).digest()
+        n = max(len(data), 16)
+        buf = np.frombuffer(
+            (seed * (-(-n // len(seed))))[:n], dtype=np.uint8
+        ).astype(np.int64)
+        assert got[row["media_id"]] == (int(buf.sum()), int((buf**2).sum()))
+
+
+def test_media_features_oracle_sql_matches_spark(spark):
+    """Run the registered md5-expansion oracles in DuckDB and compare against
+    the Spark pipeline at the smoke SF (the driver does this at sf0.01)."""
+    from distributed_system_mapreduce_spark.registry import ORACLES, QUERIES
+    from distributed_system_mapreduce_spark.testing import (
+        compare_frames,
+        duck_connection,
+    )
+
+    con = duck_connection(SF_SMOKE)
+    for name in ("multimodal_media_features", "multimodal_frame_sample"):
+        sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+        problem = compare_frames(sdf, con.execute(ORACLES[name]).df(), name)
+        assert not problem, problem
