@@ -875,31 +875,66 @@ def simhash_close_pairs(
 
     ``n_blocks`` must exceed ``max_dist`` for the pigeonhole to hold.
     """
+    comp = simhash_components(docs, bits, n_blocks, max_dist)
+    return comp.select(
+        "n_docs",
+        (F.col("within_pairs") + F.col("cross_pairs")).alias("n_close_pairs"),
+    )
+
+
+#: predicate marking docs that produce a SimHash code (at least one nonempty
+#: token). The DuckDB twin is ``trim(text) != ''``: a token is nonempty iff
+#: it contains a non-space character, so "some nonempty token" ⟺ "some
+#: non-space character" — the equivalence the r13 coverage oracles rely on.
+_NONEMPTY_TOKENS = "size(filter(split(text, ' '), w -> w != '')) > 0"
+
+
+def _simhash_vals(docs: DataFrame, bits: int) -> DataFrame:
+    """Collapsed (simhash, count) table over docs with ≥1 nonempty token.
+
+    tracked persist: the table is tiny (≤ distinct codes) but its lineage —
+    the per-token signature expression over every doc — is the expensive
+    part, and callers read it several times (within-value agg + both sides
+    of the block self-join). Caching makes the corpus scan happen once.
+    """
     from ..functions.vectors import spread
 
+    return track(
+        spread(docs)
+        .filter(F.expr(_NONEMPTY_TOKENS))
+        .select(F.expr(_simhash_pack_sql(bits)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def simhash_components(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    n_blocks: int = SIMHASH_BLOCKS,
+    max_dist: int = SIMHASH_MAX_DIST,
+) -> DataFrame:
+    """One-row decomposition of the bit-block LSH near-dup summary:
+    (n_docs, n_nonempty, n_codes, min_code, max_code, within_pairs,
+    cross_pairs) — the sufficient statistics behind both the raw
+    close-pair summary (:func:`simhash_close_pairs`) and the r13
+    coverage-bound queries (``dedup_simhash``/``dedup_simhash64``)."""
     if n_blocks <= max_dist:
         raise ValueError(
             f"pigeonhole needs n_blocks > max_dist, got {n_blocks} <= {max_dist}"
         )
     if bits % n_blocks:
         raise ValueError(f"{bits} bits not divisible into {n_blocks} blocks")
-    # tracked persist: the (simhash, count) table is tiny (≤ distinct codes)
-    # but its lineage — the per-token signature expression over every doc —
-    # is the expensive part of the query, and the plan below reads it three
-    # times (the within-value agg + both sides of the block self-join).
-    # Caching makes the corpus scan happen exactly once.
-    vals = track(
-        spread(docs)
-        .filter(F.expr("size(filter(split(text, ' '), w -> w != '')) > 0"))
-        .select(F.expr(_simhash_pack_sql(bits)).alias("simhash"))
-        .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    vals = _simhash_vals(docs, bits)
 
-    within = vals.agg(
+    code_stats = vals.agg(
+        F.count(F.lit(1)).alias("n_codes"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_nonempty"),
+        F.min("simhash").alias("min_code"),
+        F.max("simhash").alias("max_code"),
         F.coalesce(
             F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")), F.lit(0)
-        ).alias("p")
+        ).alias("within_pairs"),
     )
 
     blocked = vals.select(
@@ -933,14 +968,13 @@ def simhash_close_pairs(
         .filter(first_zero_block == F.col("block_id"))
         .filter(F.bit_count(xor.cast("bigint")) <= max_dist)
         .agg(
-            F.coalesce(F.sum(F.col("cu") * F.col("cv")), F.lit(0)).alias("p")
+            F.coalesce(F.sum(F.col("cu") * F.col("cv")), F.lit(0)).alias(
+                "cross_pairs"
+            )
         )
     )
-    summary = within.crossJoin(cross.withColumnRenamed("p", "pc")).select(
-        (F.col("p") + F.col("pc")).alias("n_close_pairs")
-    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    return n_docs.crossJoin(summary)
+    return n_docs.crossJoin(code_stats).crossJoin(cross)
 
 
 #: deterministic cap on the code sample the block-LSH quality audit brute
@@ -1076,8 +1110,10 @@ def dedup_simhash_block_quality(
       verifier (e.g. a broken block mask joining everything) mismatches.
 
     The codes themselves are xxhash64-dependent (why dedup_simhash /
-    dedup_simhash64 are rows-only); both claims above are properties the
-    oracle can pin TRUE without recomputing codes. Brute force runs over
+    dedup_simhash64 report coverage bounds rather than raw counts — their
+    close-pair counts stay exact-pinned in tests/test_parity.py); both
+    claims above are properties the oracle can pin TRUE without
+    recomputing codes. Brute force runs over
     the collapsed distinct-code table capped at
     {SIMHASH_QUALITY_AUDIT_CAP} codes (exhaustive at fixture scale,
     bounded-sample at 100 TB).
@@ -1107,32 +1143,123 @@ def dedup_simhash_block_quality(
     )
 
 
-@register("dedup_simhash")  # rows-only: packed-bit arithmetic, no SQL twin
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup summary (4 blocks × 4 bits, Hamming ≤ 3).
-
-    Token hash = low 16 bits of xxhash64(token) (JVM-side, cheap,
-    run-deterministic — this query is rows-only so no cross-engine hash
-    parity is needed, cf. SURVEY.md §7.3.7). See
-    :func:`simhash_close_pairs` for the bit-block LSH plan.
+def _simhash_bounds_oracle(bits: int) -> str:
+    """Shared DuckDB twin of :func:`_simhash_bounds_query` (VERDICT r12
+    #6): dup_text_pairs is SQL-exact (identical nonempty texts, the
+    ``trim(text) != ''`` ⟺ nonempty-token equivalence at
+    ``_NONEMPTY_TOKENS``); the three coverage/bound claims are properties
+    SQL can pin TRUE without recomputing xxhash64 codes."""
+    return f"""
+    with nonempty as (select text from documents where trim(text) != ''),
+    dup as (select coalesce(sum(c * (c - 1) // 2), 0) as dup_text_pairs
+            from (select count(*) as c from nonempty group by text) g)
+    select {bits} as bits,
+           (select cast(count(*) as bigint) from documents) as n_docs,
+           (select cast(count(*) as bigint) from nonempty)
+             as n_nonempty_docs,
+           cast(dup_text_pairs as bigint) as dup_text_pairs,
+           true as within_code_covers_dups,
+           true as lsh_covers_dups,
+           true as codes_bounded
+    from dup
     """
-    return simhash_close_pairs(load(spark, sf_dir, "documents"))
 
 
-@register("dedup_simhash64")  # rows-only: packed-bit arithmetic, no SQL twin
+def _simhash_bounds_query(
+    spark: SparkSession, sf_dir: str, bits: int
+) -> DataFrame:
+    """Coverage-bounded SimHash summary (the driver-verifiable floor the
+    raw close-pair count can't be — VERDICT r12 #6, the
+    dedup_minhash_est_error promotion pattern): alongside the SQL-exact
+    duplicate-text pair count, three hash-checked claims over the real
+    LSH plan's components:
+
+    - ``within_code_covers_dups``: identical (nonempty) texts MUST land on
+      identical codes, so within-code pairs ≥ exact duplicate-text pairs —
+      a broken tokenizer/pack expression that splits equal texts mismatches.
+    - ``lsh_covers_dups``: the full near-dup count (within + cross-block)
+      keeps that floor — Hamming-0 pairs survive the band join, the
+      first-agreeing-block dedup, and the xor verify (they agree on EVERY
+      block), so a blocking/dedup bug that drops them mismatches.
+    - ``codes_bounded``: codes stay in the declared width (0 ≤ code < 2^16
+      at 16 bits; full signed-bigint domain at 64) and the distinct-code
+      count never exceeds min(2^bits, nonempty docs) — a mask/shift bug
+      that widens codes mismatches.
+
+    The raw (n_docs, n_close_pairs) outputs stay exact-pinned in
+    tests/test_parity.py via :func:`simhash_close_pairs`.
+    """
+    docs = load(spark, sf_dir, "documents")
+    comp = simhash_components(docs, bits=bits)
+    dup = (
+        docs.filter(F.expr(_NONEMPTY_TOKENS))
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")),
+                F.lit(0),
+            ).alias("dup_text_pairs")
+        )
+    )
+    if bits <= 31:
+        in_range = (F.col("min_code") >= 0) & (
+            F.col("max_code") < (1 << bits)
+        )
+        code_cap = F.least(
+            F.lit(1 << bits).cast("bigint"), F.col("n_nonempty")
+        )
+    else:  # 64-bit codes fill the whole signed-bigint domain
+        in_range = F.lit(True)
+        code_cap = F.col("n_nonempty")
+    return comp.crossJoin(dup).select(
+        F.lit(bits).alias("bits"),
+        "n_docs",
+        # exact value that FLOWS THROUGH the LSH value-collapse stage
+        # (Σ count over the collapsed code table): a pack expression that
+        # exploded rows, or a broken nonempty filter, changes it — and at
+        # fixtures without exact-duplicate texts (sf0.01: dup_text_pairs=0,
+        # making the two coverage floors vacuous) this is the hash-checked
+        # column with teeth.
+        F.col("n_nonempty").alias("n_nonempty_docs"),
+        "dup_text_pairs",
+        (F.col("within_pairs") >= F.col("dup_text_pairs")).alias(
+            "within_code_covers_dups"
+        ),
+        (
+            F.col("within_pairs") + F.col("cross_pairs")
+            >= F.col("dup_text_pairs")
+        ).alias("lsh_covers_dups"),
+        (in_range & (F.col("n_codes") <= code_cap)).alias("codes_bounded"),
+    )
+
+
+@register("dedup_simhash", oracle=_simhash_bounds_oracle(16))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup detection (4 blocks × 4 bits, Hamming ≤ 3),
+    reported as the coverage-bounded summary (:func:`_simhash_bounds_query`
+    — hash-checked since r13, VERDICT r12 #6).
+
+    Token hash = low 16 bits of xxhash64(token) (JVM-side, cheap). See
+    :func:`simhash_close_pairs` for the bit-block LSH plan; its raw
+    (n_docs, n_close_pairs) stays exact-pinned in tests/test_parity.py.
+    """
+    return _simhash_bounds_query(spark, sf_dir, 16)
+
+
+@register("dedup_simhash64", oracle=_simhash_bounds_oracle(64))
 def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup summary (4 blocks × 16 bits, Hamming ≤ 3) —
-    the corpus-scale code width (Manku et al., WWW 2007 use 64-bit codes
+    """64-bit SimHash near-dup detection (4 blocks × 16 bits, Hamming ≤ 3)
+    — the corpus-scale code width (Manku et al., WWW 2007 use 64-bit codes
     with block-permuted tables; here blocks are the non-permuted special
-    case sufficient for d ≤ 3).
+    case sufficient for d ≤ 3) — reported as the coverage-bounded summary
+    (:func:`_simhash_bounds_query`, hash-checked since r13).
 
     Same plan as the 16-bit query; the value-collapse stage no longer
     bounds the table at 2^16, but it still dedups identical codes and the
     block join stays O(codes × blocks) with 16-bit join keys.
     """
-    return simhash_close_pairs(
-        load(spark, sf_dir, "documents"), bits=64, n_blocks=4, max_dist=3
-    )
+    return _simhash_bounds_query(spark, sf_dir, 64)
 
 
 @register(

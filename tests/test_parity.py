@@ -50,16 +50,16 @@ ROWS_ONLY_EXPECTED = {
     # produced 30 candidates for the same 25 dups, its correlated-minima
     # false positives (MINHASH_N_PERMS note in operators/dedup.py)
     "dedup_near_minhash": [(500, 25, 25)],
-    "dedup_simhash": [(500, 33276)],  # (n_docs, n_close_pairs)
+    # dedup_simhash / dedup_simhash64 left this table in r13: they now
+    # carry DuckDB oracles (SQL-exact dup_text_pairs + coverage-bound
+    # claims, VERDICT r12 #6); their raw (n_docs, n_close_pairs) stay
+    # pinned via _simhash_raw/_simhash64_raw below.
     # k-core of the support>=2 backbone: the peel's fixpoint is
     # order-invariant, so (k, core nodes, core edges, rounds) is exact.
     # (Oracled since r11 via the unrolled-CTE oracle; the exact pin stays
     # as a second, independent witness of the fixpoint.)
     "graph_kcore": [(2, 1562, 3315, 4)],
     "graph_kcore_k3": [(3, 1055, 2346, 9)],
-    # 64-bit codes (4 x 16-bit blocks): near-orthogonal hashes make d<=3
-    # collisions rare — the discriminative regime the 16-bit query lacks
-    "dedup_simhash64": [(500, 17)],  # (n_docs, n_close_pairs)
     # (media_type, n_items, total_bytes, byte_sum, byte_sqsum): exact int64
     # witnesses of the fake-decode pipeline — associative-exact, so stable
     # under any partitioning. Since r13 both multimodal queries ALSO carry
@@ -118,6 +118,26 @@ def _pca_raw(spark):
     return pca_power_frame(spark, SF_DIR)
 
 
+def _simhash_raw(spark):
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        simhash_close_pairs,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+
+    return simhash_close_pairs(load(spark, SF_DIR, "documents"))
+
+
+def _simhash64_raw(spark):
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        simhash_close_pairs,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+
+    return simhash_close_pairs(
+        load(spark, SF_DIR, "documents"), bits=64, n_blocks=4, max_dist=3
+    )
+
+
 BUILDER_PINNED = {
     # DataSketches HLL estimates are deterministic per input set; 150
     # distinct users at sf0.01 is below the sketch's exact-mode cutoff, so
@@ -140,6 +160,13 @@ BUILDER_PINNED = {
     # is exact-stable across runs/partitionings (pre-r12 shape of
     # embed_pca_top_component, now the bound-oracled query's raw witness)
     _pca_raw: [(500, 100, 0.0276, 9, 0.403)],
+    # (n_docs, n_close_pairs) under seeded xxhash64 codes — pre-r13 shapes
+    # of dedup_simhash / dedup_simhash64, now the coverage-bound-oracled
+    # queries' raw witnesses. 64-bit codes (4 x 16-bit blocks):
+    # near-orthogonal hashes make d<=3 collisions rare — the
+    # discriminative regime the 16-bit query lacks.
+    _simhash_raw: [(500, 33276)],
+    _simhash64_raw: [(500, 17)],
 }
 
 
