@@ -1083,8 +1083,14 @@ def embed_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n, dim, lam, _, _, trace, vnorm2 = _pca_power_summary(spark, sf_dir)
     total_var = trace / n if n else 0.0
-    floor_ok = (lam >= total_var / dim - 1e-9) if dim else True
-    ceil_ok = lam <= total_var + 1e-9
+    # Bound slack scaled to the Gram quantization (ADVICE r12): entries are
+    # rounded to PCA_QUANT_DP decimals before the eigensolve, which can
+    # perturb a PSD matrix by E with ||E||_2 ≤ dim·(half-ulp), letting the
+    # Rayleigh value drift past the exact-trace bounds by up to ~dim·||E||/n
+    # on near-rank-deficient spectra — a flat 1e-9 can flake there.
+    quant_eps = dim * dim * (10.0 ** -PCA_QUANT_DP) / max(n, 1) + 1e-12
+    floor_ok = (lam >= total_var / dim - quant_eps) if dim else True
+    ceil_ok = lam <= total_var + quant_eps
     unit_ok = abs(vnorm2 - 1.0) <= 1e-9
     return spark.createDataFrame(
         [(n, dim, round(total_var, 2), floor_ok, ceil_ok, unit_ok)],

@@ -114,7 +114,23 @@ def ensure_protobuf() -> tuple[bool, str]:
                 try:
                     os.symlink(src, link)
                 except FileExistsError:
-                    pass  # concurrent creator won; target verified below
+                    # concurrent creator won — but its target may be a
+                    # different vendored dir, so re-run the
+                    # readlink-and-repair branch instead of trusting it
+                    # (ADVICE r12: _import_ok alone can pass against a
+                    # stale importable target and memoize success)
+                    try:
+                        current = os.readlink(link)
+                    except OSError:
+                        current = None
+                    if current != src:
+                        tmp = link + f".tmp{os.getpid()}"
+                        try:
+                            os.symlink(src, tmp)
+                            os.replace(tmp, link)
+                        finally:
+                            if os.path.lexists(tmp):
+                                os.unlink(tmp)
             if shim not in sys.path:
                 sys.path.insert(0, shim)
             # JVM-spawned Python workers resolve imports from PYTHONPATH —

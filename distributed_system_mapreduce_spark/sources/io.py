@@ -83,16 +83,32 @@ _TABLE_MEMO: dict[tuple, tuple] = {}
 
 
 def _path_fingerprint(path: str) -> tuple:
-    """(mtime_ns, size) of ``path`` — local-filesystem staleness guard for
-    the table memo. A rewrite into the same directory (new/replaced part
-    files) bumps the directory mtime; a single-file rewrite bumps both
-    fields. Non-local paths (s3://, hdfs://) stat-fail and fall back to a
+    """Staleness fingerprint of ``path`` for the table memo: the path's own
+    (mtime_ns, size) plus, for a directory, the max (name, mtime_ns, size)
+    over its direct entries (ADVICE r12: an in-place overwrite of a part
+    file's CONTENTS changes the file's mtime but not the directory's, so
+    the directory stat alone can serve a stale file-listing snapshot).
+    One shallow scandir — no recursion; Spark table dirs are flat.
+    Non-local paths (s3://, hdfs://) stat-fail and fall back to a
     constant — memo-forever, matching a catalog's snapshot pinning."""
     import os
 
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        entries: tuple = ()
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                newest = None
+                for e in it:
+                    try:
+                        es = e.stat()
+                    except OSError:
+                        continue
+                    key = (es.st_mtime_ns, e.name, es.st_size)
+                    if newest is None or key > newest:
+                        newest = key
+                entries = (newest,)
+        return (st.st_mtime_ns, st.st_size) + entries
     except OSError:
         return ("unstattable",)
 

@@ -465,7 +465,11 @@ class SessionTimeoutProcessor(StatefulProcessor):
                 yield self._emit(key, start, last, n)
                 start, last, n = t, t, 1
             else:
-                last, n = max(last, t), n + 1
+                # an admitted late row (nonzero watermark delay) can precede
+                # the open session's start; fold it into BOTH endpoints so
+                # emitted sessions never start after their earliest event
+                # (ADVICE r12)
+                start, last, n = min(start, t), max(last, t), n + 1
         # one live timer per key: re-arm at the (possibly new) deadline.
         # (materialize before deleting — the timer listing is a paged
         # iterator over the same state server connection)
