@@ -884,3 +884,46 @@ def test_capped_wedge_scores_dominated_by_exact(spark):
         n_e, aa_e = exact[edge]  # every capped edge must exist exactly
         assert n_c <= n_e, (edge, n_c, n_e)
         assert aa_c <= aa_e + 1e-4, (edge, aa_c, aa_e)
+
+
+def test_simhash_coverage_claims_nonvacuous_with_duplicates(spark):
+    """The r13 coverage-bound claims (dedup_simhash/dedup_simhash64) are
+    vacuous on fixtures without exact-duplicate texts (dup_text_pairs = 0),
+    so exercise them where they bite: a corpus with INJECTED duplicates —
+    every claim must hold with a nonzero floor, i.e. the LSH really counts
+    each duplicate-text pair (Hamming 0 survives value-collapse, band join,
+    first-agreeing-block dedup, xor verify)."""
+    from distributed_system_mapreduce_spark.operators.dedup import (
+        _NONEMPTY_TOKENS,
+        simhash_components,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents").limit(80)
+    # duplicate 30 docs (new ids), one of them twice -> C(3,2)=3 extra pairs
+    dups = docs.limit(30).withColumn("doc_id", F.col("doc_id") + 100000)
+    dups2 = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 200000)
+    corpus = docs.unionAll(dups).unionAll(dups2)
+
+    dup_pairs = (
+        corpus.filter(F.expr(_NONEMPTY_TOKENS))
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")),
+                F.lit(0),
+            ).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    assert dup_pairs >= 31  # 30 pair-dups + C(3,2) for the triple
+
+    for bits in (16, 64):
+        comp = simhash_components(corpus, bits=bits).collect()[0]
+        assert comp["within_pairs"] >= dup_pairs, (bits, comp)
+        assert (
+            comp["within_pairs"] + comp["cross_pairs"] >= dup_pairs
+        ), (bits, comp)
+        if bits == 16:
+            assert 0 <= comp["min_code"] <= comp["max_code"] < (1 << 16)
+        assert comp["n_codes"] <= comp["n_nonempty"]
