@@ -43,9 +43,12 @@ def get_spark(
         # NOT set: coalescePartitions.parallelismFirst=false + a small
         # advisory size (Spark's busy-cluster recommendation). Measured in
         # r11 on a 16-query tail sample: neutral at this scale (8.95 s ->
-        # 8.98 s) — the suite's fixed cost is per-action scheduling, not
-        # post-shuffle task width, so the default parallelism-first policy
-        # stays (it is also the safer setting for the skew-heavy stages).
+        # 8.98 s). RE-measured in r13 after the codegen-cache fix removed
+        # recompilation as the dominant fixed cost (74-query subset at
+        # sf0.1): 40.3 s -> 48.7 s with false+16MB — clearly WORSE, the
+        # narrower post-shuffle stages serialize work that 32-wide tasks
+        # overlap. The default parallelism-first policy stays (also the
+        # safer setting for the skew-heavy stages).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Generated-class cache (CodeGenerator.cache, keyed by codegen
         # source). The default maxEntries=100 is sized for a handful of
