@@ -377,3 +377,71 @@ def test_adamic_adar_capped_matches_brute_force(spark, edges, cap):
         for r in adamic_adar_capped_scores(pairs, cap).collect()
     }
     assert got == _py_adamic_adar_capped(canon, cap), (canon, cap)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=["\x00"]
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_md5_expansion_oracle_arithmetic_on_arbitrary_text(spark, texts):
+    """The r13 multimodal oracle's md5-hex-expansion arithmetic (digest
+    bytes tiled to max(len, 16), full-tile multiple + partial prefix) must
+    reproduce decode_bytes(fake=True) byte sums for ARBITRARY text —
+    unicode, spaces, empties — not just the fixture corpus: this pins the
+    octet_length(encode(text)) ⟺ len(text.encode()) equivalence and the
+    tiling algebra on both engines."""
+    import duckdb
+    import hashlib
+
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute(
+        "create table t(doc_id bigint, text varchar)"
+    )
+    con.executemany(
+        "insert into t values (?, ?)", list(enumerate(texts))
+    )
+    rows = con.execute(
+        """
+        with m as (
+          select doc_id, md5(text) as h,
+                 greatest(octet_length(encode(text)), 16) as n
+          from t),
+        v as (
+          select m.doc_id, m.n, g.i,
+                 (strpos('0123456789abcdef', substr(m.h, 2*g.i-1, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789abcdef', substr(m.h, 2*g.i, 1)) - 1)
+                   as byte
+          from m cross join generate_series(1, 16) as g(i))
+        select doc_id,
+               sum(byte) * (n // 16)
+                 + sum(case when i <= n % 16 then byte else 0 end) as bsum,
+               sum(byte * byte) * (n // 16)
+                 + sum(case when i <= n % 16 then byte * byte else 0 end)
+                 as bsq
+        from v group by doc_id, n order by doc_id
+        """
+    ).fetchall()
+    for (doc_id, bsum, bsq), text in zip(rows, texts):
+        data = text.encode()
+        seed = hashlib.md5(data).digest()
+        n = max(len(data), 16)
+        buf = np.frombuffer(
+            (seed * (-(-n // len(seed))))[:n], dtype=np.uint8
+        ).astype(np.int64)
+        assert (int(bsum), int(bsq)) == (
+            int(buf.sum()),
+            int((buf**2).sum()),
+        ), (doc_id, text)
