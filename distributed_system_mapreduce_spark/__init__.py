@@ -172,7 +172,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       graph_degree_gini (chunked-rank Gini, new r9),
     #       sql_returned_items (Q10 salted top-k, new r9)
     #   overflow pool: events_dau_mau_ratio, json_modal_prop,
-    #       text_char_entropy, pipeline_mix_rebalance (all new r9)
+    #       text_char_entropy, pipeline_mix_rebalance (all new r9);
+    #       text_pii_scrub + pipeline_chunk_windows (new r13: privacy gate
+    #       and RAG chunker, both full-oracle — strong swap-ins for any
+    #       freed slot since their families' driver rows predate them)
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

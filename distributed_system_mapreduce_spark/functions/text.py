@@ -1201,3 +1201,142 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"),
         )
     )
+
+
+#: PII detection patterns — Java-regex/RE2 COMMON SUBSET only (character
+#: classes + bounded quantifiers, no lookaround, no \d shorthands), so the
+#: engine (Spark, java.util.regex) and the oracle (DuckDB, RE2) match the
+#: same spans. Order matters: emails first (their domains contain dots that
+#: the IP pattern must never see), then phones, then dotted quads.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"),
+    ("phone", "555-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans in ``text_col`` (emails, NANP-555 phones, dotted
+    quads) and annotate per-row match counts — the library API a curation
+    pipeline calls before anything leaves the trust boundary.
+
+    Scale shape: pure map-side JVM regexp (regexp_count +
+    chained regexp_replace inside whole-stage codegen) — no shuffle, no
+    Python; at 100 TB this runs at scan speed and the scrubbed column
+    replaces the raw one so downstream stages can't leak it.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(scrubbed, F.lit(pat))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn("text_scrubbed", scrubbed)
+
+
+def _pii_dirty_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection over the (PII-free, lowercase-words)
+    fixture corpus — the fake_media_from_documents pattern: 3 of every 5
+    docs get one synthetic email / phone / dotted-quad appended as pure
+    string arithmetic on doc_id, so the DuckDB oracle reproduces the dirty
+    corpus exactly and the detection regexes are exercised non-vacuously."""
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact u"), did.cast("string"), F.lit("@mail"),
+        (did % 7).cast("string"), F.lit(".com"),
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" host 10."), (did % 256).cast("string"), F.lit("."),
+        (did % 100).cast("string"), F.lit("."),
+        (did % 250 + 1).cast("string"),
+    )
+    dirty = (
+        F.when(did % 5 == 0, F.concat(F.col("text"), email))
+        .when(did % 5 == 1, F.concat(F.col("text"), phone))
+        .when(did % 5 == 2, F.concat(F.col("text"), ip))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", "source", dirty.alias("text"))
+
+
+_PII_DIRTY_SQL = """
+    dirty as (
+      select doc_id, source,
+             case when doc_id % 5 = 0 then text || ' contact u' || doc_id
+                       || '@mail' || (doc_id % 7) || '.com'
+                  when doc_id % 5 = 1 then text || ' call 555-'
+                       || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                  when doc_id % 5 = 2 then text || ' host 10.'
+                       || (doc_id % 256) || '.' || (doc_id % 100) || '.'
+                       || (doc_id % 250 + 1)
+                  else text end as text
+      from documents)
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    with {_PII_DIRTY_SQL.strip()},
+    scrub as (
+      select source, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+               '555-[0-9]{{4}}', '<PHONE>', 'g'),
+               '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+               '<IP>', 'g') as s
+      from dirty)
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(len(regexp_extract_all(text,
+             '[a-z0-9]+@[a-z0-9]+\\.[a-z]+'))) as bigint) as n_email,
+           cast(sum(len(regexp_extract_all(text,
+             '555-[0-9]{{4}}'))) as bigint) as n_phone,
+           cast(sum(len(regexp_extract_all(text,
+             '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')))
+             as bigint) as n_ip,
+           cast(sum(octet_length(encode(text)) - octet_length(encode(s)))
+             as bigint) as bytes_delta
+    from scrub
+    group by source
+    order by source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report over a deterministically-dirtied corpus: per
+    source, how many emails / 555-phones / dotted quads the scrubber
+    found and the net byte delta of redaction — the privacy gate every
+    training-data pipeline runs before texts leave the trust boundary
+    (new r13; the mandated text-analysis family's missing stage).
+
+    The fixture corpus is PII-free lowercase words, so the query dirties
+    it first with doc_id-derived synthetic PII (:func:`_pii_dirty_docs` —
+    pure string arithmetic, reproduced exactly by the oracle's CTE, the
+    fake_media_from_documents pattern). Detection and redaction then run
+    the REAL map-side path (:func:`pii_scrub`: JVM regexp_count + chained
+    regexp_replace, patterns restricted to the Java/RE2 common subset) on
+    both engines independently — a pattern, ordering, or replace-all bug
+    on either side hash-mismatches.
+    """
+    docs = load(spark, sf_dir, "documents")
+    scrubbed = pii_scrub(_pii_dirty_docs(docs))
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_email"),
+            F.sum("n_phone").cast("bigint").alias("n_phone"),
+            F.sum("n_ip").cast("bigint").alias("n_ip"),
+            F.sum(
+                F.octet_length("text") - F.octet_length("text_scrubbed")
+            )
+            .cast("bigint")
+            .alias("bytes_delta"),
+        )
+        .orderBy("source")
+    )

@@ -1287,3 +1287,125 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_entropy_nats",
         )
     )
+
+
+#: RAG / embedding chunker geometry: CHUNK_TOKENS-token windows advancing
+#: by CHUNK_STRIDE (8-token overlap carries context across boundaries).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_windows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode documents into overlapping token-window chunks — the
+    retrieval/embedding chunker every RAG ingestion pipeline runs (one row
+    per chunk: doc_id, chunk_id, chunk_tokens, chunk text).
+
+    Scale shape: tokenization, window arithmetic, and the slice all happen
+    map-side in one nested higher-order expression (no shuffle — the 1→N
+    expansion is a generator inside the scan stage, like posexplode);
+    chunk k of an n-token doc covers tokens [k·STRIDE, k·STRIDE + TOKENS),
+    the last window starting at the smallest k·STRIDE reaching the tail.
+    Empty-token docs produce no chunks.
+    """
+    w, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"filter(split({text_col}, ' '), x -> x != '')"
+            ).alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.posexplode(
+                F.expr(
+                    f"""
+                    transform(
+                      sequence(0, greatest(cast(ceil((n_tok - {w}) / cast({s} as double)) as int), 0)),
+                      k -> slice(toks, k * {s} + 1, {w}))
+                    """
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "chunk_id",
+            F.size("chunk").alias("chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "pipeline_chunk_windows",
+    oracle=f"""
+    with toks as (
+      select doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') as t
+      from documents),
+    sized as (
+      select doc_id, source, t, len(t) as n_tok from toks where len(t) > 0),
+    starts as (
+      select source, t,
+             unnest(generate_series(0,
+               greatest(cast(ceil((n_tok - {CHUNK_TOKENS})
+                 / cast({CHUNK_STRIDE} as double)) as int), 0))) as i
+      from sized),
+    chunks as (
+      select source,
+             len(list_slice(t, i * {CHUNK_STRIDE} + 1,
+                            i * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+               as chunk_tokens,
+             array_to_string(
+               list_slice(t, i * {CHUNK_STRIDE} + 1,
+                          i * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+               as chunk_text
+      from starts)
+    select source,
+           cast(count(*) as bigint) as n_chunks,
+           cast(sum(chunk_tokens) as bigint) as chunk_tokens,
+           cast(sum(case when chunk_tokens = {CHUNK_TOKENS} then 1 else 0
+                    end) as bigint) as full_chunks,
+           cast(sum(octet_length(encode(chunk_text))) as bigint)
+             as chunk_bytes
+    from chunks
+    group by source
+    order by source
+    """,
+)
+def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking manifest: per source, how many overlapping
+    {CHUNK_TOKENS}-token / stride-{CHUNK_STRIDE} retrieval chunks the
+    corpus explodes into, total chunk tokens (the overlap-inflated count an
+    embedding budget is priced on), full-width chunks, and chunk bytes
+    (new r13 — the RAG-ingestion stage the pipeline family lacked).
+
+    The engine runs the REAL chunker (:func:`chunk_windows`: map-side
+    higher-order slice generator, no shuffle before the rollup); the
+    oracle re-derives every chunk from the same geometry in DuckDB list
+    algebra — a boundary bug (off-by-one window start, unclamped tail,
+    dropped short chunk) changes counts/bytes on one side only and
+    hash-mismatches.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        chunk_windows(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+            F.sum((F.col("chunk_tokens") == CHUNK_TOKENS).cast("int"))
+            .cast("bigint")
+            .alias("full_chunks"),
+            F.sum(F.octet_length("chunk_text"))
+            .cast("bigint")
+            .alias("chunk_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -927,3 +927,68 @@ def test_simhash_coverage_claims_nonvacuous_with_duplicates(spark):
         if bits == 16:
             assert 0 <= comp["min_code"] <= comp["max_code"] < (1 << 16)
         assert comp["n_codes"] <= comp["n_nonempty"]
+
+
+def test_chunk_windows_boundaries(spark):
+    """Chunker geometry edges: empty doc -> no chunks; 1 token -> one
+    1-token chunk; exactly CHUNK_TOKENS -> one full chunk; CHUNK_TOKENS+1
+    -> two chunks whose second starts at CHUNK_STRIDE; coverage: every
+    token index lands in >= 1 chunk."""
+    from distributed_system_mapreduce_spark.operators.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_windows,
+    )
+
+    w, s = CHUNK_TOKENS, CHUNK_STRIDE
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(0, "src", ""), (1, "src", mk(1)), (2, "src", mk(w)),
+         (3, "src", mk(w + 1)), (4, "src", mk(3 * s + 5))],
+        "doc_id long, source string, text string",
+    )
+    rows = chunk_windows(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc
+    assert [c["chunk_tokens"] for c in by_doc[1]] == [1]
+    assert [c["chunk_tokens"] for c in by_doc[2]] == [w]
+    two = sorted(by_doc[3], key=lambda c: c["chunk_id"])
+    assert len(two) == 2 and two[0]["chunk_tokens"] == w
+    assert two[1]["chunk_text"].split(" ")[0] == f"t{s}"
+    # coverage of every token index for the 3s+5 doc
+    n = 3 * s + 5
+    covered = set()
+    for c in sorted(by_doc[4], key=lambda c: c["chunk_id"]):
+        start = c["chunk_id"] * s
+        covered.update(range(start, start + c["chunk_tokens"]))
+    assert covered == set(range(n))
+
+
+def test_pii_scrub_idempotent_and_counts(spark):
+    """Scrubbing already-scrubbed text finds zero PII (the idempotence a
+    privacy gate needs), and counts match hand-planted spans."""
+    from distributed_system_mapreduce_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at bob7@mail3.com or ann@site.org now"),
+            (1, "call 555-0199 and 555-1234"),
+            (2, "hosts 10.1.2.3 and 192.168.0.1"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    once = pii_scrub(docs)
+    got = {r["doc_id"]: r for r in once.collect()}
+    assert (got[0]["n_email"], got[0]["n_phone"], got[0]["n_ip"]) == (2, 0, 0)
+    assert got[1]["n_phone"] == 2 and got[2]["n_ip"] == 2
+    assert got[3]["text_scrubbed"] == "clean text only"
+    assert "<EMAIL>" in got[0]["text_scrubbed"]
+    twice = pii_scrub(
+        once.select("doc_id", F.col("text_scrubbed").alias("text"))
+    )
+    for r in twice.collect():
+        assert (r["n_email"], r["n_phone"], r["n_ip"]) == (0, 0, 0)
+        assert r["text_scrubbed"] == r["text"]
