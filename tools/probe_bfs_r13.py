@@ -18,7 +18,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F
 
 from distributed_system_mapreduce_spark.session import get_spark
-from distributed_system_mapreduce_spark.cache import clear_tracked_caches
 from distributed_system_mapreduce_spark.operators.graph import (
     BFS_HOPS,
     copurchase_pairs,
