@@ -992,3 +992,54 @@ def test_pii_scrub_idempotent_and_counts(spark):
     for r in twice.collect():
         assert (r["n_email"], r["n_phone"], r["n_ip"]) == (0, 0, 0)
         assert r["text_scrubbed"] == r["text"]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """text_bpe_train's unrolled rounds equal a from-scratch Python BPE
+    trainer (Sennrich-style: weighted adjacent-pair argmax with
+    (count desc, left, right) tie-break, greedy left-to-right
+    non-overlapping merge application) on the smoke corpus."""
+    from collections import Counter
+
+    from distributed_system_mapreduce_spark.functions.text import (
+        BPE_TRAIN_ROUNDS,
+    )
+    from distributed_system_mapreduce_spark.operators.relational import (
+        tokens,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    wc = Counter(
+        r["word"] for r in tokens(docs).collect()
+    )
+    vocab = {tuple(w): c for w, c in ((tuple(k), v) for k, v in wc.items())}
+    expected = []
+    for _ in range(BPE_TRAIN_ROUNDS):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (l, r), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((l, r, l + r, cnt))
+        merged: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + c
+        vocab = merged
+    got = [
+        (row["left_sym"], row["right_sym"], row["merged"], row["cnt"])
+    for row in sorted(
+        QUERIES["text_bpe_train"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["round"],
+    )]
+    assert got == expected

@@ -204,6 +204,9 @@ _PLAN_SF = "/root/testdata/sf0.001"
 _SCALAR_COMBINE_BNLJ = {
     "agg_cms_heavy_hitters",
     "agg_weighted_median",
+    # per-round 1-row merge-rule broadcast into the vocab table (bounded by
+    # construction: limit 1)
+    "text_bpe_train",
     "orders_abc_pareto",
     "cdc_merge_upserts",
     "corpus_lang_mix_kl",
