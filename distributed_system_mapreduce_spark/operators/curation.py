@@ -1409,3 +1409,93 @@ def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Temperature-sampling exponent (mT5 / XLM-R convention: alpha = 0.3
+#: flattens the language distribution so low-resource languages are
+#: up-sampled relative to their natural share).
+MIX_TEMPERATURE_ALPHA = 0.3
+
+#: tokens drawn per training epoch in the manifest (arbitrary fixed budget;
+#: the per-language expectation scales linearly with it).
+MIX_EPOCH_TOKENS = 1_000_000
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    with per_lang as (
+      select lang,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) as bigint) as tokens
+      from documents group by lang),
+    tot as (select sum(tokens) as n from per_lang),
+    scored as (
+      select lang, n_docs, tokens,
+             tokens * 1.0 / n as p,
+             pow(tokens * 1.0 / n, {MIX_TEMPERATURE_ALPHA}) as w
+      from per_lang cross join tot),
+    z as (select sum(w) as z from scored)
+    select lang, n_docs, tokens,
+           round(p, 6) as nat_share,
+           round(w / z, 6) as temp_share,
+           round((w / z) / p, 4) as boost,
+           cast(floor((w / z) * {MIX_EPOCH_TOKENS}) as bigint)
+             as epoch_tokens
+    from scored cross join z
+    order by lang
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling manifest (new r13): per
+    language the natural token share p, the temperature share
+    q ∝ p^{MIX_TEMPERATURE_ALPHA} (the mT5/XLM-R low-resource up-sampling
+    rule), the boost factor q/p the loader applies, and the expected
+    tokens drawn per {MIX_EPOCH_TOKENS}-token epoch — the mixing step
+    between pipeline_mix_rebalance's hard-target down-sampling and the
+    quota draw of sample_weighted_mix.
+
+    Plan shape: ONE map-side-combining rollup to (lang, n_docs, tokens) —
+    language-cardinality sized — then two scalar one-row combines (total
+    tokens, normalizer Z); nothing wider than the language table ever
+    shuffles, so the manifest costs one pass at any corpus size. Shares
+    round at 6 dp and boosts at 4 dp on both engines before hashing.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.expr("size(filter(split(text, ' '), x -> x != ''))").cast(
+                "bigint"
+            )
+        ).alias("tokens"),
+    )
+    tot = per_lang.agg(F.sum("tokens").alias("n"))
+    scored = per_lang.crossJoin(tot).select(
+        "lang",
+        "n_docs",
+        "tokens",
+        (F.col("tokens") / F.col("n")).alias("p"),
+        F.pow(F.col("tokens") / F.col("n"), MIX_TEMPERATURE_ALPHA).alias(
+            "w"
+        ),
+    )
+    z = scored.agg(F.sum("w").alias("z"))
+    return (
+        scored.crossJoin(z)
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            F.round("p", 6).alias("nat_share"),
+            F.round(F.col("w") / F.col("z"), 6).alias("temp_share"),
+            F.round((F.col("w") / F.col("z")) / F.col("p"), 4).alias(
+                "boost"
+            ),
+            F.floor(F.col("w") / F.col("z") * MIX_EPOCH_TOKENS)
+            .cast("bigint")
+            .alias("epoch_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -207,6 +207,9 @@ _SCALAR_COMBINE_BNLJ = {
     # per-round 1-row merge-rule broadcast into the vocab table (bounded by
     # construction: limit 1)
     "text_bpe_train",
+    # two 1-row scalar combines (total tokens, normalizer Z) into the
+    # language-cardinality table
+    "sample_temperature_mix",
     "orders_abc_pareto",
     "cdc_merge_upserts",
     "corpus_lang_mix_kl",
