@@ -1043,3 +1043,25 @@ def test_bpe_train_matches_python_reference(spark):
         key=lambda r: r["round"],
     )]
     assert got == expected
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """Temperature-sampling invariants: both share columns sum to ~1, the
+    dominant language's boost is < 1 and every minority language's > 1
+    (alpha < 1 flattens the distribution), and epoch token expectations
+    stay within budget."""
+    from distributed_system_mapreduce_spark.operators.curation import (
+        MIX_EPOCH_TOKENS,
+    )
+
+    rows = QUERIES["sample_temperature_mix"](spark, SF_SMOKE).collect()
+    nat = sum(r["nat_share"] for r in rows)
+    temp = sum(r["temp_share"] for r in rows)
+    assert abs(nat - 1.0) < 1e-4 and abs(temp - 1.0) < 1e-4
+    top = max(rows, key=lambda r: r["tokens"])
+    for r in rows:
+        if r is top:
+            assert r["boost"] < 1.0, r
+        else:
+            assert r["boost"] > 1.0, r
+    assert sum(r["epoch_tokens"] for r in rows) <= MIX_EPOCH_TOKENS
