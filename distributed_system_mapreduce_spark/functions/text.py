@@ -1486,3 +1486,84 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for w in winners[1:]:
         out = out.unionAll(w)
     return out.orderBy("round")
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    with big as (
+      select doc_id,
+             unnest(list_transform(
+               list_zip(t[1:len(t)-1], t[2:len(t)]),
+               x -> struct_pack(w1 := x[1], w2 := x[2]))) as b
+      from (select doc_id, string_split(text, ' ') as t from documents)
+      where len(t) >= 2),
+    bcnt as (select b.w1 as w1, b.w2 as w2, count(*) as cb
+             from big group by b.w1, b.w2),
+    first_cnt as (select w1, sum(cb) as cf from bcnt group by w1),
+    scored as (
+      select big.doc_id,
+             count(*) as n_bigrams,
+             round(avg(ln(cast(bc.cb as double) / fc.cf)), 4)
+               as avg_logprob
+      from big
+      join bcnt bc on bc.w1 = big.b.w1 and bc.w2 = big.b.w2
+      join first_cnt fc on fc.w1 = big.b.w1
+      group by big.doc_id)
+    select doc_id, n_bigrams, avg_logprob
+    from scored
+    order by avg_logprob, doc_id
+    limit 20
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 least-probable documents under the corpus's own CONDITIONAL
+    bigram LM (score = mean ln P(w2 | w1), P = bigram count / first-word
+    bigram count) — the order-sensitive companion of
+    ``text_unigram_logprob``: a doc of common words in implausible order
+    ranks low here but not there (the CCNet/Gopher perplexity-filter
+    shape, with the corpus itself as the model).
+
+    Plan: one HOF pass builds the per-doc bigram table (no window — the
+    (i, i+1) pairing is map-side ``transform(sequence(...))`` inside each
+    row); ONE vocabulary-pair rollup feeds both the numerator table and,
+    re-aggregated by first word, the denominator (vocab-sized, no second
+    corpus scan). The score join probes the token-scale bigram table
+    against the vocab²-bounded count tables — AQE broadcasts them and
+    skew-splits the Zipf-head first words, exactly as documented on the
+    unigram query. Scores round to 4 dp BEFORE the bottom-20 ranking with
+    doc_id tiebreaks so float summation order cannot flip membership.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.withColumn("toks", F.split("text", " "))
+    bigrams = F.expr(
+        """
+        transform(sequence(1, size(toks) - 1),
+                  i -> struct(element_at(toks, i) as w1,
+                              element_at(toks, i + 1) as w2))
+        """
+    )
+    big = (
+        toked.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    # tracked persist: the bigram-count rollup feeds the numerator join AND
+    # the first-word denominator rollup, so the corpus is bigram-exploded
+    # exactly twice (count build + probe side), never three times.
+    bcnt = track(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    first_cnt = bcnt.groupBy("w1").agg(F.sum("cb").alias("cf"))
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(first_cnt, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cb").cast("double") / F.col("cf"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.orderBy("avg_logprob", "doc_id").limit(20)

@@ -665,3 +665,51 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_distinct_rollup",
+    oracle="""
+    select strftime(date_trunc('day', ts), '%Y-%m-%d') as day,
+           event_type,
+           cast(count(distinct user_id) as bigint) as n_users,
+           count(*) as n_events
+    from events
+    group by rollup(day, event_type)
+    order by day nulls first, event_type nulls first
+    """,
+)
+def agg_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per (day, event_type) with ROLLUP
+    subtotals (per-day and grand total) — the hierarchical audience
+    rollup a dashboard backfill computes in one pass instead of three.
+
+    COUNT(DISTINCT) under grouping sets is the canonical
+    expand-then-two-phase plan: Catalyst expands each input row once per
+    grouping set, partially de-duplicates (grouping keys + user_id)
+    map-side, and only then counts — no row ever carries a per-group
+    hash set, and the shuffle is keyed on (grouping_set_id, keys), so
+    the 100 TB cost is one well-partitioned exchange per phase. The
+    grand-total set's single reducer key holds only already-deduplicated
+    users. Day comes out as a STRING (date_format) so the rollup's NULL
+    subtotal markers and timezone handling hash identically on both
+    engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type",
+            "user_id",
+        )
+        .rollup("day", "event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
+    )

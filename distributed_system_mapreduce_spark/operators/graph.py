@@ -1212,3 +1212,88 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle=f"""
+    with {_PAIRS_SQL},
+    tri as (
+      select e1.src as a, e1.dst as b, e2.dst as c
+      from pairs e1
+      join pairs e2 on e2.src = e1.dst
+      join pairs e3 on e3.src = e1.src and e3.dst = e2.dst),
+    pertri as (
+      select unnest([a, b, c]) as id from tri),
+    tv as (select id, count(*) as t from pertri group by id),
+    local as (
+      select deg.id, deg.deg, coalesce(tv.t, 0) as t
+      from deg left join tv on tv.id = deg.id)
+    select cast((select count(*) from tri) as bigint) as n_triangles,
+           cast(sum(deg * (deg - 1) / 2) as bigint) as n_wedges,
+           round(3.0 * (select count(*) from tri)
+                 / sum(deg * (deg - 1) / 2), 6) as global_cc,
+           round(sum(case when deg >= 2
+                          then cast(round(t * 2.0 / (deg * (deg - 1)), 9)
+                                    as decimal(18,9))
+                          else cast(0 as decimal(18,9)) end)::double
+                 / sum(case when deg >= 2 then 1 else 0 end), 6)
+             as avg_local_cc
+    from local
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global and average-local clustering coefficients of the co-purchase
+    graph — the transitivity statistics (Watts-Strogatz) a graph-shape
+    audit reports next to the degree histogram.
+
+    Global CC = 3 * triangles / wedges, where the wedge count is the
+    integer rollup sum(C(deg, 2)) over the tracked vertex-degree table.
+    The per-vertex triangle participation reuses the degree-oriented
+    intersection (sqrt-bounded adjacency arrays, shared tracked cache with
+    graph_triangle_count): each enumerated triangle instance credits its
+    THREE vertices through one explode + groupBy — the shuffled rollup is
+    O(#triangles), never the wedge join's sum(deg^2). Local coefficients
+    quantize to 9 dp and sum as decimal(18,9) so the 100 TB mean is
+    partition-order-independent; everything else is integer until the two
+    final divides.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    inst = _oriented_with_adj(pairs, deg).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("w"),
+    )
+    tri_per_vertex = (
+        inst.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    local = deg.join(tri_per_vertex, "id", "left").select(
+        "deg", F.coalesce(F.col("t"), F.lit(0)).alias("t")
+    )
+    local_cc9 = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            F.col("t") * 2.0 / (F.col("deg") * (F.col("deg") - 1)), 9
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    return local.agg(
+        (F.sum("t") / 3).cast("bigint").alias("n_triangles"),
+        F.sum(
+            F.col("deg") * (F.col("deg") - 1) / 2
+        ).cast("bigint").alias("n_wedges"),
+        F.round(
+            F.sum("t").cast("double")
+            / F.sum(F.col("deg") * (F.col("deg") - 1) / 2),
+            6,
+        ).alias("global_cc"),
+        F.round(
+            F.sum(local_cc9).cast("double")
+            / F.sum((F.col("deg") >= 2).cast("int")),
+            6,
+        ).alias("avg_local_cc"),
+    )

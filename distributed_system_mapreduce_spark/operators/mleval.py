@@ -796,3 +796,346 @@ def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --------------------------------------------------------- r13 extensions
+# Agreement / proper-scoring-rule / rank-correlation metrics. Same scale
+# contract as the rest of the family: every metric factors through a
+# bounded rollup (k x k confusion counts, per-distinct-score counts, or a
+# (score, label) contingency table), so the corpus is touched by exactly
+# one map-side-combining groupBy and all windows/joins run over rollups
+# whose size is set by score resolution and label arity, not corpus rows.
+
+#: Shared centroid-classifier confusion CTE chain (the eval_confusion_
+#: centroid oracle, reused verbatim by eval_cohens_kappa).
+_CONF_CTES = """
+    e as (
+      select vec_id, label, embedding::DOUBLE[] as x from embeddings),
+    percoord as (
+      select label, i, avg(x[i]) as cv
+      from e cross join unnest(range(1, 65)) as t(i)
+      group by label, i),
+    cent as (
+      select label as cl, list(cv order by i) as c
+      from percoord group by label),
+    scored as (
+      select e.vec_id, e.label, ct.cl,
+             round(list_sum(list_transform(
+               list_zip(e.x, ct.c), p -> (p[1] - p[2]) * (p[1] - p[2]))), 4)
+               as d
+      from e cross join cent ct),
+    pred as (
+      select label, cl as pred_label,
+             row_number() over (partition by vec_id order by d, cl) as rn
+      from scored),
+    conf as (
+      select label, pred_label, count(*) as n
+      from pred where rn = 1
+      group by label, pred_label)
+"""
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=f"""
+    with {_CONF_CTES},
+    tot as (select sum(n) as nn from conf),
+    agree as (
+      select sum(case when label = pred_label then n else 0 end) as po_n
+      from conf),
+    marg as (
+      select sum(a.actual_n * p.pred_n) as pe_nn
+      from (select label as cls, sum(n) as actual_n from conf
+            group by label) a
+      join (select pred_label as cls, sum(n) as pred_n from conf
+            group by pred_label) p
+        on a.cls = p.cls)
+    select round((cast(po_n as double) * nn - pe_nn)
+                 / (cast(nn as double) * nn - pe_nn), 6) as kappa,
+           round(cast(po_n as double) / nn, 6) as po,
+           round(cast(pe_nn as double) / (cast(nn as double) * nn), 6) as pe,
+           cast(nn as bigint) as n
+    from tot, agree, marg
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the nearest-centroid classifier against the true
+    labels — chance-corrected agreement, the label-quality statistic an
+    annotation audit reports where raw accuracy is inflated by skewed
+    marginals.
+
+    Everything derives from the shared k x k ``centroid_confusion``
+    rollup: observed agreement is one conditional sum, expected agreement
+    is the inner product of the two k-row marginals. All arithmetic stays
+    integer (po*N, pe*N^2) until one deterministic final division —
+    kappa = (po*N^2 - pe_nn*N... reduced to (po_n*N - pe_nn)/(N^2 -
+    pe_nn) by multiplying through — so no float appears before the
+    round(., 6).
+    """
+    conf = centroid_confusion(spark, sf_dir)
+    actual = conf.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("n").alias("actual_n")
+    )
+    predicted = conf.groupBy(F.col("pred_label").alias("cls")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    marg = actual.join(predicted, "cls").agg(
+        F.sum(F.col("actual_n") * F.col("pred_n")).alias("pe_nn")
+    )
+    agg = conf.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("label") == F.col("pred_label"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("po_n"),
+    )
+    return agg.crossJoin(F.broadcast(marg)).select(
+        F.round(
+            (F.col("po_n").cast("double") * F.col("nn") - F.col("pe_nn"))
+            / (F.col("nn").cast("double") * F.col("nn") - F.col("pe_nn")),
+            6,
+        ).alias("kappa"),
+        F.round(F.col("po_n").cast("double") / F.col("nn"), 6).alias("po"),
+        F.round(
+            F.col("pe_nn").cast("double")
+            / (F.col("nn").cast("double") * F.col("nn")),
+            6,
+        ).alias("pe"),
+        F.col("nn").cast("bigint").alias("n"),
+    )
+
+
+#: Probability clamp for the cross-entropy terms: ln is unbounded at the
+#: clip boundaries (the calibration proxy hits exact 0 and 1), so both
+#: engines clamp into [EPS, 1 - EPS] first — the standard log-loss guard.
+LOGLOSS_EPS = 1e-6
+
+
+def _probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p, is_pos): the calibration probability proxy + binary label."""
+    emb = load(spark, sf_dir, "embeddings")
+    p = F.least(
+        F.greatest(
+            0.5 + CALIB_GAIN * F.col("embedding")[0].cast("double"),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    return emb.select(
+        p.alias("p"), (F.col("label") < 5).cast("int").alias("is_pos")
+    )
+
+
+_PROBS_SQL = f"""
+    probs as (
+      select least(greatest(
+               0.5 + {CALIB_GAIN} * cast(embedding[1] as double),
+               0.0), 1.0) as p,
+             cast(label < 5 as int) as is_pos
+      from embeddings)
+"""
+
+
+@register(
+    "eval_log_loss",
+    oracle=f"""
+    with {_PROBS_SQL},
+    terms as (
+      select cast(round(-(is_pos * ln(greatest(p, {LOGLOSS_EPS}))
+               + (1 - is_pos) * ln(greatest(1 - p, {LOGLOSS_EPS}))), 9)
+               as decimal(18,9)) as t
+      from probs)
+    select round(cast(sum(t) as double) / count(*), 6) as log_loss,
+           count(*) as n
+    from terms
+    """,
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean binary cross-entropy of the calibration probability proxy
+    against the label — the proper scoring rule a model-eval sweep reports
+    next to AUC (AUC is rank-only; log loss punishes confident mistakes).
+
+    One map-side expression per row (clamp + two ln terms), rounded to
+    9 dp and summed as decimal(18,9) so the 100 TB reduction is
+    partition-order-independent (SURVEY.md §7.3.1); output is one row.
+    """
+    terms = _probs(spark, sf_dir).select(
+        F.round(
+            -(
+                F.col("is_pos")
+                * F.log(F.greatest(F.col("p"), F.lit(LOGLOSS_EPS)))
+                + (1 - F.col("is_pos"))
+                * F.log(F.greatest(1 - F.col("p"), F.lit(LOGLOSS_EPS)))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("t")
+    )
+    return terms.agg(
+        F.round(
+            F.sum("t").cast("double") / F.count(F.lit(1)), 6
+        ).alias("log_loss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "eval_brier_score",
+    oracle=f"""
+    with {_PROBS_SQL},
+    terms as (
+      select cast(round((p - is_pos) * (p - is_pos), 9)
+               as decimal(18,9)) as t
+      from probs)
+    select round(cast(sum(t) as double) / count(*), 6) as brier,
+           count(*) as n
+    from terms
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared error of the probability proxy against
+    the binary outcome) — the decomposable proper scoring rule
+    (calibration + refinement) paired with ``eval_calibration_bins``.
+
+    Same shape as log loss: one per-row squared-error term, 9 dp
+    quantization, exact decimal sum, one-row output.
+    """
+    terms = _probs(spark, sf_dir).select(
+        F.round(
+            (F.col("p") - F.col("is_pos")) * (F.col("p") - F.col("is_pos")), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("t")
+    )
+    return terms.agg(
+        F.round(
+            F.sum("t").cast("double") / F.count(F.lit(1)), 6
+        ).alias("brier"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "eval_spearman_corr",
+    oracle=f"""
+    with scored as (
+      select cast(floor(cast(embedding[1] as double) * {SCORE_SCALE})
+                  as bigint) as score_m,
+             cast(label as int) as y
+      from embeddings),
+    xy as (
+      select score_m, y, count(*) as n from scored
+      group by score_m, y),
+    xr as (
+      select score_m,
+             2 * coalesce(sum(nx) over (order by score_m
+                   rows between unbounded preceding and 1 preceding), 0)
+               + nx + 1 as rx2
+      from (select score_m, sum(n) as nx from xy group by score_m)),
+    yr as (
+      select y,
+             2 * coalesce(sum(ny) over (order by y
+                   rows between unbounded preceding and 1 preceding), 0)
+               + ny + 1 as ry2
+      from (select y, sum(n) as ny from xy group by y)),
+    s as (
+      select cast(sum(n) as decimal(38,0)) as sn,
+             cast(sum(n * rx2) as decimal(38,0)) as sx,
+             cast(sum(n * ry2) as decimal(38,0)) as sy,
+             cast(sum(n * rx2 * ry2) as decimal(38,0)) as sxy,
+             cast(sum(n * rx2 * rx2) as decimal(38,0)) as sxx,
+             cast(sum(n * ry2 * ry2) as decimal(38,0)) as syy
+      from xy join xr using (score_m) join yr using (y))
+    select round((cast(sn as double) * cast(sxy as double)
+                  - cast(sx as double) * cast(sy as double))
+                 / sqrt((cast(sn as double) * cast(sxx as double)
+                         - cast(sx as double) * cast(sx as double))
+                        * (cast(sn as double) * cast(syy as double)
+                           - cast(sy as double) * cast(sy as double))),
+                 6) as spearman,
+           cast(sn as bigint) as n
+    from s
+    """,
+)
+def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the milli-bucketed embedding
+    score and the integer label, with exact average-rank tie handling —
+    the monotone-association check an eval harness runs when the score
+    need not be linear in the target.
+
+    Scale plan: the corpus collapses to a (score, label) contingency
+    table in ONE map-side-combining groupBy (size = distinct scores x
+    label arity, set by score resolution, never corpus rows). Average
+    ranks come from running sums over the two tiny marginal rollups —
+    doubled (2*rank is integer: 2*cum_before + cnt + 1) so no fraction
+    enters a key — and Spearman is then weighted Pearson over the
+    contingency table. Moments accumulate as decimal(38,0) (exact,
+    order-independent; n * (2N)^2 terms overflow bigint at petabyte row
+    counts) and only the single final expression divides in doubles.
+    """
+    scored = load(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("embedding")[0].cast("double") * SCORE_SCALE)
+        .cast("bigint")
+        .alias("score_m"),
+        F.col("label").cast("int").alias("y"),
+    )
+    xy = scored.groupBy("score_m", "y").agg(F.count(F.lit(1)).alias("n"))
+    wx = Window.orderBy("score_m").rowsBetween(Window.unboundedPreceding, -1)
+    xr = (
+        xy.groupBy("score_m")
+        .agg(F.sum("n").alias("nx"))
+        .select(
+            "score_m",
+            (
+                2 * F.coalesce(F.sum("nx").over(wx), F.lit(0))
+                + F.col("nx")
+                + 1
+            ).alias("rx2"),
+        )
+    )
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    yr = (
+        xy.groupBy("y")
+        .agg(F.sum("n").alias("ny"))
+        .select(
+            "y",
+            (
+                2 * F.coalesce(F.sum("ny").over(wy), F.lit(0))
+                + F.col("ny")
+                + 1
+            ).alias("ry2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    s = (
+        xy.join(F.broadcast(xr), "score_m")
+        .join(F.broadcast(yr), "y")
+        .agg(
+            F.sum("n").cast(dec).alias("sn"),
+            F.sum(F.col("n") * F.col("rx2")).cast(dec).alias("sx"),
+            F.sum(F.col("n") * F.col("ry2")).cast(dec).alias("sy"),
+            F.sum(F.col("n") * F.col("rx2") * F.col("ry2"))
+            .cast(dec)
+            .alias("sxy"),
+            F.sum(F.col("n") * F.col("rx2") * F.col("rx2"))
+            .cast(dec)
+            .alias("sxx"),
+            F.sum(F.col("n") * F.col("ry2") * F.col("ry2"))
+            .cast(dec)
+            .alias("syy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        F.round(
+            (d("sn") * d("sxy") - d("sx") * d("sy"))
+            / F.sqrt(
+                (d("sn") * d("sxx") - d("sx") * d("sx"))
+                * (d("sn") * d("syy") - d("sy") * d("sy"))
+            ),
+            6,
+        ).alias("spearman"),
+        F.col("sn").cast("bigint").alias("n"),
+    )

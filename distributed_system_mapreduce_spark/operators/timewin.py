@@ -1093,3 +1093,259 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.percentile("hours", F.lit(0.9)), 2).alias("p90_hours"),
         F.round(F.avg("hours"), 2).alias("avg_hours"),
     )
+
+
+#: Autocorrelation lags reported by events_acf: adjacent hours plus the
+#: daily-seasonality lag (the events fixture has a 24 h cycle —
+#: events_seasonal_index measures it in level form, the ACF in
+#: correlation form).
+ACF_LAGS = (1, 2, 3, 24)
+
+
+def _acf_oracle() -> str:
+    per_lag = "\n    union all\n".join(
+        f"""
+    select {k} as lag,
+           count(*) as n_pairs,
+           round((count(*) * cast(sum(xy) as double)
+                  - cast(sum(x) as double) * cast(sum(y) as double))
+                 / sqrt((count(*) * cast(sum(xx) as double)
+                         - cast(sum(x) as double) * cast(sum(x) as double))
+                        * (count(*) * cast(sum(yy) as double)
+                           - cast(sum(y) as double)
+                             * cast(sum(y) as double))), 6) as acf
+    from (
+      select cast(x as decimal(38,0)) as x,
+             cast(y as decimal(38,0)) as y,
+             cast(x as decimal(38,0)) * y as xy,
+             cast(x as decimal(38,0)) * x as xx,
+             cast(y as decimal(38,0)) * y as yy
+      from (
+        select x, lag(x, {k}) over (order by hour_epoch) as y
+        from filled)
+      where y is not null)"""
+        for k in ACF_LAGS
+    )
+    return f"""
+    with hourly as (
+      select cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             count(*) as cnt
+      from events group by 1),
+    span as (select min(hour_epoch) as mn, max(hour_epoch) as mx from hourly),
+    filled as (
+      select g.hour_epoch, coalesce(h.cnt, 0) as x
+      from (select unnest(generate_series(mn, mx, 3600)) as hour_epoch
+            from span) g
+      left join hourly h on h.hour_epoch = g.hour_epoch)
+    {per_lag}
+    order by lag
+    """
+
+
+@register("events_acf", oracle=_acf_oracle())
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the global hourly event rate at lags 1/2/3/24 —
+    the seasonality/persistence diagnostic a forecasting pipeline runs
+    before choosing model order (the 24 h lag exposes the fixture's daily
+    cycle as correlation, complementing events_seasonal_index's level
+    view).
+
+    Scale plan: ONE map-side-combining groupBy collapses the corpus to
+    the hourly rollup; the zero-filled spine and every lag window run
+    over that CALENDAR-bounded series (rows = span hours regardless of
+    corpus size — a century is <1M rows), so the single-partition
+    ordering window is bounded by construction. Counts and their products
+    accumulate as decimal(38,0) (hourly counts reach 1e10 at 100 TB;
+    their squares overflow bigint) and only each lag's final Pearson
+    expression divides in doubles.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.floor(F.unix_seconds(F.date_trunc("hour", F.col("ts")))))
+        .cast("bigint")
+        .alias("hour_epoch")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = hourly.agg(
+        F.min("hour_epoch").alias("mn"), F.max("hour_epoch").alias("mx")
+    )
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_epoch")
+    )
+    filled = spine.join(hourly, "hour_epoch", "left").select(
+        "hour_epoch", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("hour_epoch")
+    d38 = "decimal(38,0)"
+    rows = []
+    for k in ACF_LAGS:
+        pairs = (
+            filled.select("x", F.lag("x", k).over(w).alias("y"))
+            .filter(F.col("y").isNotNull())
+            .select(
+                F.col("x").cast(d38).alias("x"),
+                F.col("y").cast(d38).alias("y"),
+            )
+        )
+        dd = lambda c: c.cast("double")  # noqa: E731
+        rows.append(
+            pairs.agg(
+                F.lit(k).cast("int").alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(
+                    (
+                        F.count(F.lit(1))
+                        * dd(F.sum(F.col("x") * F.col("y")))
+                        - dd(F.sum("x")) * dd(F.sum("y"))
+                    )
+                    / F.sqrt(
+                        (
+                            F.count(F.lit(1))
+                            * dd(F.sum(F.col("x") * F.col("x")))
+                            - dd(F.sum("x")) * dd(F.sum("x"))
+                        )
+                        * (
+                            F.count(F.lit(1))
+                            * dd(F.sum(F.col("y") * F.col("y")))
+                            - dd(F.sum("y")) * dd(F.sum("y"))
+                        )
+                    ),
+                    6,
+                ).alias("acf"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+#: MAD outlier gate: |x - median| > MAD_K * MAD (both medians are the
+#: LOWER middle element — rn = (n+1) // 2 under a (value, hour) total
+#: order — so the statistic is integer-exact on both engines).
+MAD_K = 3
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+    with hourly as (
+      select event_type,
+             cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             count(*) as cnt
+      from events group by all),
+    span as (select min(hour_epoch) as mn, max(hour_epoch) as mx from hourly),
+    grid as (
+      select t.event_type, g.hour_epoch
+      from (select distinct event_type from events) t
+      cross join (select unnest(generate_series(mn, mx, 3600)) as hour_epoch
+                  from span) g),
+    filled as (
+      select g.event_type, g.hour_epoch, coalesce(h.cnt, 0) as cnt
+      from grid g
+      left join hourly h
+        on h.event_type = g.event_type and h.hour_epoch = g.hour_epoch),
+    med as (
+      select event_type, cnt as med
+      from (select event_type, cnt,
+                   row_number() over (partition by event_type
+                                      order by cnt, hour_epoch) as rn,
+                   count(*) over (partition by event_type) as n
+            from filled)
+      where rn = (n + 1) // 2),
+    dev as (
+      select f.event_type, f.hour_epoch, f.cnt, m.med,
+             abs(f.cnt - m.med) as adev
+      from filled f join med m using (event_type)),
+    mad as (
+      select event_type, adev as mad
+      from (select event_type, adev,
+                   row_number() over (partition by event_type
+                                      order by adev, hour_epoch) as rn,
+                   count(*) over (partition by event_type) as n
+            from dev)
+      where rn = (n + 1) // 2)
+    select d.event_type,
+           strftime(make_timestamp(d.hour_epoch * 1000000), '{_FMT_DUCK}')
+             as hour_start,
+           d.cnt, d.med, m.mad, d.adev
+    from dev d join mad m using (event_type)
+    where d.adev > {MAD_K} * m.mad
+    order by d.adev desc, d.event_type, d.hour_epoch
+    limit 20
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hourly rate outliers per the median/MAD rule (|x - med| >
+    3 * MAD per event type) — the robust anomaly detector that, unlike
+    the z-score in events_rate_anomaly, is not itself dragged by the
+    outliers it hunts.
+
+    Both medians are exact LOWER-median picks (row_number = (n+1)//2
+    under a total (value, hour) order), so the whole statistic is
+    integer arithmetic — no float enters before the final ordering.
+    Scale plan: the corpus collapses to the (type, hour) rollup in one
+    partial-agg shuffle; every window partitions BY TYPE over the
+    calendar-bounded series, and the two per-type median tables are
+    type-arity-sized broadcast joins.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.date_trunc("hour", F.col("ts"))))
+        .cast("bigint")
+        .alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = hourly.agg(
+        F.min("hour_epoch").alias("mn"), F.max("hour_epoch").alias("mx")
+    )
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_epoch")
+    )
+    grid = (
+        ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    )
+    filled = grid.join(hourly, ["event_type", "hour_epoch"], "left").select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+    )
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        wp = Window.partitionBy("event_type").orderBy(val, "hour_epoch")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.select(
+                "event_type",
+                F.col(val),
+                F.row_number().over(wp).alias("rn"),
+                F.count(F.lit(1)).over(wn).alias("n"),
+            )
+            .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select("event_type", F.col(val).alias(out))
+        )
+
+    med = lower_median(filled, "cnt", "med")
+    dev = filled.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "hour_epoch",
+        "cnt",
+        "med",
+        F.abs(F.col("cnt") - F.col("med")).alias("adev"),
+    )
+    mad = lower_median(dev, "adev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        .select(
+            "event_type",
+            F.date_format(
+                F.timestamp_seconds("hour_epoch"), _FMT_SPARK
+            ).alias("hour_start"),
+            "cnt",
+            "med",
+            "mad",
+            "adev",
+        )
+        .orderBy(F.desc("adev"), "event_type", "hour_start")
+        .limit(20)
+    )

@@ -1065,3 +1065,103 @@ def test_temperature_mix_flattens_distribution(spark):
         else:
             assert r["boost"] > 1.0, r
     assert sum(r["epoch_tokens"] for r in rows) <= MIX_EPOCH_TOKENS
+
+
+def test_eval_agreement_metrics_consistent(spark):
+    """Kappa never exceeds raw agreement (po), both in [-1, 1] / [0, 1];
+    log loss >= 0; Brier in [0, 1]; and calibration ties out: the Brier
+    score can't beat the ECE-style refinement floor of a perfect-per-bin
+    predictor (Brier >= sum_bins w_b * pos_rate_b * (1 - pos_rate_b),
+    the irreducible within-bin variance, minus bin-quantization slack)."""
+    kap = QUERIES["eval_cohens_kappa"](spark, SF_DIR).collect()[0]
+    assert -1.0 <= kap.kappa <= 1.0
+    assert 0.0 <= kap.po <= 1.0
+    assert kap.kappa <= kap.po + 1e-9
+    ll = QUERIES["eval_log_loss"](spark, SF_DIR).collect()[0]
+    assert ll.log_loss >= 0.0
+    br = QUERIES["eval_brier_score"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= br.brier <= 1.0
+    assert ll.n == br.n
+    bins = QUERIES["eval_calibration_bins"](spark, SF_DIR).collect()
+    n_tot = sum(r.n for r in bins)
+    refinement = sum(
+        (r.n / n_tot) * r.pos_rate * (1 - r.pos_rate) for r in bins
+    )
+    # within-bin probability spread adds at most (bin width)^2/4 per bin
+    assert br.brier >= refinement - 0.25 * (1.0 / 10) ** 2 - 1e-6
+
+
+def test_eval_spearman_matches_scipy_free_reference(spark):
+    """Spearman via the contingency-table plan equals a direct pandas
+    rank-correlation on the same (score, label) pairs."""
+    import pandas as pd
+
+    emb = load(spark, SF_DIR, "embeddings").select(
+        F.floor(F.col("embedding")[0].cast("double") * 1000).alias("x"),
+        F.col("label").alias("y"),
+    ).toPandas()
+    expect = (
+        emb["x"].rank(method="average").corr(emb["y"].rank(method="average"))
+    )
+    got = QUERIES["eval_spearman_corr"](spark, SF_DIR).collect()[0]
+    assert abs(got.spearman - expect) < 1e-6
+    assert got.n == len(emb)
+
+
+def test_graph_clustering_coeff_bounds(spark):
+    """Both coefficients are in [0, 1]; triangle/wedge counts agree with
+    graph_triangle_count; a complete-ish sanity: 3*tri <= wedges."""
+    cc = QUERIES["graph_clustering_coeff"](spark, SF_DIR).collect()[0]
+    tri = QUERIES["graph_triangle_count"](spark, SF_DIR).collect()[0]
+    assert cc.n_triangles == tri.n_triangles
+    assert 3 * cc.n_triangles <= cc.n_wedges
+    assert 0.0 <= cc.global_cc <= 1.0
+    assert 0.0 <= cc.avg_local_cc <= 1.0
+
+
+def test_events_acf_lag_zero_degenerates_and_bounds(spark):
+    """Every reported ACF is in [-1, 1] and pair counts shrink with lag
+    (n_pairs = span - lag on the gap-free spine)."""
+    rows = QUERIES["events_acf"](spark, SF_DIR).collect()
+    assert [r.lag for r in rows] == [1, 2, 3, 24]
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+    spans = {r.lag: r.n_pairs + r.lag for r in rows}
+    assert len(set(spans.values())) == 1  # same underlying spine length
+
+
+def test_events_mad_outliers_exceed_gate(spark):
+    """Every emitted row violates the MAD gate it claims (adev > 3*mad)
+    and adev is consistent with (cnt, med)."""
+    rows = QUERIES["events_mad_outliers"](spark, SF_DIR).collect()
+    assert rows, "fixture should surface at least one outlier"
+    for r in rows:
+        assert r.adev == abs(r.cnt - r.med)
+        assert r.adev > 3 * r.mad
+
+
+def test_agg_distinct_rollup_hierarchy(spark):
+    """Rollup consistency: per-day subtotal >= max over its types, grand
+    total row present, and distinct counts never exceed event counts."""
+    rows = QUERIES["agg_distinct_rollup"](spark, SF_DIR).collect()
+    grand = [r for r in rows if r.day is None and r.event_type is None]
+    assert len(grand) == 1
+    days = {}
+    for r in rows:
+        assert r.n_users <= r.n_events
+        if r.day is not None and r.event_type is None:
+            days[r.day] = r
+    for r in rows:
+        if r.day is not None and r.event_type is not None:
+            assert r.n_users <= days[r.day].n_events
+
+
+def test_text_bigram_logprob_vs_unigram_disagrees(spark):
+    """The bigram LM is a different ranking signal: scores are <= 0
+    (conditional probs), every doc has n_bigrams = n_tokens - 1 shape
+    (positive), and the bottom-20 set need not equal the unigram one."""
+    rows = QUERIES["text_bigram_logprob"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.avg_logprob <= 0.0
+        assert r.n_bigrams >= 1
