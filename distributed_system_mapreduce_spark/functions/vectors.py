@@ -1346,11 +1346,96 @@ def _clear_kmeans_memo() -> int:
 register_memo_clearer(_clear_kmeans_memo)
 
 
-def _kmeans_oracle() -> str:
+def kmeans_choices(cents: list) -> "F.Column":
+    """array<struct<d, i>> of squared-L2 distances from column ``e`` to
+    each centroid — ``array_min`` over it is the argmin with the
+    cluster-index tiebreak (struct comparison is lexicographic)."""
+
+    def dist_to(c: list) -> "F.Column":
+        carr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array(
+        *[
+            F.struct(dist_to(c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def kmeans_assign(emb: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, e, cluster, dist): nearest-centroid assignment of every
+    vector — the shared per-round pass of embed_kmeans and the final-model
+    scoring of embed_silhouette."""
+    best = F.array_min(kmeans_choices(cents))
+    return emb.select(
+        "vec_id",
+        "e",
+        best["i"].alias("cluster"),
+        best["d"].alias("dist"),
+    )
+
+
+def kmeans_entry_centroids(spark: SparkSession, emb: DataFrame) -> list:
+    """The FINAL round's input centroids (the oracle's c_{iters-1}) for
+    the canonical (K, iters, rounding) Lloyd run over ``emb``.
+
+    Lloyd is deterministic given the init and corpus, so the result is
+    memoized per (session, corpus, params) — the PQ-codebook/CC-label
+    session-materialized-view contract: repeat callers skip the
+    KMEANS_ITERS collect rounds and rebuild only their own assignment
+    plan (VERDICT r10 #5). K·dim doubles: driver-bounded.
+    """
+    memo_key = (
+        spark.sparkContext.applicationId, emb.semanticHash(),
+        KMEANS_K, KMEANS_ITERS, KMEANS_ROUND,
+    )
+    entry_cents = _KMEANS_MEMO.get(memo_key)
+    if entry_cents is None:
+        init = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+        if len(init) < KMEANS_K:
+            # same guard class as embed_pca_top_component's empty-table
+            # check (ADVICE r3): fail loudly instead of iterating on a
+            # ragged centroid list
+            raise ValueError(
+                f"embed_kmeans needs >= {KMEANS_K} vectors, got {len(init)}"
+            )
+        cents = [
+            [round(float(x), KMEANS_ROUND) for x in r["e"]] for r in init
+        ]
+        entry_cents = cents
+        for _ in range(KMEANS_ITERS):
+            entry_cents = cents
+            means = kmeans_assign(emb, cents).groupBy("cluster").agg(
+                *[
+                    F.avg(F.element_at("e", d + 1)).alias(f"m{d}")
+                    for d in range(EMBED_DIM)
+                ]
+            )
+            got = {
+                r["cluster"]: [
+                    round(float(r[f"m{d}"]), KMEANS_ROUND)
+                    for d in range(EMBED_DIM)
+                ]
+                for r in means.collect()
+            }
+            cents = [got.get(i, cents[i]) for i in range(KMEANS_K)]
+        _KMEANS_MEMO[memo_key] = entry_cents
+    return entry_cents
+
+
+def _kmeans_cte_chain() -> str:
     """Unrolled Lloyd iterations as chained CTEs (like the PageRank
     oracle): deterministic init from the K smallest vec_ids, assignment by
     squared-L2 argmin with cluster-index tiebreak, per-dim means rounded
-    to KMEANS_ROUND before the next assignment."""
+    to KMEANS_ROUND before the next assignment. Shared by the
+    embed_kmeans and embed_silhouette oracles; the final CTEs of interest
+    are a{iters} (assignments + squared distance), d{iters} (the full
+    vector x centroid distance grid), and c{iters-1} (the model)."""
     k, iters, nd, rnd = KMEANS_K, KMEANS_ITERS, EMBED_DIM, KMEANS_ROUND
     parts = [
         f"""
@@ -1390,8 +1475,13 @@ def _kmeans_oracle() -> str:
       from m{it}
       group by cluster)"""
         )
+    return ",".join(parts)
+
+
+def _kmeans_oracle() -> str:
+    iters = KMEANS_ITERS
     return f"""
-    with {",".join(parts)}
+    with {_kmeans_cte_chain()}
     select a.cluster,
            count(*) as n_vecs,
            round(sum(a.dist), 2) as inertia,
@@ -1425,71 +1515,8 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-
-    def dist_to(c: list) -> "F.Column":
-        carr = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("e"), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def assign(cents: list) -> DataFrame:
-        choices = F.array(
-            *[
-                F.struct(dist_to(c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(cents)
-            ]
-        )
-        best = F.array_min(choices)
-        return emb.select(
-            "vec_id",
-            "e",
-            best["i"].alias("cluster"),
-            best["d"].alias("dist"),
-        )
-
-    # Lloyd is deterministic given the init and corpus, so the FINAL
-    # round's input centroids are memoized per (session, corpus, params) —
-    # the PQ-codebook/CC-label session-materialized-view contract: repeat
-    # callers skip the {KMEANS_ITERS} collect rounds and rebuild only the
-    # final assignment plan (VERDICT r10 #5). K·dim doubles: driver-bounded.
-    memo_key = (
-        spark.sparkContext.applicationId, emb.semanticHash(),
-        KMEANS_K, KMEANS_ITERS, KMEANS_ROUND,
-    )
-    entry_cents = _KMEANS_MEMO.get(memo_key)
-    if entry_cents is None:
-        init = emb.orderBy("vec_id").limit(KMEANS_K).collect()
-        if len(init) < KMEANS_K:
-            # same guard class as embed_pca_top_component's empty-table
-            # check (ADVICE r3): fail loudly instead of iterating on a
-            # ragged centroid list
-            raise ValueError(
-                f"embed_kmeans needs >= {KMEANS_K} vectors, got {len(init)}"
-            )
-        cents = [
-            [round(float(x), KMEANS_ROUND) for x in r["e"]] for r in init
-        ]
-        entry_cents = cents
-        for _ in range(KMEANS_ITERS):
-            entry_cents = cents
-            means = assign(cents).groupBy("cluster").agg(
-                *[
-                    F.avg(F.element_at("e", d + 1)).alias(f"m{d}")
-                    for d in range(EMBED_DIM)
-                ]
-            )
-            got = {
-                r["cluster"]: [
-                    round(float(r[f"m{d}"]), KMEANS_ROUND)
-                    for d in range(EMBED_DIM)
-                ]
-                for r in means.collect()
-            }
-            cents = [got.get(i, cents[i]) for i in range(KMEANS_K)]
-        _KMEANS_MEMO[memo_key] = entry_cents
-    assigned = assign(entry_cents)
+    entry_cents = kmeans_entry_centroids(spark, emb)
+    assigned = kmeans_assign(emb, entry_cents)
 
     # inertia and norms report against the centroids the FINAL assignment
     # used (the oracle's c_{iters-1}) — the standard per-round objective
@@ -1507,6 +1534,83 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "centroid_norm", F.element_at(norms, F.col("cluster") + 1)
+        )
+        .orderBy("cluster")
+    )
+
+
+def _silhouette_oracle() -> str:
+    iters = KMEANS_ITERS
+    return f"""
+    with {_kmeans_cte_chain()},
+    b as (
+      select d.vec_id, min(d.dist) as b2
+      from d{iters} d
+      join a{iters} a using (vec_id)
+      where d.cluster <> a.cluster
+      group by d.vec_id),
+    s as (
+      select a.cluster,
+             cast(round(case
+               when greatest(sqrt(a.dist), sqrt(b.b2)) = 0 then 0
+               else (sqrt(b.b2) - sqrt(a.dist))
+                    / greatest(sqrt(a.dist), sqrt(b.b2)) end, 9)
+               as decimal(18,9)) as s
+      from a{iters} a join b using (vec_id))
+    select cluster,
+           count(*) as n_vecs,
+           round(cast(sum(s) as double) / count(*), 6) as mean_silhouette
+    from s
+    group by cluster
+    order by cluster
+    """
+
+
+@register("embed_silhouette", oracle=_silhouette_oracle())
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster mean simplified silhouette of the canonical k-means
+    model — the clustering-quality score (a = distance to own centroid,
+    b = distance to the nearest OTHER centroid, s = (b-a)/max(a,b)) that
+    tells a curation pipeline whether its embedding clusters are real
+    before it stratifies sampling on them.
+
+    The model comes from the shared memoized Lloyd run
+    (:func:`kmeans_entry_centroids` — zero extra training passes when
+    embed_kmeans already ran this session); scoring is ONE broadcast
+    k-per-row pass: the same choices array gives a (the argmin struct)
+    and b (array_min over the other k-1 entries) without a second join or
+    shuffle. Silhouettes quantize to 9 dp and sum as decimal(18,9), so
+    the per-cluster means are partition-order-independent; output is k
+    rows at any corpus size.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = kmeans_entry_centroids(spark, emb)
+    choices = kmeans_choices(cents)
+    best = F.array_min(choices)
+    scored = emb.select(
+        best["i"].alias("cluster"),
+        F.sqrt(best["d"]).alias("a"),
+        F.sqrt(
+            F.array_min(
+                F.filter(choices, lambda c: c["i"] != best["i"])
+            )["d"]
+        ).alias("b"),
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        scored.select(
+            "cluster", F.round(s, 9).cast("decimal(18,9)").alias("s")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_silhouette"),
         )
         .orderBy("cluster")
     )

@@ -1499,3 +1499,191 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------- in-engine training
+
+#: pipeline_quality_logreg hyperparameters: full-batch gradient-descent
+#: steps, learning rate, and the per-step quantization of both the
+#: gradient terms (9 dp, summed as decimal(18,9)) and the updated weights
+#: (9 dp) — the same determinism armor as the Lloyd/PCA loops, so every
+#: step's model compares identical quantized scalars on both engines.
+LOGREG_STEPS = 12
+LOGREG_LR = 8.0
+#: classification target: docs with at least this many chars are the
+#: positive class. The synthetic fixture is deliberately
+#: feature-degenerate for every NATURAL label (language, source, and the
+#: embedding labels are all independent of the content features — see the
+#: LANG_MARKERS degeneracy note in functions/text.py), so the training
+#: target is a held-out threshold on raw length: the GD loop then has
+#: real signal to descend, and the operator shape — distributed
+#: full-batch training — is what's under test.
+LOGREG_POS_CHARS = 300
+
+#: Session-scoped memo of the trained weights (3 doubles) — the
+#: kmeans-centroid contract: repeat callers skip the LOGREG_STEPS
+#: one-row collects and rebuild only the scoring plan.
+_LOGREG_MEMO: dict[tuple, list] = {}
+
+
+def _clear_logreg_memo() -> int:
+    n = len(_LOGREG_MEMO)
+    _LOGREG_MEMO.clear()
+    return n
+
+
+from ..cache import register_memo_clearer  # noqa: E402
+
+register_memo_clearer(_clear_logreg_memo)
+
+
+def _logreg_sigma(z: Column) -> Column:
+    """Rational 'fast sigmoid' 0.5 + z / (2 * (1 + |z|)) — the squashing
+    link used INSTEAD of 1/(1+exp(-z)) deliberately: the training loop is
+    hash-compared against DuckDB, and libm exp() is only ~1-ulp accurate
+    (JVM vs C runtimes can disagree in the last bit, which a 9 dp
+    quantization boundary can amplify into a flipped gradient digit).
+    Every operation here (+, -, *, /, abs) is IEEE-754 correctly rounded,
+    so both engines produce bit-identical per-row terms. Same range
+    ((0, 1), 0.5 at z=0, monotone), same decision boundary z > 0."""
+    return 0.5 + z / (2 * (1 + F.abs(z)))
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x1, x2, y): scaled length features + the is-English label —
+    exact-integer ratios, so the feature doubles are engine-identical."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        (F.col("n_chars").cast("double") / 1000.0).alias("x1"),
+        (F.size(F.split("text", " ")).cast("double") / 100.0).alias("x2"),
+        (F.col("n_chars") >= LOGREG_POS_CHARS).cast("int").alias("y"),
+    )
+
+
+def logreg_weights(spark: SparkSession, sf_dir: str) -> list:
+    """[b0, b1, b2] after LOGREG_STEPS full-batch GD steps from zero init.
+
+    Each step is ONE map-side-combining aggregation over the corpus
+    (three gradient components, each a decimal(18,9) sum of per-row
+    9 dp-quantized terms) collected to the driver — the MLlib
+    driver-holds-the-model shape; the model is 3 scalars at any corpus
+    size. Weights re-quantize to 9 dp between steps.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir,
+           LOGREG_STEPS, LOGREG_LR)
+    got = _LOGREG_MEMO.get(key)
+    if got is not None:
+        return got
+    feat = _logreg_features(spark, sf_dir)
+    beta = [0.0, 0.0, 0.0]
+    for _ in range(LOGREG_STEPS):
+        z = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1") + F.lit(
+            beta[2]
+        ) * F.col("x2")
+        resid = _logreg_sigma(z) - F.col("y")
+        row = feat.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.round(resid * xj, 9).cast("decimal(18,9)")
+                ).alias(f"g{j}")
+                for j, xj in enumerate(
+                    [F.lit(1.0), F.col("x1"), F.col("x2")]
+                )
+            ],
+        ).collect()[0]
+        n = row["n"]
+        beta = [
+            round(beta[j] - LOGREG_LR * (float(row[f"g{j}"]) / n), 9)
+            for j in range(3)
+        ]
+    _LOGREG_MEMO[key] = beta
+    return beta
+
+
+def _logreg_oracle() -> str:
+    # each b{k} CTE is referenced twice (by g{k+1} and b{k+1}); without
+    # MATERIALIZED DuckDB inlines the chain and re-evaluates it 2^steps
+    # times (measured: 91 s at 12 steps -> sub-second materialized)
+    sig = "(0.5 + {z} / (2 * (1 + abs({z}))))"
+    parts = [
+        f"""
+    feat as (
+      select cast(n_chars as double) / 1000.0 as x1,
+             cast(len(string_split(text, ' ')) as double) / 100.0 as x2,
+             cast(n_chars >= {LOGREG_POS_CHARS} as int) as y
+      from documents),
+    b0 as materialized (select 0.0 as w0, 0.0 as w1, 0.0 as w2)"""
+    ]
+    for k in range(1, LOGREG_STEPS + 1):
+        z = f"(b.w0 + b.w1 * f.x1 + b.w2 * f.x2)"
+        s = sig.format(z=z)
+        parts.append(f"""
+    g{k} as materialized (
+      select count(*) as n,
+             sum(cast(round(({s} - f.y) * 1.0, 9) as decimal(18,9))) as g0,
+             sum(cast(round(({s} - f.y) * f.x1, 9) as decimal(18,9))) as g1,
+             sum(cast(round(({s} - f.y) * f.x2, 9) as decimal(18,9))) as g2
+      from feat f cross join b{k - 1} b),
+    b{k} as materialized (
+      select round(b.w0 - {LOGREG_LR} * (cast(g.g0 as double) / g.n), 9) as w0,
+             round(b.w1 - {LOGREG_LR} * (cast(g.g1 as double) / g.n), 9) as w1,
+             round(b.w2 - {LOGREG_LR} * (cast(g.g2 as double) / g.n), 9) as w2
+      from b{k - 1} b cross join g{k} g)""")
+    last = f"b{LOGREG_STEPS}"
+    return f"""
+    with {",".join(parts)}
+    select round(b.w0, 6) as beta0,
+           round(b.w1, 6) as beta1,
+           round(b.w2, 6) as beta2,
+           count(*) as n,
+           cast(sum(case when ((b.w0 + b.w1 * f.x1 + b.w2 * f.x2) > 0)
+                              = (f.y = 1)
+                         then 1 else 0 end) as bigint) as n_correct,
+           round(sum(case when ((b.w0 + b.w1 * f.x1 + b.w2 * f.x2) > 0)
+                               = (f.y = 1)
+                          then 1.0 else 0.0 end) / count(*), 6) as accuracy
+    from feat f cross join {last} b
+    group by b.w0, b.w1, b.w2
+    """
+
+
+@register("pipeline_quality_logreg", oracle=_logreg_oracle())
+def pipeline_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a binary quality/language classifier INSIDE the engine —
+    full-batch gradient descent on a squashed-linear model (rational
+    sigmoid, see :func:`_logreg_sigma`) predicting the long-document
+    class (n_chars >= LOGREG_POS_CHARS — see the constant's fixture-
+    degeneracy note) from scaled length features, then report the weights and training
+    accuracy. This is the quality-classifier step of an LLM curation
+    pipeline (fastText-style filtering; in production the label is a
+    human/LLM quality rating and the features are quality signals)
+    expressed as the same
+    driver-holds-the-model / one-aggregation-per-step loop as
+    embed_kmeans, with the oracle unrolled CTE-per-step like PageRank.
+
+    Scale shape: each GD step shuffles exactly three partial-aggregated
+    decimal sums; the model is 3 scalars on the driver regardless of
+    corpus size; scoring is one map-side expression. Gradient terms
+    quantize to 9 dp and sum as decimal(18,9) (order-independent), and
+    weights re-quantize to 9 dp between steps, so both engines iterate
+    identical models.
+    """
+    beta = logreg_weights(spark, sf_dir)
+    feat = _logreg_features(spark, sf_dir)
+    z = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+    )
+    correct = ((z > 0) == (F.col("y") == 1)).cast("int")
+    return feat.agg(
+        F.lit(round(beta[0], 6)).alias("beta0"),
+        F.lit(round(beta[1], 6)).alias("beta1"),
+        F.lit(round(beta[2], 6)).alias("beta2"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(correct.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    )

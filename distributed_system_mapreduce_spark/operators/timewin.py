@@ -1349,3 +1349,120 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adev"), "event_type", "hour_start")
         .limit(20)
     )
+
+
+@register(
+    "events_changepoint",
+    oracle="""
+    with hourly as (
+      select cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             count(*) as cnt
+      from events group by 1),
+    span as (select min(hour_epoch) as mn, max(hour_epoch) as mx from hourly),
+    filled as (
+      select g.hour_epoch, coalesce(h.cnt, 0) as x
+      from (select unnest(generate_series(mn, mx, 3600)) as hour_epoch
+            from span) g
+      left join hourly h on h.hour_epoch = g.hour_epoch),
+    pre as (
+      select hour_epoch,
+             row_number() over (order by hour_epoch) as t,
+             sum(x) over (order by hour_epoch
+                          rows between unbounded preceding and current row)
+               as s,
+             count(*) over () as n,
+             sum(x) over () as stot
+      from filled),
+    scored as (
+      select hour_epoch, t, s, n, stot,
+             pow(cast(n as double) * s - cast(t as double) * stot, 2)
+               / (cast(t as double) * (n - t)) as gstat
+      from pre where t < n),
+    best as (
+      select * from (
+        select *, row_number() over (order by gstat desc, t) as rn
+        from scored)
+      where rn = 1)
+    select strftime(make_timestamp((hour_epoch + 3600) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') as split_start,
+           cast(t as bigint) as t,
+           cast(n as bigint) as n_hours,
+           round(cast(s as double) / t, 6) as mean_before,
+           round(cast(stot - s as double) / (n - t), 6) as mean_after,
+           round(gstat / n, 6) as gstat
+    from best
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely level-shift changepoint in the global hourly
+    event rate (binary-segmentation first split: the hour boundary
+    maximizing the between-segment CUSUM statistic
+    G(t) = (N*S_t - t*S_N)^2 / (t*(N-t)*N)) — the monitoring primitive a
+    pipeline health check runs over ingest rates.
+
+    Scale plan: identical skeleton to events_acf — one partial-agg
+    shuffle to the hourly rollup, then every prefix sum and the argmax
+    run over the CALENDAR-bounded spine, so the single-partition window
+    is bounded by construction. S_t and S_N are exact integer prefix
+    sums; G(t) is evaluated in doubles from those exact integers
+    (identical IEEE expression on both engines) and the argmax breaks
+    exact ties toward the earliest t. ``split_start`` is the first hour
+    of the AFTER segment.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_seconds(F.date_trunc("hour", F.col("ts"))))
+        .cast("bigint")
+        .alias("hour_epoch")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = hourly.agg(
+        F.min("hour_epoch").alias("mn"), F.max("hour_epoch").alias("mx")
+    )
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_epoch")
+    )
+    filled = spine.join(hourly, "hour_epoch", "left").select(
+        "hour_epoch", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("hour_epoch")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = filled.select(
+        "hour_epoch",
+        F.row_number().over(w).alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("stot"),
+    )
+    scored = pre.filter(F.col("t") < F.col("n")).withColumn(
+        "gstat",
+        F.pow(
+            F.col("n").cast("double") * F.col("s")
+            - F.col("t").cast("double") * F.col("stot"),
+            2,
+        )
+        / (F.col("t").cast("double") * (F.col("n") - F.col("t"))),
+    )
+    best = (
+        scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("gstat"), "t"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("hour_epoch") + 3600), _FMT_SPARK
+        ).alias("split_start"),
+        F.col("t").cast("bigint").alias("t"),
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(F.col("s").cast("double") / F.col("t"), 6).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("stot") - F.col("s")).cast("double")
+            / (F.col("n") - F.col("t")),
+            6,
+        ).alias("mean_after"),
+        F.round(F.col("gstat") / F.col("n"), 6).alias("gstat"),
+    )

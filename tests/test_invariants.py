@@ -1165,3 +1165,45 @@ def test_text_bigram_logprob_vs_unigram_disagrees(spark):
     for r in rows:
         assert r.avg_logprob <= 0.0
         assert r.n_bigrams >= 1
+
+
+def test_events_changepoint_consistency(spark):
+    """The split's segment means recombine to the global mean, t is an
+    interior index, and gstat is the normalized between-segment SSE
+    (non-negative)."""
+    r = QUERIES["events_changepoint"](spark, SF_DIR).collect()[0]
+    assert 1 <= r.t < r.n_hours
+    assert r.gstat >= 0.0
+    global_mean = (
+        r.mean_before * r.t + r.mean_after * (r.n_hours - r.t)
+    ) / r.n_hours
+    # the two segment means must straddle (or equal) the global mean
+    lo, hi = sorted((r.mean_before, r.mean_after))
+    assert lo - 1e-6 <= global_mean <= hi + 1e-6
+
+
+def test_embed_silhouette_matches_kmeans_clusters(spark):
+    """Silhouette reports the same clusters/sizes as embed_kmeans and
+    every per-cluster mean is in [-1, 1]."""
+    sil = {r.cluster: r for r in QUERIES["embed_silhouette"](spark, SF_DIR).collect()}
+    km = {r.cluster: r for r in QUERIES["embed_kmeans"](spark, SF_DIR).collect()}
+    assert set(sil) == set(km)
+    for c, r in sil.items():
+        assert r.n_vecs == km[c].n_vecs
+        assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+def test_logreg_learns_past_majority_baseline(spark):
+    """Training must beat the majority-class baseline on its own
+    fixture (the length-threshold target has real signal), and the
+    learned boundary must be consistent with the reported accuracy."""
+    r = QUERIES["pipeline_quality_logreg"](spark, SF_DIR).collect()[0]
+    feat = load(spark, SF_DIR, "documents").select(
+        (F.col("n_chars") >= 300).cast("int").alias("y")
+    )
+    counts = {row.y: row.n for row in feat.groupBy("y").agg(F.count(F.lit(1)).alias("n")).collect()}
+    majority = max(counts.values()) / sum(counts.values())
+    assert r.accuracy > majority + 0.05, (r.accuracy, majority)
+    assert r.n_correct == round(r.accuracy * r.n)
+    # longer docs must score higher under the learned model
+    assert r.beta1 > 0 or r.beta2 > 0
