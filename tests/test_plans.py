@@ -227,6 +227,11 @@ _SCALAR_COMBINE_BNLJ = {
     "dedup_simhash_block_quality",
     "events_gap_fill",
     "events_inactivity_churn",
+    # types x calendar-hours grid broadcast + two type-arity-bounded
+    # median tables (same bounded-grid pattern as events_gap_fill)
+    "events_mad_outliers",
+    # 1-row marginal-product combine (pe_nn) into the 1-row agreement agg
+    "eval_cohens_kappa",
     "events_rolling_dau",
     "events_series_topk",
     "events_user_features",
@@ -404,6 +409,12 @@ _BOUNDED_GLOBAL_WINDOW = {
     # 10^resolution distinct score rows under the rank window
     "eval_auc",
     "eval_pr_auc",
+    # rank windows over the score-resolution / label-arity marginals
+    "eval_spearman_corr",
+    # lag/prefix windows over the calendar-bounded hourly spine (rows =
+    # span hours regardless of corpus size; a century < 1M rows)
+    "events_acf",
+    "events_changepoint",
     # per-channel rollup: marketing channels are an enum (~5 values)
     "events_attribution",
     # per-lifecycle-status rollup: 3 segments
