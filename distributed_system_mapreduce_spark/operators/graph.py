@@ -1297,3 +1297,107 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_local_cc"),
     )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    with recursive
+    co as (
+      select a.l_partkey as src, b.l_partkey as dst
+      from lineitem a
+      join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by all
+      having count(*) >= {BACKBONE_SUPPORT}),
+    bedges as (
+      select src, dst from co
+      union all
+      select dst as src, src as dst from co),
+    bnodes as (select distinct src as id from bedges),
+    reach as (
+      select id as src, id as dst from bnodes
+      union
+      select r.src, e.dst from reach r join bedges e on r.dst = e.src),
+    blabels as (select src as id, min(dst) as label from reach group by src),
+    {_PAIRS_SQL},
+    vlab as (
+      select deg.id, deg.deg, coalesce(b.label, deg.id) as label
+      from deg left join blabels b on b.id = deg.id),
+    intra as (
+      select count(*) as e_in
+      from pairs p
+      join vlab u on u.id = p.src
+      join vlab v on v.id = p.dst
+      where u.label = v.label),
+    dsum as (
+      select label, sum(deg) as d_c from vlab group by label),
+    m as (select count(*) as m from pairs)
+    select cast(m.m as bigint) as n_edges,
+           cast((select count(*) from dsum) as bigint) as n_communities,
+           round(cast(intra.e_in as double) / m.m, 6) as intra_edge_frac,
+           round(cast(intra.e_in as double) / m.m
+                 - cast((select sum(cast(d_c as decimal(38,0)) * d_c)
+                         from dsum) as double)
+                   / (4.0 * m.m * m.m), 6) as modularity
+    from m, intra
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the support-backbone component partition,
+    measured against the FULL co-purchase graph — the partition-quality
+    statistic that says whether the thresholded communities explain the
+    raw co-occurrence structure (Q = e_in/m - sum_c (d_c/2m)^2; vertices
+    outside the backbone count as singleton communities).
+
+    Scale plan: reuses the two tracked family frames (edge rollup, degree
+    table) plus the memoized backbone CC labels — the only new work is
+    one label-equality join over the edge list and two label-sized
+    rollups. The degree-product term accumulates as decimal(38,0)
+    (sum of d_c^2 crosses bigint when a community's degree mass reaches
+    ~3e9); everything else is integer until the two final divides.
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    blab = backbone_cc_labels(spark, sf_dir)
+    vlab = deg.join(
+        blab.select("id", "label"), "id", "left"
+    ).select(
+        "id", "deg", F.coalesce(F.col("label"), F.col("id")).alias("label")
+    )
+    u = vlab.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+    v = vlab.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+    intra = (
+        pairs.join(u, "src")
+        .join(v, "dst")
+        .agg(
+            F.sum(
+                (F.col("lu") == F.col("lv")).cast("bigint")
+            ).alias("e_in")
+        )
+    )
+    dsum = vlab.groupBy("label").agg(F.sum("deg").alias("d_c"))
+    dstat = dsum.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(
+            F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+        ).alias("dd"),
+    )
+    m = pairs.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        intra.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(dstat))
+        .select(
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.col("n_communities").cast("bigint").alias("n_communities"),
+            F.round(
+                F.col("e_in").cast("double") / F.col("m"), 6
+            ).alias("intra_edge_frac"),
+            F.round(
+                F.col("e_in").cast("double") / F.col("m")
+                - F.col("dd").cast("double")
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+    )

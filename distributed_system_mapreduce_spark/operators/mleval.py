@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
@@ -456,13 +457,19 @@ def centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(label, pred_label, n) confusion counts of the nearest-centroid
-    classifier — the shared builder behind eval_confusion_centroid and
-    eval_f1_macro (k x k rows at any corpus size)."""
+    classifier — the shared builder behind eval_confusion_centroid,
+    eval_f1_macro, and eval_cohens_kappa (k x k rows at any corpus size).
+
+    Tracked-persisted: with three consumers the full corpus-scoring pass
+    behind this k x k rollup would otherwise run three times per session
+    (measured ~1 s each at sf0.1); the cached frame is k^2 rows."""
     pred = centroid_scores(spark, sf_dir).groupBy("vec_id", "label").agg(
         F.min_by(F.col("cl"), F.struct("d", "cl")).alias("pred_label")
     )
-    return pred.groupBy("label", "pred_label").agg(
-        F.count(F.lit(1)).alias("n")
+    return track(
+        pred.groupBy("label", "pred_label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
 
 
@@ -1138,4 +1145,105 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman"),
         F.col("sn").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "eval_regression_metrics",
+    oracle="""
+    with base as (
+      select event_type,
+             cast(hour(ts) as int) as hod,
+             cast(round(value, 9) as decimal(18,9)) as v
+      from events),
+    model as (
+      select event_type, hod,
+             cast(sum(v) as double) / count(*) as pred
+      from base group by event_type, hod),
+    scored as (
+      select cast(round(b.v - m.pred, 9) as decimal(18,9)) as r,
+             cast(round((b.v - m.pred) * (b.v - m.pred), 9)
+                  as decimal(18,9)) as r2t,
+             cast(round(abs(b.v - m.pred), 9) as decimal(18,9)) as ra,
+             b.v
+      from base b join model m using (event_type, hod)),
+    tot as (
+      select count(*) as n,
+             cast(sum(v) as double) / count(*) as vbar
+      from base),
+    ss as (
+      select sum(r2t) as ss_res,
+             sum(ra) as s_abs,
+             sum(cast(round((s.v - t.vbar) * (s.v - t.vbar), 9)
+                      as decimal(18,9))) as ss_tot,
+             max(t.n) as n
+      from scored s cross join tot t)
+    select round(sqrt(cast(ss_res as double) / n), 6) as rmse,
+           round(cast(s_abs as double) / n, 6) as mae,
+           round(1.0 - cast(ss_res as double) / cast(ss_tot as double), 6)
+             as r2,
+           cast(n as bigint) as n
+    from ss
+    """,
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed regression backtest — RMSE / MAE / R² of the
+    seasonal-naive predictor (per (event_type, hour-of-day) mean) on the
+    event values: the numeric companion of the classification eval family,
+    in the shape a forecasting pipeline evaluates its baseline model over
+    the full corpus.
+
+    Scale plan: the model is ONE partial-agg rollup (type × 24 rows — a
+    broadcast join back onto the corpus), and every metric accumulates as
+    9 dp-quantized decimal(18,9) sums of per-row terms, so the reductions
+    are partition-order-independent; the value column itself quantizes to
+    9 dp on entry so both engines subtract identical operands. One output
+    row at any corpus size.
+    """
+    base = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value"), 9).cast("decimal(18,9)").alias("v"),
+    )
+    model = base.groupBy("event_type", "hod").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("pred")
+    )
+    vd = F.col("v").cast("double")
+    scored = base.join(F.broadcast(model), ["event_type", "hod"]).select(
+        F.round(vd - F.col("pred"), 9).cast("decimal(18,9)").alias("r"),
+        F.round((vd - F.col("pred")) * (vd - F.col("pred")), 9)
+        .cast("decimal(18,9)")
+        .alias("r2t"),
+        F.round(F.abs(vd - F.col("pred")), 9)
+        .cast("decimal(18,9)")
+        .alias("ra"),
+        F.col("v"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("vbar"),
+    )
+    ss = scored.crossJoin(F.broadcast(tot)).agg(
+        F.sum("r2t").alias("ss_res"),
+        F.sum("ra").alias("s_abs"),
+        F.sum(
+            F.round(
+                (F.col("v").cast("double") - F.col("vbar"))
+                * (F.col("v").cast("double") - F.col("vbar")),
+                9,
+            ).cast("decimal(18,9)")
+        ).alias("ss_tot"),
+        F.max("n").alias("n"),
+    )
+    return ss.select(
+        F.round(
+            F.sqrt(F.col("ss_res").cast("double") / F.col("n")), 6
+        ).alias("rmse"),
+        F.round(F.col("s_abs").cast("double") / F.col("n"), 6).alias("mae"),
+        F.round(
+            1.0
+            - F.col("ss_res").cast("double") / F.col("ss_tot").cast("double"),
+            6,
+        ).alias("r2"),
+        F.col("n").cast("bigint").alias("n"),
     )

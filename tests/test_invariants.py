@@ -1207,3 +1207,25 @@ def test_logreg_learns_past_majority_baseline(spark):
     assert r.n_correct == round(r.accuracy * r.n)
     # longer docs must score higher under the learned model
     assert r.beta1 > 0 or r.beta2 > 0
+
+
+def test_eval_regression_metrics_bounds(spark):
+    """RMSE >= MAE (Cauchy-Schwarz), R² <= 1, and the groupwise-mean
+    predictor can never do worse than the global mean (R² >= 0 up to the
+    9 dp quantization slack)."""
+    r = QUERIES["eval_regression_metrics"](spark, SF_DIR).collect()[0]
+    assert r.rmse >= r.mae - 1e-9
+    assert r.r2 <= 1.0
+    assert r.r2 >= -1e-6
+    assert r.n > 0
+
+
+def test_graph_modularity_bounds(spark):
+    """Modularity is in [-0.5, 1), never exceeds the intra-edge fraction,
+    and the backbone partition must beat the all-singletons floor
+    (Q_singletons < 0 whenever any edge exists)."""
+    r = QUERIES["graph_modularity"](spark, SF_DIR).collect()[0]
+    assert -0.5 <= r.modularity < 1.0
+    assert r.modularity <= r.intra_edge_frac
+    assert 0.0 <= r.intra_edge_frac <= 1.0
+    assert r.n_edges > 0 and r.n_communities > 0

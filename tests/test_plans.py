@@ -232,6 +232,10 @@ _SCALAR_COMBINE_BNLJ = {
     "events_mad_outliers",
     # 1-row marginal-product combine (pe_nn) into the 1-row agreement agg
     "eval_cohens_kappa",
+    # 1-row (n, vbar) scalar combine into the residual scorer
+    "eval_regression_metrics",
+    # two 1-row combines (edge count m; community-count/degree-product)
+    "graph_modularity",
     "events_rolling_dau",
     "events_series_topk",
     "events_user_features",
