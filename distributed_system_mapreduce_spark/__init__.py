@@ -175,7 +175,16 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       text_char_entropy, pipeline_mix_rebalance (all new r9);
     #       text_pii_scrub + pipeline_chunk_windows (new r13: privacy gate
     #       and RAG chunker, both full-oracle — strong swap-ins for any
-    #       freed slot since their families' driver rows predate them)
+    #       freed slot since their families' driver rows predate them);
+    #       r13 second-pass additions (all full-oracle), ranked for
+    #       swap-in: pipeline_quality_logreg (in-engine GD training — a
+    #       NEW capability class, highest swap-in priority),
+    #       graph_clustering_coeff + graph_modularity (graph-shape audit
+    #       pair), eval_regression_metrics + eval_spearman_corr +
+    #       eval_cohens_kappa + eval_log_loss + eval_brier_score
+    #       (eval-family depth), events_acf + events_changepoint +
+    #       events_mad_outliers (forecasting/monitoring trio),
+    #       text_bigram_logprob, embed_silhouette, agg_distinct_rollup
     #   (dropped from queue, lower value: sample_weighted_mix — stratified
     #    cousin already banked r4; graph_triangle_count — same plan shape
     #    as graph_common_neighbors; events_gap_fill — exercised transitively

@@ -1231,13 +1231,16 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       from deg left join tv on tv.id = deg.id)
     select cast((select count(*) from tri) as bigint) as n_triangles,
            cast(sum(deg * (deg - 1) / 2) as bigint) as n_wedges,
-           round(3.0 * (select count(*) from tri)
-                 / sum(deg * (deg - 1) / 2), 6) as global_cc,
-           round(sum(case when deg >= 2
+           round(case when sum(deg * (deg - 1) / 2) = 0 then 0.0
+                      else 3.0 * (select count(*) from tri)
+                           / sum(deg * (deg - 1) / 2) end, 6) as global_cc,
+           round(case when sum(case when deg >= 2 then 1 else 0 end) = 0
+                      then 0.0
+                      else sum(case when deg >= 2
                           then cast(round(t * 2.0 / (deg * (deg - 1)), 9)
                                     as decimal(18,9))
                           else cast(0 as decimal(18,9)) end)::double
-                 / sum(case when deg >= 2 then 1 else 0 end), 6)
+                 / sum(case when deg >= 2 then 1 else 0 end) end, 6)
              as avg_local_cc
     from local
     """,
@@ -1260,6 +1263,15 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = copurchase_pairs(spark, sf_dir)
     deg = _degrees(pairs)
+    return clustering_from_pairs(pairs, deg)
+
+
+def clustering_from_pairs(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """1-row (n_triangles, n_wedges, global_cc, avg_local_cc) for an
+    undirected graph given (src < dst) pairs and per-vertex degrees — the
+    shared core of graph_clustering_coeff and the randomized property
+    test (tests/test_property.py pits it against brute-force triple
+    enumeration + per-vertex division)."""
     inst = _oriented_with_adj(pairs, deg).select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
@@ -1281,19 +1293,24 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t") * 2.0 / (F.col("deg") * (F.col("deg") - 1)), 9
         ).cast("decimal(18,9)"),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    # wedge-free graphs (every degree <= 1) define both coefficients as
+    # 0.0 — the guards keep the operator total (found by the randomized
+    # property test; unreachable on the fixture but not on real data)
+    n_wedges = F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+    n_eligible = F.sum((F.col("deg") >= 2).cast("int"))
     return local.agg(
         (F.sum("t") / 3).cast("bigint").alias("n_triangles"),
-        F.sum(
-            F.col("deg") * (F.col("deg") - 1) / 2
-        ).cast("bigint").alias("n_wedges"),
+        n_wedges.cast("bigint").alias("n_wedges"),
         F.round(
-            F.sum("t").cast("double")
-            / F.sum(F.col("deg") * (F.col("deg") - 1) / 2),
+            F.when(n_wedges == 0, F.lit(0.0)).otherwise(
+                F.sum("t").cast("double") / n_wedges
+            ),
             6,
         ).alias("global_cc"),
         F.round(
-            F.sum(local_cc9).cast("double")
-            / F.sum((F.col("deg") >= 2).cast("int")),
+            F.when(n_eligible == 0, F.lit(0.0)).otherwise(
+                F.sum(local_cc9).cast("double") / n_eligible
+            ),
             6,
         ).alias("avg_local_cc"),
     )

@@ -1219,6 +1219,31 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def grouped_lower_median(
+    df: DataFrame, val: str, out: str,
+    key: str = "event_type", order: str = "hour_epoch",
+) -> DataFrame:
+    """(key, out): the LOWER median of ``val`` per group — the element at
+    row_number (n+1)//2 under the total (val, order) ordering, so the
+    pick is integer-exact and engine-stable. Windows partition by the
+    group key over group-bounded input (callers pass calendar-bounded
+    rollups). Shared by events_mad_outliers (median + MAD) and the
+    randomized property test (tests/test_property.py pits it against
+    a plain-Python sorted()[(n-1)//2])."""
+    wp = Window.partitionBy(key).orderBy(val, order)
+    wn = Window.partitionBy(key)
+    return (
+        df.select(
+            key,
+            F.col(val),
+            F.row_number().over(wp).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(key, F.col(val).alias(out))
+    )
+
+
 #: MAD outlier gate: |x - median| > MAD_K * MAD (both medians are the
 #: LOWER middle element — rn = (n+1) // 2 under a (value, hour) total
 #: order — so the statistic is integer-exact on both engines).
@@ -1310,21 +1335,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cnt", F.lit(0)).alias("cnt"),
     )
 
-    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
-        wp = Window.partitionBy("event_type").orderBy(val, "hour_epoch")
-        wn = Window.partitionBy("event_type")
-        return (
-            df.select(
-                "event_type",
-                F.col(val),
-                F.row_number().over(wp).alias("rn"),
-                F.count(F.lit(1)).over(wn).alias("n"),
-            )
-            .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            .select("event_type", F.col(val).alias(out))
-        )
-
-    med = lower_median(filled, "cnt", "med")
+    med = grouped_lower_median(filled, "cnt", "med")
     dev = filled.join(F.broadcast(med), "event_type").select(
         "event_type",
         "hour_epoch",
@@ -1332,7 +1343,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         F.abs(F.col("cnt") - F.col("med")).alias("adev"),
     )
-    mad = lower_median(dev, "adev", "mad")
+    mad = grouped_lower_median(dev, "adev", "mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("adev") > MAD_K * F.col("mad"))
@@ -1348,6 +1359,43 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("adev"), "event_type", "hour_start")
         .limit(20)
+    )
+
+
+def changepoint_split(filled: DataFrame) -> DataFrame:
+    """One-row argmax of the CUSUM between-segment statistic over a
+    gap-free (hour_epoch, x) series: (hour_epoch, t, s, n, stot, gstat)
+    for the best split, earliest-t tiebreak on exact double ties. S_t and
+    S_N are exact integer prefix sums; G(t) is evaluated in doubles from
+    those integers (identical IEEE expression on both engines). Shared by
+    events_changepoint and the randomized property test (plain-Python
+    brute-force argmax)."""
+    w = Window.orderBy("hour_epoch")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = filled.select(
+        "hour_epoch",
+        F.row_number().over(w).alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("stot"),
+    )
+    scored = pre.filter(F.col("t") < F.col("n")).withColumn(
+        "gstat",
+        F.pow(
+            F.col("n").cast("double") * F.col("s")
+            - F.col("t").cast("double") * F.col("stot"),
+            2,
+        )
+        / (F.col("t").cast("double") * (F.col("n") - F.col("t"))),
+    )
+    return (
+        scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("gstat"), "t"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
@@ -1424,32 +1472,7 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = spine.join(hourly, "hour_epoch", "left").select(
         "hour_epoch", F.coalesce("cnt", F.lit(0)).alias("x")
     )
-    w = Window.orderBy("hour_epoch")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    pre = filled.select(
-        "hour_epoch",
-        F.row_number().over(w).alias("t"),
-        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("x").over(wall).alias("stot"),
-    )
-    scored = pre.filter(F.col("t") < F.col("n")).withColumn(
-        "gstat",
-        F.pow(
-            F.col("n").cast("double") * F.col("s")
-            - F.col("t").cast("double") * F.col("stot"),
-            2,
-        )
-        / (F.col("t").cast("double") * (F.col("n") - F.col("t"))),
-    )
-    best = (
-        scored.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("gstat"), "t"))
-        )
-        .filter(F.col("rn") == 1)
-    )
+    best = changepoint_split(filled)
     return best.select(
         F.date_format(
             F.timestamp_seconds(F.col("hour_epoch") + 3600), _FMT_SPARK
@@ -1466,3 +1489,123 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_after"),
         F.round(F.col("gstat") / F.col("n"), 6).alias("gstat"),
     )
+
+
+#: Holt linear (double-exponential) smoothing parameters — mirrored
+#: verbatim in the recursive-CTE oracle.
+HOLT_ALPHA = 0.2
+HOLT_BETA = 0.1
+
+
+def holt_state(values):
+    """array<double> (len >= 2) -> struct(l, b, sse): Holt linear
+    smoothing final state via one ``aggregate`` higher-order fold with a
+    struct accumulator (init l=x2, b=x2-x1; sse accumulates squared
+    1-step errors from t=3). Shared by events_holt_forecast and the
+    randomized property test (plain-Python reference fold)."""
+    a, bta = float(HOLT_ALPHA), float(HOLT_BETA)
+    init = F.struct(
+        F.element_at(values, 2).alias("l"),
+        (F.element_at(values, 2) - F.element_at(values, 1)).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def fold(acc, x):
+        lp = F.lit(a) * x + F.lit(1 - a) * (acc.l + acc.b)
+        lp2 = F.lit(a) * x + F.lit(1 - a) * (acc.l + acc.b)
+        return F.struct(
+            lp.alias("l"),
+            (F.lit(bta) * (lp2 - acc.l) + F.lit(1 - bta) * acc.b).alias("b"),
+            (acc.sse + (x - (acc.l + acc.b)) * (x - (acc.l + acc.b))).alias(
+                "sse"
+            ),
+        )
+
+    return F.aggregate(
+        F.slice(values, 3, F.greatest(F.size(values) - 2, F.lit(0))),
+        init,
+        fold,
+    )
+
+
+@register(
+    "events_holt_forecast",
+    oracle=f"""
+    with recursive hourly as (
+      select event_type,
+             cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             cast(count(*) as double) as cnt
+      from events group by all),
+    lists as (
+      select event_type, list(cnt order by hour_epoch) as vals
+      from hourly group by event_type),
+    step as (
+      select event_type, 2 as t, len(vals) as n, vals,
+             vals[2] as l, vals[2] - vals[1] as b,
+             cast(0.0 as double) as sse
+      from lists where len(vals) >= 2
+      union all
+      select event_type, t + 1, n, vals,
+             {HOLT_ALPHA} * vals[t + 1] + {1 - HOLT_ALPHA} * (l + b),
+             {HOLT_BETA} * ({HOLT_ALPHA} * vals[t + 1]
+                            + {1 - HOLT_ALPHA} * (l + b) - l)
+               + {1 - HOLT_BETA} * b,
+             sse + (vals[t + 1] - (l + b)) * (vals[t + 1] - (l + b))
+      from step where t < n)
+    select event_type,
+           cast(n as bigint) as n_hours,
+           round(l, 4) as level,
+           round(b, 4) as trend,
+           round(l + b, 4) as forecast_next,
+           round(sqrt(sse / (n - 2)), 4) as rmse_1step
+    from step where t = n
+    order by event_type
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing of the hourly rate per
+    event type: final level/trend state, the 1-step-ahead forecast, and
+    the in-sample 1-step RMSE — the trend-aware forecaster one notch up
+    from events_ewma, with the same engine shape.
+
+    The coupled (level, trend) recurrence is non-associative, so — as for
+    EWMA — each type's counts collapse to a time-ordered array (bounded
+    by the TIME SPAN after the rollup shuffle) and fold left-to-right
+    with a STRUCT accumulator carrying (l, b, sse); init l=x2, b=x2-x1 at
+    t=2. Both engines execute the identical IEEE expression tree in the
+    identical order (the oracle's recursive CTE inlines the same l'
+    formula), so state matches bit-for-bit before the 4 dp rounding.
+    Types with a single observed hour are dropped (trend undefined).
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            F.unix_seconds(F.col("w.start")).alias("hour_epoch"),
+            "cnt",
+        )
+    )
+    per_type = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("hour_epoch", "cnt"))),
+            lambda s: s.cnt.cast("double"),
+        ).alias("vals")
+    ).filter(F.size("vals") >= 2)
+
+    folded = per_type.select(
+        "event_type",
+        F.size("vals").alias("n"),
+        holt_state(F.col("vals")).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
+        F.round(
+            F.sqrt(F.col("st.sse") / (F.col("n") - 2)), 4
+        ).alias("rmse_1step"),
+    ).orderBy("event_type")

@@ -445,3 +445,181 @@ def test_md5_expansion_oracle_arithmetic_on_arbitrary_text(spark, texts):
             int(buf.sum()),
             int((buf**2).sum()),
         ), (doc_id, text)
+
+
+@settings(**SETTINGS)
+@given(
+    series=st.lists(st.integers(0, 50), min_size=2, max_size=30),
+)
+def test_changepoint_split_matches_brute_force(spark, series):
+    """The windowed CUSUM argmax == a plain-Python scan with the same
+    double formula and earliest-t tiebreak, on random integer series."""
+    from distributed_system_mapreduce_spark.operators.timewin import (
+        changepoint_split,
+    )
+
+    rows = [(i * 3600, v) for i, v in enumerate(series)]
+    filled = spark.createDataFrame(rows, "hour_epoch long, x long")
+    got = changepoint_split(filled).collect()[0]
+
+    n = len(series)
+    stot = sum(series)
+    best_t, best_g = None, None
+    s = 0
+    for t in range(1, n):
+        s += series[t - 1]
+        g = (float(n) * s - float(t) * stot) ** 2 / (float(t) * (n - t))
+        if best_g is None or g > best_g:
+            best_t, best_g = t, g
+    assert got["t"] == best_t, (series, got["t"], best_t)
+    assert got["gstat"] == best_g
+
+
+@settings(**SETTINGS)
+@given(
+    groups=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_grouped_lower_median_matches_sorted_pick(spark, groups):
+    """grouped_lower_median == sorted(vals)[(n-1)//2] per group."""
+    from distributed_system_mapreduce_spark.operators.timewin import (
+        grouped_lower_median,
+    )
+
+    rows = [(f"g{g}", i, v) for i, (g, v) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "event_type string, hour_epoch long, cnt long")
+    got = {
+        r["event_type"]: r["med"]
+        for r in grouped_lower_median(df, "cnt", "med").collect()
+    }
+    expect = {}
+    for g, v in groups:
+        expect.setdefault(f"g{g}", []).append(v)
+    for k, vals in expect.items():
+        assert got[k] == sorted(vals)[(len(vals) - 1) // 2], (k, vals)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_clustering_coeff_matches_brute_force(spark, edges):
+    """Instance-credited local/global clustering coefficients == brute
+    force over random graphs (same 9 dp local quantization)."""
+    from decimal import Decimal
+
+    from distributed_system_mapreduce_spark.operators.graph import (
+        _degrees,
+        clustering_from_pairs,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    pairs = spark.createDataFrame(canon, "src long, dst long")
+    got = clustering_from_pairs(pairs, _degrees(pairs)).collect()[0]
+
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_v = {v: 0 for v in adj}
+    n_tri = 0
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    n_tri += 1
+                    tri_v[a] += 1
+                    tri_v[b] += 1
+                    tri_v[c] += 1
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    assert got["n_triangles"] == n_tri
+    assert got["n_wedges"] == wedges
+    if wedges:
+        assert got["global_cc"] == round(3.0 * n_tri / wedges, 6)
+    else:
+        assert got["global_cc"] == 0.0
+    eligible = [v for v in adj if len(adj[v]) >= 2]
+    if not eligible:
+        assert got["avg_local_cc"] == 0.0
+    if eligible:
+        acc = sum(
+            Decimal(
+                str(round(tri_v[v] * 2.0 / (len(adj[v]) * (len(adj[v]) - 1)), 9))
+            )
+            for v in eligible
+        )
+        assert got["avg_local_cc"] == round(float(acc) / len(eligible), 6)
+
+
+def test_logreg_weights_match_python_reference(spark):
+    """The distributed GD loop == a plain-Python reference fold over the
+    collected features (exact equality — both quantize identically)."""
+    from distributed_system_mapreduce_spark.operators.curation import (
+        LOGREG_LR,
+        LOGREG_STEPS,
+        _logreg_features,
+        logreg_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = _logreg_features(spark, sf).collect()
+    beta = [0.0, 0.0, 0.0]
+
+    def sig(z):
+        return 0.5 + z / (2 * (1 + abs(z)))
+
+    from decimal import Decimal
+
+    for _ in range(LOGREG_STEPS):
+        g = [Decimal(0)] * 3
+        for r in rows:
+            resid = sig(beta[0] + beta[1] * r.x1 + beta[2] * r.x2) - r.y
+            for j, xj in enumerate((1.0, r.x1, r.x2)):
+                g[j] += Decimal(str(round(resid * xj, 9)))
+        n = len(rows)
+        beta = [
+            round(beta[j] - LOGREG_LR * (float(g[j]) / n), 9)
+            for j in range(3)
+        ]
+    assert logreg_weights(spark, sf) == beta
+
+
+@settings(**SETTINGS)
+@given(
+    series=st.lists(
+        st.integers(0, 1000).map(float), min_size=2, max_size=50
+    )
+)
+def test_holt_fold_matches_reference(spark, series):
+    """The struct-accumulator Holt fold == a plain-Python reference
+    recurrence, bit-for-bit (identical IEEE expression order)."""
+    from distributed_system_mapreduce_spark.operators.timewin import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        holt_state,
+    )
+
+    df = spark.createDataFrame([(series,)], "vals array<double>")
+    got = df.select(holt_state(F.col("vals")).alias("st")).collect()[0]["st"]
+
+    a, b_ = float(HOLT_ALPHA), float(HOLT_BETA)
+    l, b = series[1], series[1] - series[0]
+    sse = 0.0
+    for x in series[2:]:
+        lp = a * x + (1 - a) * (l + b)
+        bp = b_ * (lp - l) + (1 - b_) * b
+        sse = sse + (x - (l + b)) * (x - (l + b))
+        l, b = lp, bp
+    assert got["l"] == l and got["b"] == b and got["sse"] == sse
