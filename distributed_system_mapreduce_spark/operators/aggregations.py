@@ -271,14 +271,20 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("exact_users"),
         )
     )
+    # empty-corpus guard: the merged row exists even with zero events
+    # (agg over empty input), so 0/0 must not reach the ANSI divide —
+    # an empty sketch is "within bound" iff it also estimates zero
+    within = F.when(
+        F.col("exact_users") == 0, F.col("approx_users") == 0
+    ).otherwise(
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+        <= F.lit(HLL_UNION_MAX_REL_ERR)
+    )
     return _hll_union_estimates(spark, sf_dir).join(exact, "event_type").select(
         "event_type",
         "exact_users",
-        (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users")
-            <= F.lit(HLL_UNION_MAX_REL_ERR)
-        ).alias("within_bound"),
+        within.alias("within_bound"),
     )
 
 

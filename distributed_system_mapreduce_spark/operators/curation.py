@@ -1278,7 +1278,11 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_unique_texts",
             F.round(
-                1.0 - F.col("n_unique_texts") / F.col("n_docs"), 4
+                # empty-corpus guard: dup rate of zero docs is 0, not 0/0
+                F.when(F.col("n_docs") == 0, F.lit(0.0)).otherwise(
+                    1.0 - F.col("n_unique_texts") / F.col("n_docs")
+                ),
+                4,
             ).alias("exact_dup_rate"),
             "n_tokens",
             "avg_chars",
@@ -1593,6 +1597,12 @@ def logreg_weights(spark: SparkSession, sf_dir: str) -> list:
             ],
         ).collect()[0]
         n = row["n"]
+        if n == 0:
+            # same loud-guard class as embed_kmeans' min-vector check:
+            # training on an empty corpus has no gradient to descend
+            raise ValueError(
+                "pipeline_quality_logreg needs >= 1 document, got 0"
+            )
         beta = [
             round(beta[j] - LOGREG_LR * (float(row[f"g{j}"]) / n), 9)
             for j in range(3)

@@ -313,6 +313,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(loop_parts, "dst")
     )
     n_nodes = float(deg.count())  # bounded driver scalar (like the CC loop)
+    if n_nodes == 0:
+        # PageRank of the empty graph is the empty ranking — return the
+        # output schema with zero rows instead of dividing by the vertex
+        # count (empty-fixture sweep, tests/test_degenerate.py)
+        return deg.select(
+            F.col("id").alias("part_id"),
+            F.lit(0.0).alias("pr"),
+        )
 
     # Every vertex of the symmetric graph has degree >= 1, so every vertex
     # receives at least one contribution each round — no "left join against

@@ -80,9 +80,11 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                        rows between unbounded preceding
                        and 1 preceding), 0) as cum_neg
       from per_score)
-    select round(cast(sum(pos * (2 * cum_neg + neg)) as double)
+    select case when (select sum(pos) from per_score) = 0
+                  or (select sum(neg) from per_score) = 0 then null
+           else round(cast(sum(pos * (2 * cum_neg + neg)) as double)
                  / (2.0 * (select sum(pos) from per_score)
-                        * (select sum(neg) from per_score)), 6) as auc,
+                        * (select sum(neg) from per_score)), 6) end as auc,
            cast((select sum(pos) from per_score) as bigint) as n_pos,
            cast((select sum(neg) from per_score) as bigint) as n_neg,
            count(*) as n_scores
@@ -114,11 +116,17 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum_neg"),
     )
     return cum.agg(
-        F.round(
-            F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg")))
-            .cast("double")
-            / (2.0 * F.sum("pos") * F.sum("neg")),
-            6,
+        # single-class corpus: AUC is undefined -> NULL (1-row sweep,
+        # tests/test_degenerate.py), mirrored in the oracle
+        F.when(
+            (F.sum("pos") == 0) | (F.sum("neg") == 0), F.lit(None)
+        ).otherwise(
+            F.round(
+                F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg")))
+                .cast("double")
+                / (2.0 * F.sum("pos") * F.sum("neg")),
+                6,
+            )
         ).alias("auc"),
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
@@ -857,8 +865,9 @@ _CONF_CTES = """
       join (select pred_label as cls, sum(n) as pred_n from conf
             group by pred_label) p
         on a.cls = p.cls)
-    select round((cast(po_n as double) * nn - pe_nn)
-                 / (cast(nn as double) * nn - pe_nn), 6) as kappa,
+    select case when cast(nn as double) * nn = pe_nn then null
+           else round((cast(po_n as double) * nn - pe_nn)
+                 / (cast(nn as double) * nn - pe_nn), 6) end as kappa,
            round(cast(po_n as double) / nn, 6) as po,
            round(cast(pe_nn as double) / (cast(nn as double) * nn), 6) as pe,
            cast(nn as bigint) as n
@@ -898,10 +907,17 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("po_n"),
     )
     return agg.crossJoin(F.broadcast(marg)).select(
-        F.round(
-            (F.col("po_n").cast("double") * F.col("nn") - F.col("pe_nn"))
-            / (F.col("nn").cast("double") * F.col("nn") - F.col("pe_nn")),
-            6,
+        # degenerate marginals (pe = 1, e.g. a single-cell confusion):
+        # kappa is undefined -> NULL, mirrored in the oracle
+        F.when(
+            F.col("nn").cast("double") * F.col("nn") == F.col("pe_nn"),
+            F.lit(None),
+        ).otherwise(
+            F.round(
+                (F.col("po_n").cast("double") * F.col("nn") - F.col("pe_nn"))
+                / (F.col("nn").cast("double") * F.col("nn") - F.col("pe_nn")),
+                6,
+            )
         ).alias("kappa"),
         F.round(F.col("po_n").cast("double") / F.col("nn"), 6).alias("po"),
         F.round(
@@ -1055,13 +1071,18 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(sum(n * rx2 * rx2) as decimal(38,0)) as sxx,
              cast(sum(n * ry2 * ry2) as decimal(38,0)) as syy
       from xy join xr using (score_m) join yr using (y))
-    select round((cast(sn as double) * cast(sxy as double)
+    select case when (cast(sn as double) * cast(sxx as double)
+                      - cast(sx as double) * cast(sx as double))
+                     * (cast(sn as double) * cast(syy as double)
+                        - cast(sy as double) * cast(sy as double)) = 0
+                then null
+           else round((cast(sn as double) * cast(sxy as double)
                   - cast(sx as double) * cast(sy as double))
                  / sqrt((cast(sn as double) * cast(sxx as double)
                          - cast(sx as double) * cast(sx as double))
                         * (cast(sn as double) * cast(syy as double)
                            - cast(sy as double) * cast(sy as double))),
-                 6) as spearman,
+                 6) end as spearman,
            cast(sn as bigint) as n
     from s
     """,
@@ -1135,14 +1156,17 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var_prod = (d("sn") * d("sxx") - d("sx") * d("sx")) * (
+        d("sn") * d("syy") - d("sy") * d("sy")
+    )
     return s.select(
-        F.round(
-            (d("sn") * d("sxy") - d("sx") * d("sy"))
-            / F.sqrt(
-                (d("sn") * d("sxx") - d("sx") * d("sx"))
-                * (d("sn") * d("syy") - d("sy") * d("sy"))
-            ),
-            6,
+        # zero rank variance on either margin (constant score or constant
+        # label): correlation undefined -> NULL, mirrored in the oracle
+        F.when(var_prod == 0, F.lit(None)).otherwise(
+            F.round(
+                (d("sn") * d("sxy") - d("sx") * d("sy")) / F.sqrt(var_prod),
+                6,
+            )
         ).alias("spearman"),
         F.col("sn").cast("bigint").alias("n"),
     )
@@ -1180,8 +1204,9 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       from scored s cross join tot t)
     select round(sqrt(cast(ss_res as double) / n), 6) as rmse,
            round(cast(s_abs as double) / n, 6) as mae,
-           round(1.0 - cast(ss_res as double) / cast(ss_tot as double), 6)
-             as r2,
+           case when cast(ss_tot as double) = 0 then null
+                else round(1.0 - cast(ss_res as double)
+                           / cast(ss_tot as double), 6) end as r2,
            cast(n as bigint) as n
     from ss
     """,
@@ -1240,10 +1265,14 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("ss_res").cast("double") / F.col("n")), 6
         ).alias("rmse"),
         F.round(F.col("s_abs").cast("double") / F.col("n"), 6).alias("mae"),
-        F.round(
-            1.0
-            - F.col("ss_res").cast("double") / F.col("ss_tot").cast("double"),
-            6,
+        # constant target (ss_tot = 0): R2 undefined -> NULL, mirrored
+        F.when(F.col("ss_tot").cast("double") == 0, F.lit(None)).otherwise(
+            F.round(
+                1.0
+                - F.col("ss_res").cast("double")
+                / F.col("ss_tot").cast("double"),
+                6,
+            )
         ).alias("r2"),
         F.col("n").cast("bigint").alias("n"),
     )
