@@ -440,3 +440,220 @@ def _register_multimodal_budget() -> None:
 
 
 _register_multimodal_budget()
+
+
+#: perceptual-hash geometry: PHASH_BITS sampled-byte bits packed into a
+#: signed 64-bit long (48 < 63, no sign-bit hazard), blocked into
+#: PHASH_BANDS equal bands for LSH candidate generation. Pigeonhole: a
+#: pair within Hamming distance PHASH_MAX_HAM (= PHASH_BANDS - 1) always
+#: has at least one intact band, so the banded join has perfect recall at
+#: the declared radius — the dedup_simhash guarantee, applied to media.
+PHASH_BITS = 48
+PHASH_BANDS = 4
+PHASH_BAND_WIDTH = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAM = PHASH_BANDS - 1
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def media_phash(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """decode → 48-bit perceptual hash as a mapInPandas pipeline: bit i is
+    set iff the decoded byte at sampled position (i * n) // 48 is >= the
+    buffer mean (compared as byte * n >= sum — integer-exact, no float).
+    One Arrow crossing per batch; output is 8 bytes per item, so the
+    downstream dedup shuffles hashes, never blobs or pixels."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for d, t in zip(pdf["data"], pdf["media_type"]):
+                arr = decode_bytes(d, t, fake=fake_decode).astype(np.int64)
+                n = int(arr.size)
+                bsum = int(arr.sum())
+                h = 0
+                for i in range(PHASH_BITS):
+                    if int(arr[(i * n) // PHASH_BITS]) * n >= bsum:
+                        h |= 1 << i
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, schema=PHASH_SCHEMA)
+
+
+def _register_multimodal_phash() -> None:
+    from pyspark.sql import SparkSession
+
+    from ..cache import track
+    from ..registry import register
+    from ..sources.io import load
+
+    @register(
+        "multimodal_phash_dedup",
+        # Reproduces media_phash over the fake decoder in SQL: the decoded
+        # buffer is md5(blob) tiled to n = max(len, 16), so sampled byte i
+        # is digest[((i*n)//48) mod 16] and the mean compare is
+        # byte * n >= tiled byte_sum (the media_features machinery).
+        oracle=f"""
+        with m as (
+          select doc_id,
+                 case when doc_id % 3 = 0 then 'image'
+                      when doc_id % 3 = 1 then 'audio'
+                      else 'video' end as media_type,
+                 md5(text) as h,
+                 greatest(octet_length(encode(text)), 16) as n
+          from documents),
+        v as (
+          select m.doc_id, t.i,
+                 (strpos('0123456789abcdef', substr(m.h, 2*t.i-1, 1)) - 1)
+                   * 16
+                 + (strpos('0123456789abcdef', substr(m.h, 2*t.i, 1)) - 1)
+                   as byte
+          from m cross join generate_series(1, 16) as t(i)),
+        per as (
+          select m.doc_id, m.media_type, m.n,
+                 sum(v.byte) * (m.n // 16)
+                   + sum(case when v.i <= m.n % 16 then v.byte else 0 end)
+                   as bsum
+          from m join v using (doc_id)
+          group by m.doc_id, m.media_type, m.n),
+        ph as (
+          select p.doc_id, p.media_type,
+                 sum(case when v.i - 1 = ((g.i * p.n) // {PHASH_BITS}) % 16
+                           and v.byte * p.n >= p.bsum
+                          then 1::bigint << g.i else 0 end) as phash
+          from per p
+          join v using (doc_id)
+          cross join generate_series(0, {PHASH_BITS - 1}) as g(i)
+          group by p.doc_id, p.media_type),
+        bands as (
+          select doc_id, media_type, b.i as band,
+                 (phash >> ({PHASH_BAND_WIDTH} * b.i))
+                   & {(1 << PHASH_BAND_WIDTH) - 1} as val
+          from ph cross join generate_series(0, {PHASH_BANDS - 1}) as b(i)),
+        cand as (
+          select distinct a.media_type, a.doc_id as ia, bb.doc_id as ib
+          from bands a
+          join bands bb
+            on a.media_type = bb.media_type and a.band = bb.band
+           and a.val = bb.val and a.doc_id < bb.doc_id),
+        ver as (
+          select c.media_type,
+                 bit_count(xor(pa.phash, pb.phash)) <= {PHASH_MAX_HAM}
+                   as near
+          from cand c
+          join ph pa on pa.doc_id = c.ia
+          join ph pb on pb.doc_id = c.ib),
+        items as (
+          select media_type, count(*) as n_items from ph group by media_type)
+        select i.media_type,
+               cast(i.n_items as bigint) as n_items,
+               cast(coalesce(count(ver.near), 0) as bigint) as n_candidates,
+               cast(coalesce(sum(case when ver.near then 1 else 0 end), 0)
+                    as bigint) as n_near_dups
+        from items i
+        left join ver on ver.media_type = i.media_type
+        group by i.media_type, i.n_items
+        order by i.media_type
+        """,
+    )
+    def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Perceptual near-duplicate detection over the media table: per
+        media type, LSH-banded candidate pairs and verified near-dups
+        (Hamming <= {PHASH_MAX_HAM} on the 48-bit content hash) — the
+        re-encode/crop-robust second pass after multimodal_dedup's exact
+        byte-hash (a re-encoded copy changes every byte but little of the
+        content signature; the fake decoder stands in for the codec, the
+        hashing/banding/verification plumbing is the production path).
+
+        Scale plan: the hash leaves the mapInPandas decode as 8 bytes per
+        item; candidates come from an EQUI-join on (media_type, band,
+        band_value) — O(items x bands) shuffle, never all pairs — with
+        pigeonhole-perfect recall at the declared radius (any pair within
+        Hamming {PHASH_MAX_HAM} shares an intact band); verification is a
+        bit_count(xor) over the two 8-byte hashes. The same shape as
+        dedup_simhash, demonstrated on binary media.
+        """
+        docs = load(spark, sf_dir, "documents")
+        ph = track(
+            media_phash(fake_media_from_documents(docs), fake_decode=True)
+        )
+        band_id = F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band")
+        bands = ph.select("media_id", "media_type", "phash", band_id).select(
+            "media_id",
+            "media_type",
+            "band",
+            F.expr(
+                f"shiftright(phash, {PHASH_BAND_WIDTH} * band)"
+                f" & {(1 << PHASH_BAND_WIDTH) - 1}"
+            ).alias("val"),
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.media_type") == F.col("b.media_type"))
+                & (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_type").alias("media_type"),
+                F.col("a.media_id").alias("ia"),
+                F.col("b.media_id").alias("ib"),
+            )
+            .distinct()
+        )
+        pa = ph.select(
+            F.col("media_id").alias("ia"), F.col("phash").alias("pa")
+        )
+        pb = ph.select(
+            F.col("media_id").alias("ib"), F.col("phash").alias("pb")
+        )
+        ver = (
+            cand.join(pa, "ia")
+            .join(pb, "ib")
+            .select(
+                "media_type",
+                (
+                    F.bit_count(
+                        F.col("pa").bitwiseXOR(F.col("pb"))
+                    )
+                    <= PHASH_MAX_HAM
+                ).alias("near"),
+            )
+        )
+        items = ph.groupBy("media_type").agg(
+            F.count(F.lit(1)).alias("n_items")
+        )
+        rollup = ver.groupBy("media_type").agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.col("near").cast("bigint")).alias("n_near_dups"),
+        )
+        return (
+            items.join(rollup, "media_type", "left")
+            .select(
+                "media_type",
+                "n_items",
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+                F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            )
+            .orderBy("media_type")
+        )
+
+
+_register_multimodal_phash()

@@ -110,3 +110,53 @@ def test_media_features_oracle_sql_matches_spark(spark):
         sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
         problem = compare_frames(sdf, con.execute(ORACLES[name]).df(), name)
         assert not problem, problem
+
+
+def test_media_phash_identical_blobs_and_pigeonhole(spark):
+    """Byte-identical blobs hash identically (so every exact dup is a
+    near-dup candidate AND verifies at Hamming 0), and the banded join's
+    pigeonhole guarantee holds: flipping up to PHASH_MAX_HAM bits leaves
+    at least one of the PHASH_BANDS bands intact."""
+    from distributed_system_mapreduce_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        PHASH_BANDS,
+        PHASH_BAND_WIDTH,
+        PHASH_MAX_HAM,
+        media_phash,
+    )
+
+    rows = [
+        (1, "image", 8, 8, None, 1, bytearray(b"same-bytes")),
+        (2, "image", 8, 8, None, 1, bytearray(b"same-bytes")),
+        (3, "image", 8, 8, None, 1, bytearray(b"other-bytes")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.phash for r in media_phash(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+    mask = (1 << PHASH_BAND_WIDTH) - 1
+    h = got[1]
+    for flips in range(1, PHASH_MAX_HAM + 1):
+        # flip the lowest `flips` bits — bounded-Hamming neighbor
+        h2 = h ^ ((1 << flips) - 1)
+        shared = any(
+            (h >> (PHASH_BAND_WIDTH * b)) & mask
+            == (h2 >> (PHASH_BAND_WIDTH * b)) & mask
+            for b in range(PHASH_BANDS)
+        )
+        assert shared, flips
+
+
+def test_phash_dedup_counts_consistent(spark):
+    """Verified near-dups never exceed candidates; every media type
+    reports; the fixture's exact text dups surface as near-dups."""
+    from distributed_system_mapreduce_spark.registry import QUERIES
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["multimodal_phash_dedup"](spark, SF_DIR).collect()
+    assert {r.media_type for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert 0 <= r.n_near_dups <= r.n_candidates
+    assert sum(r.n_near_dups for r in rows) > 0

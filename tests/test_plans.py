@@ -276,6 +276,7 @@ _ARROW_BATCH_OK = {
     "dedup_embed_cosine",
     "multimodal_frame_sample",
     "multimodal_media_features",
+    "multimodal_phash_dedup",
     "sim_topk_pairs",
 }
 
