@@ -135,17 +135,20 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       sim_pq_recall (PQ quality witness, new r7; promoted to a
     #       hash-checked recall-bound oracle in r11 alongside
     #       sim_ivfpq_recall) — all four driver-green in CORRECTNESS_r12.
-    #   r13 (active, per VERDICT r12 #1): embed_pca_top_component
+    #   r13: embed_pca_top_component
     #       (variance/eigenvalue bound oracle, r12 promotion),
     #       dedup_simhash_block_quality (pigeonhole-recall +
     #       precision-floor oracle, new r12), graph_adamic_adar_capped and
     #       graph_common_neighbors_capped (capped-wedge 100TB path, new
-    #       r12, hash-oracled top-20 parity) — every r12 deliverable gets
-    #       a hard driver row.
-    #   r14 (requeued from old r13): eval_auc (distributed Mann-Whitney
-    #       AUC, new r7), eval_calibration_bins (reliability rollup,
-    #       new r7), cdc_merge_upserts (lakehouse MERGE witness, new r7),
-    #       events_seasonal_index (dow seasonality, new r7)
+    #       r12, hash-oracled top-20 parity) — all four driver-green in
+    #       CORRECTNESS_r13.
+    #   r14 (active, per VERDICT r13 #1): eval_auc (distributed
+    #       Mann-Whitney AUC, new r7), eval_calibration_bins (reliability
+    #       rollup, new r7), cdc_merge_upserts (lakehouse MERGE witness,
+    #       new r7), cdc_scd2_history (change-compressed SCD2, new r9 —
+    #       VERDICT r13 named the CDC pair over events_seasonal_index so
+    #       both CDC shapes get hard driver rows in one window; seasonal
+    #       index requeues to the overflow pool)
     #   r15: eval_ndcg_at_k (retrieval ranking eval, new r7),
     #       mv_incremental_refresh (algebraic MV merge, new r7),
     #       graph_bfs_hops (single-plan bounded traversal, new r7),
@@ -166,7 +169,8 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r19: graph_adamic_adar (link-prediction family, new r9),
     #       eval_f1_macro (class-balanced eval, new r9),
     #       agg_weighted_median (chunked-scan threshold crossing, new r9),
-    #       cdc_scd2_history (change-compressed SCD2, new r9)
+    #       events_seasonal_index (dow seasonality, new r7 — displaced
+    #       from r14 by cdc_scd2_history)
     #   r20: events_burstiness (decimal moment sums, new r9),
     #       text_source_bigram_overlap (provenance audit, new r9),
     #       graph_degree_gini (chunked-rank Gini, new r9),
@@ -200,10 +204,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    joined the oracled pool — queue the simhash quality row for the
     #    first slot freed after r13 so the bit-block LSH family gets a
     #    driver-verified quality floor like MinHash's.)
-    "embed_pca_top_component",
-    "dedup_simhash_block_quality",
-    "graph_adamic_adar_capped",
-    "graph_common_neighbors_capped",
+    "eval_auc",
+    "eval_calibration_bins",
+    "cdc_merge_upserts",
+    "cdc_scd2_history",
 )
 
 

@@ -1077,17 +1077,18 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("aa"), F.asc("src"), F.asc("dst")).limit(20)
 
 
-def adamic_adar_capped_scores(pairs: DataFrame, cap: int) -> DataFrame:
-    """(src, dst, n_common, aa) for every edge of ``pairs`` scored over the
-    ``cap``-lowest-id-neighbors adjacency — ``graph_adamic_adar_capped``'s
-    scoring stage before the top-20, exposed so the randomized property
-    test can pit it against a plain-Python reference on arbitrary graphs
-    (the kcore_peel testing pattern)."""
-    deg = _degrees(pairs)
+def capped_wedges(pairs: DataFrame, cap: int) -> DataFrame:
+    """(w, u, v): every wedge pair through each center w's ``cap``
+    lowest-id neighbors (u < v), generated MAP-SIDE from the capped
+    sorted adjacency array (nested higher-order transform over slice —
+    no self-join, no explode-then-join). Per-center output is bounded at
+    C(cap, 2) regardless of hub size, so total work is O(V·cap²).
+    Shared by the capped Adamic-Adar/common-neighbors scorer and the
+    capped clustering coefficient."""
     capped = _symmetric(pairs).groupBy("src").agg(
         F.slice(F.sort_array(F.collect_list("dst")), 1, cap).alias("nbrs")
     )
-    wedges = capped.select(
+    return capped.select(
         F.col("src").alias("w"),
         F.explode(
             F.expr(
@@ -1097,6 +1098,16 @@ def adamic_adar_capped_scores(pairs: DataFrame, cap: int) -> DataFrame:
             )
         ).alias("p"),
     ).select("w", "p.u", "p.v")
+
+
+def adamic_adar_capped_scores(pairs: DataFrame, cap: int) -> DataFrame:
+    """(src, dst, n_common, aa) for every edge of ``pairs`` scored over the
+    ``cap``-lowest-id-neighbors adjacency — ``graph_adamic_adar_capped``'s
+    scoring stage before the top-20, exposed so the randomized property
+    test can pit it against a plain-Python reference on arbitrary graphs
+    (the kcore_peel testing pattern)."""
+    deg = _degrees(pairs)
+    wedges = capped_wedges(pairs, cap)
     d_w = deg.select(F.col("id").alias("w"), F.col("deg").alias("deg_w"))
     return (
         wedges.join(
@@ -1306,8 +1317,132 @@ def clustering_from_pairs(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     # property test; unreachable on the fixture but not on real data)
     n_wedges = F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
     n_eligible = F.sum((F.col("deg") >= 2).cast("int"))
+    # edgeless corpus: `local` is empty, so sum("t") is NULL while the
+    # oracle's scalar-subquery count(*) reports 0 — coalesce to match
+    # (ADVICE r13; same rule as triangle_count_from_pairs)
     return local.agg(
-        (F.sum("t") / 3).cast("bigint").alias("n_triangles"),
+        (F.coalesce(F.sum("t"), F.lit(0)) / 3)
+        .cast("bigint")
+        .alias("n_triangles"),
+        n_wedges.cast("bigint").alias("n_wedges"),
+        F.round(
+            F.when(n_wedges == 0, F.lit(0.0)).otherwise(
+                F.sum("t").cast("double") / n_wedges
+            ),
+            6,
+        ).alias("global_cc"),
+        F.round(
+            F.when(n_eligible == 0, F.lit(0.0)).otherwise(
+                F.sum(local_cc9).cast("double") / n_eligible
+            ),
+            6,
+        ).alias("avg_local_cc"),
+    )
+
+
+@register(
+    "graph_clustering_coeff_capped",
+    oracle=f"""
+    with {_PAIRS_SQL},
+    capped as (
+      select src, dst from (
+        select src, dst,
+               row_number() over (partition by src order by dst) as rn
+        from edges) t
+      where rn <= {ADAMIC_ADAR_NEIGHBOR_CAP}),
+    wedge as (
+      select a.src as w, a.dst as u, b.dst as v
+      from capped a join capped b on a.src = b.src and a.dst < b.dst),
+    closedw as (
+      select wg.w, count(*) as t
+      from wedge wg
+      join pairs p on p.src = wg.u and p.dst = wg.v
+      group by wg.w),
+    local as (
+      select least(d.deg, {ADAMIC_ADAR_NEIGHBOR_CAP}) as cd,
+             coalesce(c.t, 0) as t
+      from deg d left join closedw c on c.w = d.id)
+    select cast(coalesce(sum(t), 0) as bigint) as n_closed_wedges,
+           cast(sum(cd * (cd - 1) / 2) as bigint) as n_wedges,
+           round(case when sum(cd * (cd - 1) / 2) = 0 then 0.0
+                      else sum(t) / sum(cd * (cd - 1) / 2) end, 6)
+             as global_cc,
+           round(case when sum(case when cd >= 2 then 1 else 0 end) = 0
+                      then 0.0
+                      else sum(case when cd >= 2
+                          then cast(round(t * 2.0 / (cd * (cd - 1)), 9)
+                                    as decimal(18,9))
+                          else cast(0 as decimal(18,9)) end)::double
+                 / sum(case when cd >= 2 then 1 else 0 end) end, 6)
+             as avg_local_cc
+    from local
+    """,
+)
+def graph_clustering_coeff_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree-capped clustering coefficients — the documented 100 TB
+    scale path for the transitivity audit (VERDICT r13 #3: exact
+    graph_clustering_coeff rides the triangle family's x16 alpha 0.73,
+    the steepest probed number; this twin bounds per-center wedge work
+    at C({ADAMIC_ADAR_NEIGHBOR_CAP}, 2), O(V·cap²) total, hub-immune).
+
+    Wedges come from the SAME map-side capped-adjacency generator as the
+    capped Adamic-Adar pair (shared :func:`capped_wedges`); a wedge
+    (w; u, v) is closed iff (u, v) is an edge — one equi-join against the
+    id-canonical pair table, O(closed wedges) rollup. Per-vertex capped
+    wedge capacity is C(min(deg, cap), 2), so global CC = closed/capacity
+    and the local coefficient is t_w / C(min(deg_w, cap), 2) — both exact
+    over the truncated adjacency and a biased-low estimate of the exact
+    coefficients through hub centers (the truncated-transitivity trade
+    every production graph-shape audit makes at scale). Local
+    coefficients quantize to 9 dp and sum as decimal(18,9); wedge-free
+    graphs define both coefficients as 0.0 and the edgeless closed-wedge
+    sum coalesces to 0 (the clustering_from_pairs / ADVICE r13 rule).
+    """
+    pairs = copurchase_pairs(spark, sf_dir)
+    return clustering_capped_from_pairs(
+        pairs, _degrees(pairs), ADAMIC_ADAR_NEIGHBOR_CAP
+    )
+
+
+def clustering_capped_from_pairs(
+    pairs: DataFrame, deg: DataFrame, cap: int
+) -> DataFrame:
+    """1-row (n_closed_wedges, n_wedges, global_cc, avg_local_cc) over the
+    ``cap``-lowest-id-neighbors adjacency — graph_clustering_coeff_capped's
+    core, exposed so the randomized property test can pit it against a
+    plain-Python truncated-adjacency reference (the
+    adamic_adar_capped_scores testing pattern)."""
+    closed = (
+        capped_wedges(pairs, cap)
+        .join(
+            pairs.select(
+                F.col("src").alias("u"), F.col("dst").alias("v")
+            ),
+            ["u", "v"],
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    local = deg.join(
+        closed, deg["id"] == closed["w"], "left"
+    ).select(
+        F.least(F.col("deg"), F.lit(cap)).alias("cd"),
+        F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+    )
+    local_cc9 = F.when(
+        F.col("cd") >= 2,
+        F.round(
+            F.col("t") * 2.0 / (F.col("cd") * (F.col("cd") - 1)), 9
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    n_wedges = F.sum(F.col("cd") * (F.col("cd") - 1) / 2)
+    n_eligible = F.sum((F.col("cd") >= 2).cast("int"))
+    return local.agg(
+        F.coalesce(F.sum("t"), F.lit(0))
+        .cast("bigint")
+        .alias("n_closed_wedges"),
         n_wedges.cast("bigint").alias("n_wedges"),
         F.round(
             F.when(n_wedges == 0, F.lit(0.0)).otherwise(

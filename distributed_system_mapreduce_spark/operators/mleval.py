@@ -1064,12 +1064,12 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                + ny + 1 as ry2
       from (select y, sum(n) as ny from xy group by y)),
     s as (
-      select cast(sum(n) as decimal(38,0)) as sn,
-             cast(sum(n * rx2) as decimal(38,0)) as sx,
-             cast(sum(n * ry2) as decimal(38,0)) as sy,
-             cast(sum(n * rx2 * ry2) as decimal(38,0)) as sxy,
-             cast(sum(n * rx2 * rx2) as decimal(38,0)) as sxx,
-             cast(sum(n * ry2 * ry2) as decimal(38,0)) as syy
+      select sum(cast(n as hugeint)) as sn,
+             sum(cast(n as hugeint) * rx2) as sx,
+             sum(cast(n as hugeint) * ry2) as sy,
+             sum(cast(n as hugeint) * rx2 * ry2) as sxy,
+             sum(cast(n as hugeint) * rx2 * rx2) as sxx,
+             sum(cast(n as hugeint) * ry2 * ry2) as syy
       from xy join xr using (score_m) join yr using (y))
     select case when (cast(sn as double) * cast(sxx as double)
                       - cast(sx as double) * cast(sx as double))
@@ -1137,22 +1137,23 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dec = "decimal(38,0)"
+    # the decimal cast must land on the OPERANDS, not the sum result:
+    # bigint products n * (2N)^2 overflow int64 at petabyte row counts
+    # before any cast-on-the-result could help (ADVICE r13 — the oracle
+    # mirrors with hugeint operands, DuckDB's 128-bit integer lane)
+    nD = F.col("n").cast(dec)
+    rxD = F.col("rx2").cast(dec)
+    ryD = F.col("ry2").cast(dec)
     s = (
         xy.join(F.broadcast(xr), "score_m")
         .join(F.broadcast(yr), "y")
         .agg(
-            F.sum("n").cast(dec).alias("sn"),
-            F.sum(F.col("n") * F.col("rx2")).cast(dec).alias("sx"),
-            F.sum(F.col("n") * F.col("ry2")).cast(dec).alias("sy"),
-            F.sum(F.col("n") * F.col("rx2") * F.col("ry2"))
-            .cast(dec)
-            .alias("sxy"),
-            F.sum(F.col("n") * F.col("rx2") * F.col("rx2"))
-            .cast(dec)
-            .alias("sxx"),
-            F.sum(F.col("n") * F.col("ry2") * F.col("ry2"))
-            .cast(dec)
-            .alias("syy"),
+            F.sum(nD).alias("sn"),
+            F.sum(nD * rxD).alias("sx"),
+            F.sum(nD * ryD).alias("sy"),
+            F.sum(nD * rxD * ryD).alias("sxy"),
+            F.sum(nD * rxD * rxD).alias("sxx"),
+            F.sum(nD * ryD * ryD).alias("syy"),
         )
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731

@@ -1103,27 +1103,10 @@ ACF_LAGS = (1, 2, 3, 24)
 
 
 def _acf_oracle() -> str:
-    per_lag = "\n    union all\n".join(
+    per_lag = "\n      union all\n".join(
         f"""
-    select {k} as lag,
-           count(*) as n_pairs,
-           round((count(*) * cast(sum(xy) as double)
-                  - cast(sum(x) as double) * cast(sum(y) as double))
-                 / sqrt((count(*) * cast(sum(xx) as double)
-                         - cast(sum(x) as double) * cast(sum(x) as double))
-                        * (count(*) * cast(sum(yy) as double)
-                           - cast(sum(y) as double)
-                             * cast(sum(y) as double))), 6) as acf
-    from (
-      select cast(x as decimal(38,0)) as x,
-             cast(y as decimal(38,0)) as y,
-             cast(x as decimal(38,0)) * y as xy,
-             cast(x as decimal(38,0)) * x as xx,
-             cast(y as decimal(38,0)) * y as yy
-      from (
-        select x, lag(x, {k}) over (order by hour_epoch) as y
-        from filled)
-      where y is not null)"""
+      select {k} as lag, x, lag(x, {k}) over (order by hour_epoch) as y
+      from filled"""
         for k in ACF_LAGS
     )
     return f"""
@@ -1136,8 +1119,38 @@ def _acf_oracle() -> str:
       select g.hour_epoch, coalesce(h.cnt, 0) as x
       from (select unnest(generate_series(mn, mx, 3600)) as hour_epoch
             from span) g
-      left join hourly h on h.hour_epoch = g.hour_epoch)
-    {per_lag}
+      left join hourly h on h.hour_epoch = g.hour_epoch),
+    lagged as (
+      {per_lag}),
+    moments as (
+      select lag,
+             count(*) as n,
+             sum(x) as sx, sum(y) as sy, sum(xy) as sxy,
+             sum(xx) as sxx, sum(yy) as syy
+      from (
+        select lag,
+               cast(x as decimal(38,0)) as x,
+               cast(y as decimal(38,0)) as y,
+               cast(x as decimal(38,0)) * y as xy,
+               cast(x as decimal(38,0)) * x as xx,
+               cast(y as decimal(38,0)) * y as yy
+        from lagged where y is not null)
+      group by lag)
+    select cast(lag as int) as lag,
+           n as n_pairs,
+           case when (n * cast(sxx as double)
+                      - cast(sx as double) * cast(sx as double))
+                     * (n * cast(syy as double)
+                        - cast(sy as double) * cast(sy as double)) = 0
+                then null
+                else round((n * cast(sxy as double)
+                            - cast(sx as double) * cast(sy as double))
+                           / sqrt((n * cast(sxx as double)
+                                   - cast(sx as double) * cast(sx as double))
+                                  * (n * cast(syy as double)
+                                     - cast(sy as double)
+                                       * cast(sy as double))), 6) end as acf
+    from moments
     order by lag
     """
 
@@ -1151,13 +1164,21 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     view).
 
     Scale plan: ONE map-side-combining groupBy collapses the corpus to
-    the hourly rollup; the zero-filled spine and every lag window run
+    the hourly rollup; the zero-filled spine and the lag projection run
     over that CALENDAR-bounded series (rows = span hours regardless of
     corpus size — a century is <1M rows), so the single-partition
-    ordering window is bounded by construction. Counts and their products
-    accumulate as decimal(38,0) (hourly counts reach 1e10 at 100 TB;
-    their squares overflow bigint) and only each lag's final Pearson
-    expression divides in doubles.
+    ordering window is bounded by construction. All four lags are read
+    from ONE window pass (`lag(x, k)` over the same orderBy — r13's
+    four separately-scheduled windowed aggregates paid 4× scheduling
+    overhead under suite load, the round's one bench-regression flag),
+    then stack()ed into (lag, x, y) pairs and rolled up by a single
+    4-group aggregate. Counts and their products accumulate as
+    decimal(38,0) (hourly counts reach 1e10 at 100 TB; their squares
+    overflow bigint) and only each lag's final Pearson expression
+    divides in doubles — guarded to NULL when a lag's pair set has zero
+    variance (constant series, or a spine of exactly lag+1 hours gives
+    one pair): numerator and denominator are both exactly 0.0 there and
+    ANSI-mode double 0/0 raises where DuckDB yields NULL (ADVICE r13).
     """
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -1175,48 +1196,43 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_epoch", F.coalesce("cnt", F.lit(0)).alias("x")
     )
     w = Window.orderBy("hour_epoch")
+    lagged = filled.select(
+        "x", *[F.lag("x", k).over(w).alias(f"y{k}") for k in ACF_LAGS]
+    )
+    stack_args = ", ".join(f"{k}, y{k}" for k in ACF_LAGS)
     d38 = "decimal(38,0)"
-    rows = []
-    for k in ACF_LAGS:
-        pairs = (
-            filled.select("x", F.lag("x", k).over(w).alias("y"))
-            .filter(F.col("y").isNotNull())
-            .select(
-                F.col("x").cast(d38).alias("x"),
-                F.col("y").cast(d38).alias("y"),
-            )
+    pairs = (
+        lagged.select(
+            F.col("x").cast(d38).alias("x"),
+            F.expr(
+                f"stack({len(ACF_LAGS)}, {stack_args}) as (lag, ylong)"
+            ),
         )
-        dd = lambda c: c.cast("double")  # noqa: E731
-        rows.append(
-            pairs.agg(
-                F.lit(k).cast("int").alias("lag"),
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.round(
-                    (
-                        F.count(F.lit(1))
-                        * dd(F.sum(F.col("x") * F.col("y")))
-                        - dd(F.sum("x")) * dd(F.sum("y"))
-                    )
-                    / F.sqrt(
-                        (
-                            F.count(F.lit(1))
-                            * dd(F.sum(F.col("x") * F.col("x")))
-                            - dd(F.sum("x")) * dd(F.sum("x"))
-                        )
-                        * (
-                            F.count(F.lit(1))
-                            * dd(F.sum(F.col("y") * F.col("y")))
-                            - dd(F.sum("y")) * dd(F.sum("y"))
-                        )
-                    ),
-                    6,
-                ).alias("acf"),
-            )
+        .filter(F.col("ylong").isNotNull())
+        .select("lag", "x", F.col("ylong").cast(d38).alias("y"))
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    n = F.count(F.lit(1))
+    num = n * dd(F.sum(F.col("x") * F.col("y"))) - dd(F.sum("x")) * dd(
+        F.sum("y")
+    )
+    den = (
+        n * dd(F.sum(F.col("x") * F.col("x")))
+        - dd(F.sum("x")) * dd(F.sum("x"))
+    ) * (
+        n * dd(F.sum(F.col("y") * F.col("y")))
+        - dd(F.sum("y")) * dd(F.sum("y"))
+    )
+    return (
+        pairs.groupBy(F.col("lag").cast("int").alias("lag"))
+        .agg(
+            n.alias("n_pairs"),
+            F.when(den == 0, F.lit(None))
+            .otherwise(F.round(num / F.sqrt(den), 6))
+            .alias("acf"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        .orderBy("lag")
+    )
 
 
 def grouped_lower_median(
@@ -1557,7 +1573,8 @@ def holt_state(values):
            round(l, 4) as level,
            round(b, 4) as trend,
            round(l + b, 4) as forecast_next,
-           round(sqrt(sse / (n - 2)), 4) as rmse_1step
+           case when n > 2 then round(sqrt(sse / (n - 2)), 4)
+                else null end as rmse_1step
     from step where t = n
     order by event_type
     """,
@@ -1575,7 +1592,11 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     t=2. Both engines execute the identical IEEE expression tree in the
     identical order (the oracle's recursive CTE inlines the same l'
     formula), so state matches bit-for-bit before the 4 dp rounding.
-    Types with a single observed hour are dropped (trend undefined).
+    Types with a single observed hour are dropped (trend undefined); a
+    type with EXACTLY two observed hours passes the size >= 2 gate with
+    zero smoothing steps, so sse = 0 and n - 2 = 0 — rmse_1step is NULL
+    there (ANSI double 0/0 raises; DuckDB yields NULL — ADVICE r13),
+    mirrored in the oracle's CASE.
     """
     ev = load(spark, sf_dir, "events")
     hourly = (
@@ -1605,7 +1626,10 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.l"), 4).alias("level"),
         F.round(F.col("st.b"), 4).alias("trend"),
         F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
-        F.round(
-            F.sqrt(F.col("st.sse") / (F.col("n") - 2)), 4
-        ).alias("rmse_1step"),
+        F.when(
+            F.col("n") > 2,
+            F.round(F.sqrt(F.col("st.sse") / (F.col("n") - 2)), 4),
+        )
+        .otherwise(F.lit(None))
+        .alias("rmse_1step"),
     ).orderBy("event_type")

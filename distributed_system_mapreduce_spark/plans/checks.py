@@ -112,3 +112,83 @@ def global_window_violations(df: DataFrame) -> list[str]:
                 exprs = json.dumps(node.get("windowExpressions", ""))[:120]
                 out.append(exprs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BNLJ build-side boundedness (VERDICT r13 #7): the plan sweep's
+# BroadcastNestedLoopJoin whitelist grew to ~57 entries — large enough that
+# a stale entry could hide a real quadratic regression. Membership is now a
+# DECLARATION of which structural bound the broadcast side carries, and the
+# sweep verifies the physical plan actually exhibits it.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+#: Columns whose constant-literal scan filters (col = k / col < k) bound the
+#: build side at a constant row count: unique vector/query ids probed with a
+#: literal range (the ANN/eval query grids), salted-top-k stage-1 ranks, and
+#: per-partition row_number caps. A literal filter on a NON-key column
+#: (l_quantity < 24 …) bounds nothing — it scales with the corpus — so only
+#: these declared key columns count toward the "probe" class.
+PROBE_BOUND_COLS = frozenset(
+    {"vec_id", "q_id", "cent_id", "rn", "rnk", "__topk_r1"}
+)
+
+_CONSTFILTER_RE = _re.compile(r"\((\w+)#\d+L? (?:=|<|<=) \d+\)")
+_GROUPED_RE = _re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[(\w+)#")
+
+
+def _classify_build_side(tree_string: str) -> set[str]:
+    """Structural bound classes exhibited by one BNLJ build-side subtree:
+
+    - ``scalar``  — a grouping-free aggregate (``keys=[]``): 1-row combine;
+    - ``limit``   — an explicit limit / ordered top-k: ≤ literal rows;
+    - ``local``   — a literal/cached frame (LocalTableScan, InMemoryTableScan,
+      ReusedExchange, OneRowRelation): driver-bounded by construction;
+    - ``probe``   — a constant-literal filter on a declared unique-key
+      column (PROBE_BOUND_COLS): ≤ constant rows;
+    - ``grouped:<col>`` — an aggregate keyed by <col>: output bounded by
+      that column's arity (only sound for DECLARED bounded-arity columns —
+      label, language — so the sweep accepts it only when the whitelist
+      entry names the column).
+    """
+    classes: set[str] = set()
+    if _re.search(r"keys=\[\], functions=", tree_string):
+        classes.add("scalar")
+    if _re.search(
+        r"TakeOrderedAndProject|CollectLimit|GlobalLimit", tree_string
+    ):
+        classes.add("limit")
+    if _re.search(
+        r"LocalTableScan|InMemoryTableScan|ReusedExchange|OneRowRelation",
+        tree_string,
+    ):
+        classes.add("local")
+    for col in _CONSTFILTER_RE.findall(tree_string):
+        if col in PROBE_BOUND_COLS:
+            classes.add("probe")
+        classes.add(f"constfilter:{col}")
+    for col in _GROUPED_RE.findall(tree_string):
+        classes.add(f"grouped:{col}")
+    return classes
+
+
+def bnlj_build_classes(df: DataFrame) -> list[set[str]]:
+    """One entry per BroadcastNestedLoopJoin in the (pre-AQE) physical
+    plan: the structural bound classes its BUILD side exhibits. An empty
+    set means the broadcast branch carries NO structural bound — a raw
+    corpus-sized broadcast, the regression class the whitelist exists to
+    police."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    out: list[set[str]] = []
+
+    def walk(node):
+        if "BroadcastNestedLoopJoin" in node.nodeName():
+            arg = node.argString(200)
+            child = node.children().apply(0 if "BuildLeft" in arg else 1)
+            out.append(_classify_build_side(child.treeString()))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    return out

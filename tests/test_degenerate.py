@@ -96,3 +96,131 @@ def test_documented_raisers_raise_actionably(spark, empty_sf_dir):
         with pytest.raises(ValueError) as exc:
             QUERIES[name](spark, empty_sf_dir).collect()
         assert str(exc.value), name
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13 regressions: crafted corpora that hit the degenerate slices the
+# empty/1-row sweeps cannot reach (zero-variance pair sets, n=2 series,
+# edgeless graphs) — and compare against the DuckDB oracle, not just
+# crash-check, because two of the r13 findings were oracle DIVERGENCES.
+# ---------------------------------------------------------------------------
+
+
+def _events_fixture_dir(spark, tmp_path_factory, label, rows):
+    """A full fixture dir whose events table is the crafted (event_id, ts,
+    user_id, event_type, value, props) rows; every other table copies the
+    smoke fixture. Written as SINGLE parquet files (pyarrow, not Spark's
+    part-file directories) so duck_connection's read_parquet paths
+    resolve."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp(f"advice_{label}"))
+    for t in TABLES:
+        if t == "events":
+            continue
+        pq.write_table(
+            pq.read_table(os.path.join(SF_SMOKE, f"{t}.parquet")),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ],
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        os.path.join(out, "events.parquet"),
+    )
+    return out
+
+
+def _parity_or_fail(spark, sf_dir, names):
+    from distributed_system_mapreduce_spark.testing import (
+        duck_connection,
+        run_parity,
+    )
+
+    con = duck_connection(sf_dir)
+    try:
+        problems = []
+        for name in names:
+            problems.extend(run_parity(name, spark, con, sf_dir))
+        assert not problems, "\n".join(problems)
+    finally:
+        con.close()
+
+
+def test_acf_zero_variance_is_null_and_matches_oracle(
+    spark, tmp_path_factory
+):
+    """ADVICE r13: a constant hourly rate gives every lag's Pearson
+    denominator exactly 0.0 — ANSI double 0/0 raised on Spark while the
+    DuckDB oracle yielded NULL. One event per hour for 30 hours: all four
+    lags (incl. the 6-pair lag-24 set) must come back NULL on BOTH
+    engines."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (h, base + dt.timedelta(hours=h), h % 5, "alpha", 1.0, "{}")
+        for h in range(30)
+    ]
+    d = _events_fixture_dir(spark, tmp_path_factory, "acf_const", rows)
+    _parity_or_fail(spark, d, ["events_acf"])
+
+
+def test_holt_two_hour_type_rmse_null_matches_oracle(
+    spark, tmp_path_factory
+):
+    """ADVICE r13: a type with EXACTLY two observed hours passes the
+    size >= 2 gate with zero smoothing steps, so sse = 0 and n - 2 = 0 —
+    sqrt(0/0) raised on Spark while DuckDB emitted the row with NULL
+    rmse. 'beta' has 2 hours (NULL rmse), 'gamma' has 10 varied hours
+    (real rmse) so the non-degenerate path is exercised alongside."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "beta", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 2, "beta", 1.0, "{}"),
+    ]
+    eid = 10
+    for h in range(10):
+        for _ in range(h % 3 + 1):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h), eid % 7, "gamma",
+                 2.0, "{}")
+            )
+            eid += 1
+    d = _events_fixture_dir(spark, tmp_path_factory, "holt_n2", rows)
+    _parity_or_fail(spark, d, ["events_holt_forecast", "events_acf"])
+
+
+def test_clustering_coeff_edgeless_matches_oracle(
+    spark, tmp_path_factory
+):
+    """ADVICE r13: on an edgeless co-purchase graph Spark's sum("t") over
+    the empty per-vertex frame was NULL while the oracle's scalar
+    count(*) said 0 triangles. A 1-row lineitem gives exactly that graph;
+    the full oracle compare (not just the crash sweep) pins the
+    coalesce."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("advice_edgeless"))
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SF_SMOKE, f"{t}.parquet"))
+        pq.write_table(tab.slice(0, 1), os.path.join(out, f"{t}.parquet"))
+    _parity_or_fail(spark, out, ["graph_clustering_coeff"])

@@ -195,77 +195,88 @@ _PLAN_SF = "/root/testdata/sf0.001"
 
 #: Queries whose plans legitimately contain a BroadcastNestedLoopJoin. The
 #: invariant for membership: the BROADCAST side is bounded by a constant
-#: independent of corpus size — either a one-row scalar combine (corpus
-#: size, avgdl, span, vocabulary totals) or an explicit constant-sized
-#: broadcast grid (a k-row query/eval grid such as NDCG_QUERIES, a fixed
-#: centroid table) — so the nested loop does constant work per probe row at
-#: any scale. Anything NOT listed here that grows a BNLJ is a
-#: quadratic-at-scale regression and fails the sweep.
+#: independent of corpus size. Since r14 (VERDICT r13 #7) membership is a
+#: DECLARATION of the structural bound class the broadcast branch carries,
+#: verified against the physical plan by
+#: test_bnlj_build_sides_structurally_bounded — a new entry cannot
+#: silently whitelist an unbounded broadcast. Classes (see
+#: plans.checks._classify_build_side):
+#:   "scalar"        — grouping-free aggregate (1-row combine: corpus size,
+#:                     avgdl, span, vocabulary totals, min/max epoch)
+#:   "limit"         — explicit limit / ordered top-k (≤ literal rows)
+#:   "local"         — literal/cached driver-bounded frame
+#:   "probe"         — constant-literal filter on a unique-key column
+#:                     (vec_id < k query/centroid grids; ≤ k rows)
+#:   "grouped:<col>" — aggregate keyed by a declared bounded-arity column
+#: Every observed BNLJ build side must exhibit at least one declared
+#: class. Anything NOT listed here that grows a BNLJ fails the sweep.
 _SCALAR_COMBINE_BNLJ = {
-    "agg_cms_heavy_hitters",
-    "agg_weighted_median",
+    "agg_cms_heavy_hitters": {"scalar"},
+    "agg_weighted_median": {"scalar"},
     # per-round 1-row merge-rule broadcast into the vocab table (bounded by
     # construction: limit 1)
-    "text_bpe_train",
+    "text_bpe_train": {"limit"},
     # two 1-row scalar combines (total tokens, normalizer Z) into the
     # language-cardinality table
-    "sample_temperature_mix",
-    "orders_abc_pareto",
-    "cdc_merge_upserts",
-    "corpus_lang_mix_kl",
-    "embed_cosine_histogram",
-    "eval_confusion_centroid",
-    "eval_f1_macro",
-    "eval_topk_accuracy",
-    "eval_mrr_at_k",
-    "eval_ndcg_at_k",
-    "mv_incremental_refresh",
-    "dedup_cluster",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "dedup_simhash64",
-    "dedup_simhash_block_quality",
-    "events_gap_fill",
-    "events_inactivity_churn",
+    "sample_temperature_mix": {"scalar"},
+    "orders_abc_pareto": {"scalar"},
+    "cdc_merge_upserts": {"scalar"},
+    "corpus_lang_mix_kl": {"scalar"},
+    "embed_cosine_histogram": {"probe"},
+    # label-arity centroid grid (k×dim rows; label is a bounded enum)
+    "eval_confusion_centroid": {"scalar", "local", "grouped:label"},
+    "eval_f1_macro": {"scalar", "local", "grouped:label"},
+    "eval_topk_accuracy": {"grouped:label"},
+    "eval_mrr_at_k": {"probe"},
+    "eval_ndcg_at_k": {"probe"},
+    "mv_incremental_refresh": {"scalar"},
+    "dedup_cluster": {"scalar"},
+    "dedup_near_minhash": {"scalar"},
+    "dedup_simhash": {"scalar"},
+    "dedup_simhash64": {"scalar"},
+    # the ≤4096-code deterministic sample arms carry the limit bound
+    "dedup_simhash_block_quality": {"scalar", "limit"},
+    "events_gap_fill": {"scalar"},
+    "events_inactivity_churn": {"scalar"},
     # types x calendar-hours grid broadcast + two type-arity-bounded
     # median tables (same bounded-grid pattern as events_gap_fill)
-    "events_mad_outliers",
+    "events_mad_outliers": {"scalar"},
     # 1-row marginal-product combine (pe_nn) into the 1-row agreement agg
-    "eval_cohens_kappa",
+    "eval_cohens_kappa": {"scalar"},
     # 1-row (n, vbar) scalar combine into the residual scorer
-    "eval_regression_metrics",
+    "eval_regression_metrics": {"scalar"},
     # two 1-row combines (edge count m; community-count/degree-product)
-    "graph_modularity",
-    "events_rolling_dau",
-    "events_series_topk",
-    "events_user_features",
-    "filter_above_avg",
-    "funnel_conversion",
-    "graph_triangle_count",
-    "hybrid_rrf_topk",
-    "knn_label_vote",
-    "layout_zorder_cluster",
-    "sim_pq_recall",
-    "sql_idle_customers",
-    "sim_ivfpq_recall",
-    "sample_negative_pairs",
-    "pipeline_dedup_corpus",
-    "pipeline_dataset_card",
-    "pipeline_mix_rebalance",
-    "pipeline_train_corpus",
-    "sim_ann_ivf",
-    "sim_ann_ivf_mp",
-    "sim_ann_recall",
-    "sim_ivf_nprobe_sweep",
-    "sim_quantized_recall",
-    "sim_quantized_topk",
-    "sim_range_search",
-    "sim_topk_query",
-    "text_bm25_topk",
-    "text_collocations",
-    "text_keywords_per_doc",
-    "text_tfidf_top",
-    "text_unigram_logprob",
+    "graph_modularity": {"scalar"},
+    "events_rolling_dau": {"scalar"},
+    "events_series_topk": {"scalar"},
+    "events_user_features": {"scalar"},
+    "filter_above_avg": {"scalar"},
+    "funnel_conversion": {"scalar"},
+    "graph_triangle_count": {"scalar"},
+    "hybrid_rrf_topk": {"scalar", "probe"},
+    "knn_label_vote": {"probe"},
+    "layout_zorder_cluster": {"scalar"},
+    "sim_pq_recall": {"scalar", "probe"},
+    "sql_idle_customers": {"scalar"},
+    "sim_ivfpq_recall": {"scalar", "probe"},
+    "sample_negative_pairs": {"probe"},
+    "pipeline_dedup_corpus": {"scalar"},
+    "pipeline_dataset_card": {"scalar"},
+    "pipeline_mix_rebalance": {"scalar"},
+    "pipeline_train_corpus": {"scalar"},
+    "sim_ann_ivf": {"probe"},
+    "sim_ann_ivf_mp": {"probe"},
+    "sim_ann_recall": {"probe"},
+    "sim_ivf_nprobe_sweep": {"probe"},
+    "sim_quantized_recall": {"probe"},
+    "sim_quantized_topk": {"probe"},
+    "sim_range_search": {"probe"},
+    "sim_topk_query": {"probe"},
+    "text_bm25_topk": {"scalar"},
+    "text_collocations": {"scalar"},
+    "text_keywords_per_doc": {"scalar"},
+    "text_tfidf_top": {"scalar"},
+    "text_unigram_logprob": {"scalar"},
 }
 
 #: Queries where Arrow-batched Python IS the design (per-bucket cosine via
@@ -301,8 +312,56 @@ def test_registry_plan_sweep(name, spark):
 def test_plan_sweep_whitelists_are_not_stale(spark):
     """Every whitelisted name must still exist — a renamed/removed query
     silently shrinking the sweep's deny-list is itself a regression."""
-    assert _SCALAR_COMBINE_BNLJ <= set(_ALL), _SCALAR_COMBINE_BNLJ - set(_ALL)
+    assert set(_SCALAR_COMBINE_BNLJ) <= set(_ALL), (
+        set(_SCALAR_COMBINE_BNLJ) - set(_ALL)
+    )
     assert _ARROW_BATCH_OK <= set(_ALL), _ARROW_BATCH_OK - set(_ALL)
+
+
+@pytest.mark.parametrize("name", sorted(_SCALAR_COMBINE_BNLJ))
+def test_bnlj_build_sides_structurally_bounded(name, spark):
+    """VERDICT r13 #7: whitelist membership is a declaration, not a free
+    pass — every BroadcastNestedLoopJoin the query's physical plan grows
+    must exhibit at least one of the entry's DECLARED structural bound
+    classes on its build side (scalar combine, limit, local frame,
+    constant key-probe filter, declared bounded-arity group key). A stale
+    or over-broad entry whose broadcast branch lost its bound fails
+    here."""
+    from distributed_system_mapreduce_spark.plans.checks import (
+        bnlj_build_classes,
+    )
+
+    declared = _SCALAR_COMBINE_BNLJ[name]
+    sides = bnlj_build_classes(_ALL[name](spark, _PLAN_SF))
+    for i, observed in enumerate(sides):
+        assert observed & declared, (
+            f"{name} BNLJ #{i}: build side exhibits {sorted(observed)} "
+            f"but the whitelist declares {sorted(declared)} — the "
+            "broadcast branch carries no declared structural bound"
+        )
+
+
+def test_bnlj_checker_flags_unbounded_counterexample(spark):
+    """The checker must report an EMPTY class set (i.e. the sweep would
+    fail) for a synthetic unbounded broadcast: a non-equi join whose
+    build side is a raw corpus-sized scan — including one 'filtered' by a
+    non-key literal predicate, which bounds nothing at scale."""
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.plans.checks import (
+        bnlj_build_classes,
+    )
+    from distributed_system_mapreduce_spark.sources.io import load
+
+    cust = load(spark, _PLAN_SF, "customer")
+    orders = load(spark, _PLAN_SF, "orders")
+    bad = orders.join(
+        cust.filter(F.col("c_acctbal") < 1000),
+        orders["o_totalprice"] > cust["c_acctbal"],
+    )
+    sides = bnlj_build_classes(bad)
+    assert sides, "counter-example did not plan as a BNLJ"
+    assert all(not s for s in sides), sides
 
 
 # ---------------------------------------------------------------------------

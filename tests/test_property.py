@@ -623,3 +623,64 @@ def test_holt_fold_matches_reference(spark, series):
         sse = sse + (x - (l + b)) * (x - (l + b))
         l, b = lp, bp
     assert got["l"] == l and got["b"] == b and got["sse"] == sse
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    cap=st.integers(2, 5),
+)
+def test_clustering_capped_matches_brute_force(spark, edges, cap):
+    """Capped clustering coefficients == a plain truncated-adjacency
+    reference on random graphs, for any cap: closed wedges counted
+    through each center's cap-lowest-id neighbors, capacity
+    C(min(deg, cap), 2), same 9 dp local quantization as the exact
+    twin."""
+    from decimal import Decimal
+
+    from distributed_system_mapreduce_spark.operators.graph import (
+        _degrees,
+        clustering_capped_from_pairs,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    pairs = spark.createDataFrame(canon, "src long, dst long")
+    got = clustering_capped_from_pairs(
+        pairs, _degrees(pairs), cap
+    ).collect()[0]
+
+    adj: dict[int, set[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    capped = {v: sorted(ns)[:cap] for v, ns in adj.items()}
+    t_w = {v: 0 for v in adj}
+    for w, nbrs in capped.items():
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                if nbrs[j] in adj.get(nbrs[i], ()):
+                    t_w[w] += 1
+    cd = {v: min(len(adj[v]), cap) for v in adj}
+    capacity = sum(c * (c - 1) // 2 for c in cd.values())
+    n_closed = sum(t_w.values())
+    assert got["n_closed_wedges"] == n_closed
+    assert got["n_wedges"] == capacity
+    if capacity:
+        assert got["global_cc"] == round(n_closed / capacity, 6)
+    else:
+        assert got["global_cc"] == 0.0
+    eligible = [v for v in adj if cd[v] >= 2]
+    if not eligible:
+        assert got["avg_local_cc"] == 0.0
+    else:
+        acc = sum(
+            Decimal(str(round(t_w[v] * 2.0 / (cd[v] * (cd[v] - 1)), 9)))
+            for v in eligible
+        )
+        assert got["avg_local_cc"] == round(float(acc) / len(eligible), 6)
