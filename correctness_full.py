@@ -26,7 +26,13 @@ def _provenance() -> dict:
     current git HEAD plus a sha256 over the package + entry sources, so a
     future reader can detect a stale artifact without rerunning the sweep
     (the tree hash also catches uncommitted edits, which HEAD alone
-    misses)."""
+    misses). ``source_dirty`` (VERDICT r13 #5) makes a pre-commit run
+    self-describing: r13's ledger recorded the PREVIOUS head because the
+    sweep ran on a dirty tree just before its source commit landed, which
+    read as stale to an auditor even though source_sha256 was current —
+    now the artifact says outright whether git_head fully describes the
+    sources it hashed. The close ritual runs this AFTER the last source
+    commit, so the committed artifact should always say dirty=false."""
     root = os.path.dirname(os.path.abspath(__file__))
     try:
         head = subprocess.run(
@@ -35,6 +41,15 @@ def _provenance() -> dict:
         ).stdout.strip()
     except Exception:
         head = None
+    try:
+        status = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "__spark_entry__.py", "distributed_system_mapreduce_spark"],
+            cwd=root, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        dirty = bool(status)
+    except Exception:
+        dirty = None
     digest = hashlib.sha256()
     paths = [os.path.join(root, "__spark_entry__.py")]
     pkg = os.path.join(root, "distributed_system_mapreduce_spark")
@@ -47,7 +62,11 @@ def _provenance() -> dict:
         digest.update(os.path.relpath(p, root).encode())
         with open(p, "rb") as fh:
             digest.update(fh.read())
-    return {"git_head": head, "source_sha256": digest.hexdigest()}
+    return {
+        "git_head": head,
+        "source_dirty": dirty,
+        "source_sha256": digest.hexdigest(),
+    }
 
 
 def main() -> None:

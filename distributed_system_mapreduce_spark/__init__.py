@@ -149,10 +149,14 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       VERDICT r13 named the CDC pair over events_seasonal_index so
     #       both CDC shapes get hard driver rows in one window; seasonal
     #       index requeues to the overflow pool)
-    #   r15: eval_ndcg_at_k (retrieval ranking eval, new r7),
-    #       mv_incremental_refresh (algebraic MV merge, new r7),
+    #   r15 (re-ranked per VERDICT r13 #4 — the multimodal family has
+    #       zero driver rows and two of its queries gained real
+    #       byte-derived oracles in r13): multimodal_media_features,
+    #       multimodal_phash_dedup (probed at x16 in r14: alpha 0.34),
     #       graph_bfs_hops (single-plan bounded traversal, new r7),
-    #       text_bpe_merge_step (tokenizer-training step, new r7)
+    #       eval_ndcg_at_k (retrieval ranking eval, new r7)
+    #       (displaced to r16+: mv_incremental_refresh,
+    #       text_bpe_merge_step)
     #   r16: eval_confusion_centroid (prototype-classifier eval, new r7),
     #       join_interval_overlap (range-join family, banked locally
     #       since r2), orders_abc_pareto (running-share window family),

@@ -318,3 +318,106 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.lead("ts").over(wv).isNull().alias("is_current"),
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    with bounds as (
+      select (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 as split_us
+      from events),
+    s1 as (
+      select user_id, event_type as lt, ts
+      from (select user_id, event_type, ts,
+                   row_number() over (partition by user_id
+                     order by ts desc, event_id desc) as rn
+            from events
+            where epoch_us(ts) < (select split_us from bounds))
+      where rn = 1),
+    s2 as (
+      select user_id, event_type as lt, ts
+      from (select user_id, event_type, ts,
+                   row_number() over (partition by user_id
+                     order by ts desc, event_id desc) as rn
+            from events)
+      where rn = 1),
+    classed as (
+      select coalesce(a.user_id, b.user_id) as user_id,
+             (a.user_id is not null and a.lt <> '{TOMBSTONE}') as alive1,
+             (b.user_id is not null and b.lt <> '{TOMBSTONE}') as alive2,
+             a.ts as ts1, b.ts as ts2
+      from s1 a full outer join s2 b on a.user_id = b.user_id)
+    select case when not alive1 and alive2 then 'A'
+                when alive1 and not alive2 then 'D'
+                when alive1 and alive2 and ts1 <> ts2 then 'C'
+                else 'S' end as diff,
+           cast(count(*) as bigint) as n_users,
+           cast(sum(user_id) as bigint) as user_checksum
+    from classed
+    where alive1 or alive2
+    group by 1
+    order by 1
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-diff audit between two snapshots of the latest-wins user
+    store: the state as of the span midpoint (S1) vs the state at the end
+    of the changelog (S2), classified per user as A (added: absent or
+    tombstoned at S1, alive at S2), D (deleted: alive at S1, tombstoned
+    by S2), C (changed: alive in both with a different last-applied op)
+    or S (same: no op landed between the snapshots) — the
+    reconciliation report a lakehouse runs to validate an incremental
+    MERGE against a full recompute (the table-diff counterpart of
+    cdc_merge_upserts' row-level action tags).
+
+    Scale (100 TB): both snapshots are the same map-side-combining
+    ``max_by`` per-user rollup as cdc_merge_upserts (`_latest_state`),
+    so each side collapses to user cardinality before its single
+    shuffle; the diff itself is one key-partitioned full-outer join and
+    a 4-group rollup. Never-alive users (tombstoned in both snapshots)
+    are excluded, mirroring the oracle's ``where alive1 or alive2``.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    split = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2)
+        .cast("bigint")
+        .alias("split_us")
+    )
+    ev = ev.crossJoin(F.broadcast(split))
+    s1 = _latest_state(ev.filter(F.col("ts_us") < F.col("split_us")))
+    s2 = _latest_state(ev)
+    a = s1.alias("a")
+    b = s2.alias("b")
+    alive1 = F.col("a.last_type").isNotNull() & (
+        F.col("a.last_type") != TOMBSTONE
+    )
+    alive2 = F.col("b.last_type").isNotNull() & (
+        F.col("b.last_type") != TOMBSTONE
+    )
+    classed = (
+        a.join(b, on="user_id", how="full_outer")
+        .filter(alive1 | alive2)
+        .select(
+            "user_id",
+            F.when(~alive1 & alive2, F.lit("A"))
+            .when(alive1 & ~alive2, F.lit("D"))
+            .when(
+                alive1
+                & alive2
+                & (F.col("a.last_ts") != F.col("b.last_ts")),
+                F.lit("C"),
+            )
+            .otherwise(F.lit("S"))
+            .alias("diff"),
+        )
+    )
+    return (
+        classed.groupBy("diff")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_checksum"),
+        )
+        .orderBy("diff")
+    )

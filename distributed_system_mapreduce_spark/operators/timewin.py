@@ -1235,6 +1235,153 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cross-correlation design: does XCORR_X activity lead XCORR_Y activity?
+#: r is measured between x_t and y_{t+k} for each lead/lag k — positive k
+#: asks whether today's x predicts y k hours LATER.
+XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+XCORR_X = "view"
+XCORR_Y = "purchase"
+
+
+def _xcorr_oracle() -> str:
+    shifted = "\n      union all\n".join(
+        f"""
+      select {k} as lag, x,
+             {"lead" if k >= 0 else "lag"}(y, {abs(k)})
+               over (order by hour_epoch) as ys
+      from filled"""
+        for k in XCORR_LAGS
+    )
+    return f"""
+    with hourly as (
+      select cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
+             count(*) filter (where event_type = '{XCORR_X}') as xc,
+             count(*) filter (where event_type = '{XCORR_Y}') as yc
+      from events group by 1),
+    span as (select min(hour_epoch) as mn, max(hour_epoch) as mx from hourly),
+    filled as (
+      select g.hour_epoch, coalesce(h.xc, 0) as x, coalesce(h.yc, 0) as y
+      from (select unnest(generate_series(mn, mx, 3600)) as hour_epoch
+            from span) g
+      left join hourly h on h.hour_epoch = g.hour_epoch),
+    lagged as (
+      {shifted}),
+    moments as (
+      select lag,
+             count(*) as n,
+             sum(x) as sx, sum(y) as sy, sum(xy) as sxy,
+             sum(xx) as sxx, sum(yy) as syy
+      from (
+        select lag,
+               cast(x as decimal(38,0)) as x,
+               cast(ys as decimal(38,0)) as y,
+               cast(x as decimal(38,0)) * ys as xy,
+               cast(x as decimal(38,0)) * x as xx,
+               cast(ys as decimal(38,0)) * ys as yy
+        from lagged where ys is not null)
+      group by lag)
+    select cast(lag as int) as lag,
+           n as n_pairs,
+           case when (n * cast(sxx as double)
+                      - cast(sx as double) * cast(sx as double))
+                     * (n * cast(syy as double)
+                        - cast(sy as double) * cast(sy as double)) = 0
+                then null
+                else round((n * cast(sxy as double)
+                            - cast(sx as double) * cast(sy as double))
+                           / sqrt((n * cast(sxx as double)
+                                   - cast(sx as double) * cast(sx as double))
+                                  * (n * cast(syy as double)
+                                     - cast(sy as double)
+                                       * cast(sy as double))), 6) end
+             as xcorr
+    from moments
+    order by lag
+    """
+
+
+@register("events_cross_correlation", oracle=_xcorr_oracle())
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation between the hourly XCORR_X ('view')
+    rate and the hourly XCORR_Y ('purchase') rate at lags -3..+3 — the
+    bivariate companion of events_acf that a forecasting pipeline runs to
+    find which upstream signal LEADS the metric it predicts (positive-lag
+    peaks mean x activity foreshadows y).
+
+    Same engine shape as the fused events_acf (its r14 single-pass form):
+    ONE map-side-combining groupBy collapses the corpus to an hourly
+    (x, y) rollup via conditional counts; the zero-filled spine bounds
+    everything after it by CALENDAR hours; all seven shifts are read from
+    ONE window pass (lead for k >= 0, lag for k < 0) and stack()ed into
+    (lag, x, y) pairs for a single 7-group Pearson rollup. Moments
+    accumulate as decimal(38,0); zero-variance pair sets yield NULL on
+    both engines (the ADVICE r13 guard class).
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.floor(F.unix_seconds(F.date_trunc("hour", F.col("ts")))))
+        .cast("bigint")
+        .alias("hour_epoch")
+    ).agg(
+        F.count(F.when(F.col("event_type") == XCORR_X, 1)).alias("xc"),
+        F.count(F.when(F.col("event_type") == XCORR_Y, 1)).alias("yc"),
+    )
+    span = hourly.agg(
+        F.min("hour_epoch").alias("mn"), F.max("hour_epoch").alias("mx")
+    )
+    spine = span.select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("hour_epoch")
+    )
+    filled = spine.join(hourly, "hour_epoch", "left").select(
+        "hour_epoch",
+        F.coalesce("xc", F.lit(0)).alias("x"),
+        F.coalesce("yc", F.lit(0)).alias("y"),
+    )
+    w = Window.orderBy("hour_epoch")
+    shift = lambda k: (  # noqa: E731
+        F.lead("y", k).over(w) if k >= 0 else F.lag("y", -k).over(w)
+    )
+    lagged = filled.select(
+        "x", *[shift(k).alias(f"ys_{i}") for i, k in enumerate(XCORR_LAGS)]
+    )
+    stack_args = ", ".join(
+        f"{k}, ys_{i}" for i, k in enumerate(XCORR_LAGS)
+    )
+    d38 = "decimal(38,0)"
+    pairs = (
+        lagged.select(
+            F.col("x").cast(d38).alias("x"),
+            F.expr(
+                f"stack({len(XCORR_LAGS)}, {stack_args}) as (lag, ylong)"
+            ),
+        )
+        .filter(F.col("ylong").isNotNull())
+        .select("lag", "x", F.col("ylong").cast(d38).alias("y"))
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    n = F.count(F.lit(1))
+    num = n * dd(F.sum(F.col("x") * F.col("y"))) - dd(F.sum("x")) * dd(
+        F.sum("y")
+    )
+    den = (
+        n * dd(F.sum(F.col("x") * F.col("x")))
+        - dd(F.sum("x")) * dd(F.sum("x"))
+    ) * (
+        n * dd(F.sum(F.col("y") * F.col("y")))
+        - dd(F.sum("y")) * dd(F.sum("y"))
+    )
+    return (
+        pairs.groupBy(F.col("lag").cast("int").alias("lag"))
+        .agg(
+            n.alias("n_pairs"),
+            F.when(den == 0, F.lit(None))
+            .otherwise(F.round(num / F.sqrt(den), 6))
+            .alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
 def grouped_lower_median(
     df: DataFrame, val: str, out: str,
     key: str = "event_type", order: str = "hour_epoch",

@@ -72,3 +72,18 @@ def test_artifact_reports_zero_failures():
         if isinstance(v, dict) and v.get("err") not in (None, "no_oracle")
     ]
     assert not bad, bad
+
+
+def test_artifact_provenance_head_is_clean():
+    """VERDICT r13 #5: the committed artifact's ledger must be generated
+    from a CLEAN tree, so provenance.git_head fully describes the hashed
+    sources (r13 shipped an artifact whose git_head lagged the last source
+    commit because the sweep ran pre-commit on a dirty tree). A missing
+    source_dirty key means the artifact predates the field — regenerate."""
+    art = _load()
+    prov = art.get("provenance") or {}
+    assert prov.get("source_dirty") is False, (
+        f"provenance.source_dirty={prov.get('source_dirty')!r} — rerun "
+        "`python correctness_full.py` AFTER the last source-touching "
+        "commit so git_head names the tree the sweep actually ran on."
+    )

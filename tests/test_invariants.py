@@ -1229,3 +1229,63 @@ def test_graph_modularity_bounds(spark):
     assert r.modularity <= r.intra_edge_frac
     assert 0.0 <= r.intra_edge_frac <= 1.0
     assert r.n_edges > 0 and r.n_communities > 0
+
+
+def test_xcorr_pair_counts_follow_calendar_span(spark):
+    """events_cross_correlation: each lag's pair count must be exactly
+    span_hours - |lag| — the structural witness that the correlation runs
+    over the zero-filled CALENDAR spine (not just observed hours), i.e.
+    the single-partition window is calendar-bounded by construction."""
+    from distributed_system_mapreduce_spark.operators.timewin import (
+        XCORR_LAGS,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    mn, mx = (
+        ev.agg(
+            F.min(F.floor(F.unix_seconds(F.date_trunc("hour", "ts")))),
+            F.max(F.floor(F.unix_seconds(F.date_trunc("hour", "ts")))),
+        ).collect()[0]
+    )
+    span_hours = (mx - mn) // 3600 + 1
+    got = {
+        r["lag"]: r["n_pairs"]
+        for r in QUERIES["events_cross_correlation"](spark, SF_DIR).collect()
+    }
+    assert got == {k: span_hours - abs(k) for k in XCORR_LAGS}
+
+
+def test_snapshot_diff_class_totals_match_independent_counts(spark):
+    """cdc_snapshot_diff: A+C+S must equal the independently-computed
+    count of users alive at the end snapshot, and D+C+S the count alive
+    at the midpoint snapshot — the two marginals pin the 4-way
+    classification without trusting the query's own join."""
+    from distributed_system_mapreduce_spark.operators.cdc import TOMBSTONE
+
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    split = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("bigint")
+    ).collect()[0][0]
+
+    def alive_count(df):
+        last = df.groupBy("user_id").agg(
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("lt")
+        )
+        return last.filter(F.col("lt") != TOMBSTONE).count()
+
+    alive_end = alive_count(ev)
+    alive_mid = alive_count(ev.filter(F.col("ts_us") < split))
+
+    got = {
+        r["diff"]: r["n_users"]
+        for r in QUERIES["cdc_snapshot_diff"](spark, SF_DIR).collect()
+    }
+    assert set(got) <= {"A", "C", "D", "S"}
+    assert (
+        got.get("A", 0) + got.get("C", 0) + got.get("S", 0) == alive_end
+    )
+    assert (
+        got.get("D", 0) + got.get("C", 0) + got.get("S", 0) == alive_mid
+    )

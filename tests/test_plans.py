@@ -221,6 +221,8 @@ _SCALAR_COMBINE_BNLJ = {
     "sample_temperature_mix": {"scalar"},
     "orders_abc_pareto": {"scalar"},
     "cdc_merge_upserts": {"scalar"},
+    # same split-scalar crossJoin(broadcast) as cdc_merge_upserts
+    "cdc_snapshot_diff": {"scalar"},
     "corpus_lang_mix_kl": {"scalar"},
     "embed_cosine_histogram": {"probe"},
     # label-arity centroid grid (k×dim rows; label is a bounded enum)
@@ -479,6 +481,7 @@ _BOUNDED_GLOBAL_WINDOW = {
     # span hours regardless of corpus size; a century < 1M rows)
     "events_acf",
     "events_changepoint",
+    "events_cross_correlation",
     # per-channel rollup: marketing channels are an enum (~5 values)
     "events_attribution",
     # per-lifecycle-status rollup: 3 segments
