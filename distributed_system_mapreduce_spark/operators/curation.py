@@ -1697,3 +1697,115 @@ def pipeline_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(correct.cast("double")) / F.count(F.lit(1)), 6
         ).alias("accuracy"),
     )
+
+
+#: Similarity thresholds swept by the dup-rate curve — the candidate
+#: operating points for the near-dup pipeline's CLUSTER_THRESHOLD.
+DUP_CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _dup_curve_oracle() -> str:
+    from .dedup import _JACCARD_PAIRS_CTE
+
+    ts = ", ".join(str(t) for t in DUP_CURVE_THRESHOLDS)
+    return f"""
+    with {_JACCARD_PAIRS_CTE},
+    docmax as (
+      select doc_id, max(jacc) as mj from (
+        select a_id as doc_id, jacc from jpairs
+        union all
+        select b_id as doc_id, jacc from jpairs)
+      group by doc_id),
+    tot as (select count(*) as n from documents),
+    grid as (select unnest([{ts}]) as threshold)
+    select threshold,
+           cast((select count(*) from jpairs where jacc >= threshold)
+                as bigint) as n_pairs,
+           cast((select count(*) from docmax where mj >= threshold)
+                as bigint) as n_docs_affected,
+           case when (select n from tot) = 0 then null
+                else round((select count(*) from docmax
+                            where mj >= threshold)
+                           * 1.0 / (select n from tot), 6)
+           end as affected_share
+    from grid
+    order by threshold
+    """
+
+
+@register("corpus_dup_threshold_curve", oracle=_dup_curve_oracle())
+def corpus_dup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup exposure as a function of the similarity threshold: for
+    each candidate operating point, how many candidate pairs clear it,
+    how many documents are touched by at least one such pair, and what
+    share of the corpus that is — the data-card curve a pipeline owner
+    reads BEFORE freezing CLUSTER_THRESHOLD, instead of discovering
+    after a 100 TB dedup run that 0.7 drops a third of the corpus.
+
+    Scale plan: the whole sweep reads the session-shared tracked
+    candidate-pair table (dedup.jaccard_pairs — bucketed inverted-index
+    join, hot-shingle capped, never all-pairs) exactly once per arm:
+    pair counts are ONE conditional rollup over it, doc exposure is ONE
+    per-doc max-jacc rollup followed by a conditional rollup, and the
+    corpus size is a scalar combine — three 1-row aggregates stacked
+    into the |thresholds|-row curve (bounded output, whitelisted scalar
+    BNLJ class). Thresholds compare against the 4 dp-rounded jacc, so
+    the cut is engine-exact.
+    """
+    from .dedup import jaccard_pairs
+    from ..functions.vectors import spread
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(spread(docs))
+    doc_max = (
+        pairs.select(
+            F.explode(F.array("a_id", "b_id")).alias("doc_id"), "jacc"
+        )
+        .groupBy("doc_id")
+        .agg(F.max("jacc").alias("mj"))
+    )
+    pair_agg = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("jacc") >= t).cast("long")), F.lit(0)
+            ).alias(f"p{i}")
+            for i, t in enumerate(DUP_CURVE_THRESHOLDS)
+        ]
+    )
+    doc_agg = doc_max.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("mj") >= t).cast("long")), F.lit(0)
+            ).alias(f"d{i}")
+            for i, t in enumerate(DUP_CURVE_THRESHOLDS)
+        ]
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("ntot"))
+    stack_args = ", ".join(
+        f"{t}d, p{i}, d{i}" for i, t in enumerate(DUP_CURVE_THRESHOLDS)
+    )
+    one = (
+        pair_agg.crossJoin(F.broadcast(doc_agg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                f"stack({len(DUP_CURVE_THRESHOLDS)}, {stack_args}) "
+                "as (threshold, n_pairs, n_docs_affected)"
+            ),
+            "ntot",
+        )
+    )
+    return one.select(
+        "threshold",
+        "n_pairs",
+        "n_docs_affected",
+        F.when(F.col("ntot") == 0, F.lit(None))
+        .otherwise(
+            F.round(
+                F.col("n_docs_affected") * 1.0 / F.col("ntot"), 6
+            )
+        )
+        .alias("affected_share"),
+    ).orderBy("threshold")

@@ -1561,3 +1561,131 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+#: synchronous label-propagation rounds — mirrored exactly in the
+#: unrolled oracle.
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    steps = []
+    for i in range(1, rounds + 1):
+        prev = f"l{i - 1}"
+        # MATERIALIZED is load-bearing (the kcore/pagerank-oracle rule):
+        # each round reads its predecessor twice (count rollup + argmax
+        # join), so default inlining re-expands the chain exponentially.
+        steps.append(
+            f"""
+    c{i} as materialized (
+      select e.src as id, l.lbl, count(*) as c
+      from bedges e join {prev} l on l.id = e.dst
+      group by e.src, l.lbl),
+    l{i} as materialized (
+      select c.id, min(c.lbl) as lbl
+      from c{i} c
+      join (select id, max(c) as mc from c{i} group by id) m
+        on m.id = c.id and c.c = m.mc
+      group by c.id)"""
+        )
+    chain = ",".join(steps)
+    return f"""
+    with co as materialized (
+      select a.l_partkey as src, b.l_partkey as dst
+      from lineitem a
+      join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+      group by all
+      having count(*) >= {BACKBONE_SUPPORT}),
+    bedges as materialized (
+      select src, dst from co
+      union all
+      select dst as src, src as dst from co),
+    l0 as materialized (
+      select distinct src as id, src as lbl from bedges),
+    {chain},
+    sizes as (
+      select lbl, count(*) as size from l{rounds} group by lbl)
+    select cast(lbl as bigint) as community,
+           cast(size as bigint) as size
+    from sizes
+    order by size desc, community
+    limit 20
+    """
+
+
+def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """(id, lbl) after ``rounds`` synchronous label-propagation rounds
+    over a SYMMETRIC (src, dst) edge frame: init lbl = id, each round
+    every vertex adopts its neighbors' most frequent label with ties to
+    the smallest label (max_by over a (count, -label) struct — the exact
+    deterministic rule the oracle's max-count/min-label join pair
+    mirrors). Exposed so the randomized property test can pit the
+    unrolled declarative plan against a plain-Python reference (the
+    kcore_peel testing pattern)."""
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(rounds):
+        counts = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.max_by(
+                    "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("t"))
+                ).alias("lbl")
+            )
+            .select(F.col("src").alias("id"), "lbl")
+        )
+    return labels
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities of the co-purchase backbone after
+    {LPA_ROUNDS} synchronous label-propagation rounds (Raghavan et al.
+    2007): every vertex starts as its own label and each round adopts the
+    most frequent label among its neighbors (ties → smallest label) —
+    the near-linear community detector that needs no modularity
+    optimization, complementing the exact-partition pair
+    (graph_components finds connectivity, LPA finds density structure
+    WITHIN components, graph_modularity scores a partition).
+
+    Deterministic by construction: synchronous rounds + the
+    (max count, min label) argmax rule make every round's labeling a
+    pure function of the previous one, so both engines agree exactly
+    (the oracle's per-round max-count join IS the same rule).
+
+    Scale plan: the {LPA_ROUNDS} rounds unroll into ONE declarative plan
+    (the graph_bfs_hops pattern — no driver loop): per round, one O(E)
+    equi-join sends labels along edges, one (vertex × incident-label)
+    rollup counts them, and one max_by argmax collapses to the
+    vertex-sized label frame — the standard Pregel LPA message shape,
+    with the tracked symmetric backbone shared across rounds (and with
+    graph_components' CC build) instead of re-deriving the O(|lineitem|)
+    pair rollup per round.
+    """
+    from ..cache import track
+
+    co = (
+        copurchase_support(spark, sf_dir)
+        .filter(F.col("support") >= BACKBONE_SUPPORT)
+        .select("src", "dst")
+    )
+    edges = track(_symmetric(co))
+    labels = lpa_labels(edges, LPA_ROUNDS)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.select(
+            F.col("lbl").cast("bigint").alias("community"),
+            F.col("size").cast("bigint").alias("size"),
+        )
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(20)
+    )

@@ -1277,3 +1277,121 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+#: Decile count for the gains/lift table.
+LIFT_DECILES = 10
+
+
+@register(
+    "eval_lift_deciles",
+    oracle=f"""
+    with scored as (
+      select cast(floor(cast(embedding[1] as double) * {SCORE_SCALE})
+                  as bigint) as score_m,
+             cast(label < 5 as int) as is_pos
+      from embeddings),
+    per_score as (
+      select score_m,
+             cast(sum(is_pos) as bigint) as pos,
+             cast(count(*) as bigint) as cnt
+      from scored group by score_m),
+    binned as (
+      select pos, cnt,
+             cast(({LIFT_DECILES} * sum(cnt) over (order by score_m desc
+                     rows between unbounded preceding and current row)
+                   + sum(cnt) over () - 1) // sum(cnt) over ()
+                  as int) as decile
+      from per_score),
+    dec as (
+      select decile,
+             cast(sum(cnt) as bigint) as n,
+             cast(sum(pos) as bigint) as n_pos
+      from binned group by decile),
+    tot as (select sum(n) as tn, sum(n_pos) as tp from dec)
+    select d.decile, d.n, d.n_pos,
+           round(cast(d.n_pos as double) / d.n, 6) as pos_rate,
+           case when t.tp = 0 then null
+                else round((cast(d.n_pos as double) / d.n)
+                           / (cast(t.tp as double) / t.tn), 6) end as lift,
+           case when t.tp = 0 then null
+                else round(cast(sum(d.n_pos) over (order by d.decile
+                         rows between unbounded preceding and current row)
+                       as double) / t.tp, 6) end as cum_capture
+    from dec d cross join tot t
+    order by d.decile
+    """,
+)
+def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table of the milli-bucketed score against the
+    binary label — the campaign-targeting report (rank the population by
+    model score, cut into 10 equal-population bins, read off each bin's
+    positive rate, lift over the base rate, and cumulative capture of
+    all positives). The operational companion of eval_auc: AUC says the
+    ranking is good, the gains table says WHERE to cut it.
+
+    Plan: the corpus collapses to eval_auc's per-distinct-score rollup
+    (rows = score resolution, never corpus rows); decile assignment is
+    integer-exact ceil division over the inclusive running count —
+    (D*cum + N - 1) div N — so a tied score group lands wholly in one
+    decile identically on both engines (no float boundary, no
+    row-order-dependent ntile). Every window runs over the
+    score-resolution-bounded rollup or the ≤10-row decile rollup; a
+    positive-free corpus yields NULL lift/capture (ADVICE r13 guard
+    class).
+    """
+    per_score = _scored(spark, sf_dir).groupBy("score_m").agg(
+        F.sum("is_pos").alias("pos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w_inc = Window.orderBy(F.desc("score_m")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy(F.desc("score_m")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # materialize the window columns first, then the integer ceil-divide
+    # decile (no float boundary: (D*cum + N - 1) div N)
+    binned = (
+        per_score.select(
+            "pos",
+            "cnt",
+            F.sum("cnt").over(w_inc).alias("cum"),
+            F.sum("cnt").over(w_all).alias("tot"),
+        )
+        .select(
+            "pos",
+            "cnt",
+            F.expr(
+                f"cast(({LIFT_DECILES} * cum + tot - 1) div tot as int)"
+            ).alias("decile"),
+        )
+    )
+    dec = binned.groupBy("decile").agg(
+        F.sum("cnt").alias("n"), F.sum("pos").alias("n_pos")
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_dall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tp = F.sum("n_pos").over(w_dall)
+    tn = F.sum("n").over(w_dall)
+    rate = F.col("n_pos").cast("double") / F.col("n")
+    return dec.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.when(tp == 0, F.lit(None))
+        .otherwise(F.round(rate / (tp.cast("double") / tn), 6))
+        .alias("lift"),
+        F.when(tp == 0, F.lit(None))
+        .otherwise(
+            F.round(
+                F.sum("n_pos").over(w_dec).cast("double") / tp, 6
+            )
+        )
+        .alias("cum_capture"),
+    ).orderBy("decile")

@@ -224,6 +224,8 @@ _SCALAR_COMBINE_BNLJ = {
     # same split-scalar crossJoin(broadcast) as cdc_merge_upserts
     "cdc_snapshot_diff": {"scalar"},
     "corpus_lang_mix_kl": {"scalar"},
+    # three stacked 1-row rollups (pair counts, doc exposure, corpus size)
+    "corpus_dup_threshold_curve": {"scalar"},
     "embed_cosine_histogram": {"probe"},
     # label-arity centroid grid (k×dim rows; label is a bounded enum)
     "eval_confusion_centroid": {"scalar", "local", "grouped:label"},
@@ -477,6 +479,11 @@ _BOUNDED_GLOBAL_WINDOW = {
     "eval_pr_auc",
     # rank windows over the score-resolution / label-arity marginals
     "eval_spearman_corr",
+    # running/total windows over the score-resolution rollup and the
+    # <=LIFT_DECILES-row decile rollup
+    "eval_lift_deciles",
+    # backlog prefix sum over the calendar month grid (span months)
+    "orders_backlog_timeline",
     # lag/prefix windows over the calendar-bounded hourly spine (rows =
     # span hours regardless of corpus size; a century < 1M rows)
     "events_acf",

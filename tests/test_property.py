@@ -684,3 +684,48 @@ def test_clustering_capped_matches_brute_force(spark, edges, cap):
             for v in eligible
         )
         assert got["avg_local_cc"] == round(float(acc) / len(eligible), 6)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=30,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_lpa_labels_match_python_reference(spark, edges, rounds):
+    """Synchronous label propagation (max-count, min-label tie rule) ==
+    a plain-Python sync LPA on random graphs for any round count — the
+    unrolled declarative plan's per-round argmax must be the exact
+    deterministic rule, or community assignments drift between engines."""
+    from collections import Counter
+
+    from distributed_system_mapreduce_spark.operators.graph import (
+        _symmetric,
+        lpa_labels,
+    )
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    pairs = spark.createDataFrame(canon, "src long, dst long")
+    got = {
+        r["id"]: r["lbl"]
+        for r in lpa_labels(_symmetric(pairs), rounds).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in canon:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in adj.items():
+            cnt = Counter(lbl[n] for n in ns)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lbl = nxt
+    assert got == lbl, (canon, rounds)
