@@ -709,13 +709,17 @@ _U_DENOM = 1 << 60
     oracle=f"""
     with keyed as (
       select source, doc_id, n_chars,
-             round(ln((cast('0x' || substr(md5(cast(doc_id as varchar)), 1, 15)
-                            as bigint) + 1) / {_U_DENOM}.0)
-                   / n_chars, 12) as es_key
+             case when n_chars > 0 then
+               round(ln((cast('0x' || substr(md5(cast(doc_id as varchar)),
+                                             1, 15)
+                              as bigint) + 1) / {_U_DENOM}.0)
+                     / n_chars, 12)
+             end as es_key
       from documents),
     ranked as (
       select *, cast(row_number() over (
-        partition by source order by es_key desc, doc_id) as int) as rank
+        partition by source
+        order by es_key desc nulls last, doc_id) as int) as rank
       from keyed)
     select source, cast(rank as int) as rank, doc_id,
            cast(n_chars as bigint) as n_chars
@@ -749,11 +753,18 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     u = (skey + F.lit(1)).cast("double") / F.lit(float(_U_DENOM))
-    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
+    # zero-length docs have E-S weight 0 => inclusion probability 0: the
+    # key is NULL (sorted last on both engines), never ln(u)/0 — ANSI
+    # double division by zero raises where a real corpus' empty documents
+    # would otherwise crash the sampler (the ADVICE r13 totality class)
+    es_key = F.when(
+        F.col("n_chars") > 0,
+        F.round(F.log(u) / F.col("n_chars"), 12),
+    )
     return (
         salted_topk(
             docs.withColumn("es_key", es_key),
-            [F.desc("es_key"), F.asc("doc_id")],
+            [F.desc_nulls_last("es_key"), F.asc("doc_id")],
             RESERVOIR_K,
             salt_col="doc_id",
             group_cols=("source",),
@@ -1439,7 +1450,8 @@ MIX_EPOCH_TOKENS = 1_000_000
       select lang, n_docs, tokens,
              tokens * 1.0 / n as p,
              pow(tokens * 1.0 / n, {MIX_TEMPERATURE_ALPHA}) as w
-      from per_lang cross join tot),
+      from per_lang cross join tot
+      where tokens > 0),
     z as (select sum(w) as z from scored)
     select lang, n_docs, tokens,
            round(p, 6) as nat_share,
@@ -1476,7 +1488,12 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
     )
     tot = per_lang.agg(F.sum("tokens").alias("n"))
-    scored = per_lang.crossJoin(tot).select(
+    # a zero-token language cannot be sampled from a TOKEN mixture (p = 0,
+    # and on an all-empty corpus n = 0 makes p ANSI-divide-by-zero); it is
+    # excluded on both engines — the r14 totality-audit class (an
+    # all-empty-text slice crashed the manifest). n sums over ALL
+    # languages, so the filter changes no surviving row's share.
+    scored = per_lang.filter(F.col("tokens") > 0).crossJoin(tot).select(
         "lang",
         "n_docs",
         "tokens",
