@@ -22,21 +22,31 @@ import argparse
 import json
 import multiprocessing as mp
 import os
+import queue as queue_mod
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _oracle_worker(sql: str, sf_dir: str, q):
+def _oracle_worker(sql: str, sf_dir: str, out_path: str, q):
     """DuckDB side in a subprocess so a runaway recursive CTE can be
-    killed without taking the sweep down."""
+    killed without taking the sweep down.
+
+    The result parquet is written to ``out_path`` and only the PATH goes
+    on the queue: putting the bytes themselves deadlocks when the payload
+    exceeds the OS pipe buffer (~64 KB — any full-scan query at sf0.1),
+    because the mp.Queue feeder thread blocks and the child never exits
+    while the parent sits in proc.join() (ADVICE r14, medium).
+    """
     try:
         from distributed_system_mapreduce_spark.testing import duck_connection
 
         con = duck_connection(sf_dir)
         df = con.execute(sql).df()
-        q.put(("ok", df.to_parquet(None)))
+        df.to_parquet(out_path)
+        q.put(("ok", out_path))
     except Exception as ex:  # noqa: BLE001
         q.put(("err", f"{type(ex).__name__}: {str(ex)[:200]}"))
 
@@ -48,8 +58,6 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/PARITY_SF01.json")
     ap.add_argument("--only", default="")
     args = ap.parse_args()
-
-    import io
 
     import pandas as pd
 
@@ -69,6 +77,7 @@ def main() -> None:
     )
     results: dict[str, dict] = {}
     n_ok = n_skip = n_fail = n_rows_only = 0
+    tmp_dir = tempfile.mkdtemp(prefix="parity_sf01_")
     for name in names:
         t0 = time.perf_counter()
         rec: dict = {}
@@ -88,23 +97,46 @@ def main() -> None:
             results[name] = rec
             continue
         q: mp.Queue = mp.Queue()
+        tmp_path = os.path.join(tmp_dir, f"{name}.parquet")
         proc = mp.Process(
-            target=_oracle_worker, args=(ORACLES[name], args.sf_dir, q)
+            target=_oracle_worker,
+            args=(ORACLES[name], args.sf_dir, tmp_path, q),
         )
         proc.start()
-        proc.join(args.budget)
-        if proc.is_alive():
+        # Drain the queue while the worker runs (never a blind join-then-get:
+        # a worker killed before putting anything — OOM on a runaway CTE —
+        # would make an unconditional q.get() hang the sweep; ADVICE r14 low).
+        deadline = time.monotonic() + args.budget
+        outcome = None
+        while outcome is None:
+            try:
+                outcome = q.get(timeout=1.0)
+            except queue_mod.Empty:
+                if not proc.is_alive():
+                    # crashed without reporting (segfault / OOM-kill)
+                    outcome = (
+                        "err",
+                        f"oracle worker died, exitcode={proc.exitcode}",
+                    )
+                elif time.monotonic() > deadline:
+                    break
+        if outcome is None:
             proc.terminate()
             proc.join()
             rec["err"] = "oracle_timeout"
             n_skip += 1
         else:
-            status, payload = q.get()
+            proc.join(10)
+            if proc.is_alive():
+                proc.terminate()
+                proc.join()
+            status, payload = outcome
             if status == "err":
                 rec["err"] = f"oracle: {payload}"
                 n_fail += 1
             else:
-                odf = pd.read_parquet(io.BytesIO(payload))
+                odf = pd.read_parquet(payload)
+                os.unlink(payload)
                 problems = compare_frames(sdf, odf, name)
                 if problems:
                     rec["err"] = "; ".join(problems)[:300]
