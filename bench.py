@@ -185,11 +185,24 @@ def main() -> None:
             q: round(timings[q] - host_ratio * prev_queries[q], 3)
             for q in common
         }
+        # Arrow-batch (mapInPandas/applyInPandas) queries carry Python
+        # worker-pool startup/reuse variance that the JVM-only queries
+        # don't: multimodal_frame_sample flagged +0.4 s at an UNCHANGED
+        # commit in both r13 and r14, standalone A/B bracketing the delta
+        # as environment noise (COVERAGE.md "worker-variance class").
+        # Give that family its own wider absolute floor so the known noise
+        # can't flag, while a REAL regression (>1.5x AND >0.9 s) still
+        # does (VERDICT r14 #4). Single-sourced in plans.checks so this
+        # set and the test_plans.py BatchEvalPython whitelist can't drift.
+        from distributed_system_mapreduce_spark.plans.checks import (
+            ARROW_BATCH_QUERIES as arrow_batch,
+        )
         regressions = sorted(
             q for q in common
             if prev_queries[q] > 0
             and timings[q] > 1.5 * host_ratio * prev_queries[q]
-            and timings[q] - host_ratio * prev_queries[q] > 0.3
+            and timings[q] - host_ratio * prev_queries[q]
+            > (0.9 if q in arrow_batch else 0.3)
         )
         # Summary line must stay well under the driver's 2000-char tail
         # capture (see header: BENCH_r02 lost a giant line's head), so it

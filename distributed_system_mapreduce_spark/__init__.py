@@ -179,7 +179,10 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #       text_source_bigram_overlap (provenance audit, new r9),
     #       graph_degree_gini (chunked-rank Gini, new r9),
     #       sql_returned_items (Q10 salted top-k, new r9)
-    #   overflow pool: events_dau_mau_ratio, json_modal_prop,
+    #   overflow pool: orders_ship_latency_sketch (new r15 — rank-space
+    #       GK quality bound, the measured justification for the exact
+    #       percentile rollup's 100 TB swap; full oracle);
+    #       events_dau_mau_ratio, json_modal_prop,
     #       text_char_entropy, pipeline_mix_rebalance (all new r9);
     #       text_pii_scrub + pipeline_chunk_windows (new r13: privacy gate
     #       and RAG chunker, both full-oracle — strong swap-ins for any
@@ -208,10 +211,16 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #    joined the oracled pool — queue the simhash quality row for the
     #    first slot freed after r13 so the bit-block LSH family gets a
     #    driver-verified quality floor like MinHash's.)
-    "eval_auc",
-    "eval_calibration_bins",
-    "cdc_merge_upserts",
-    "cdc_scd2_history",
+    #   r14 outcome: eval_auc, eval_calibration_bins, cdc_merge_upserts,
+    #    cdc_scd2_history — all four driver-green in CORRECTNESS_r14;
+    #    rotated out to make room for the r15 queue below (VERDICT r14 #2).
+    # r15 active window (per VERDICT r14 #2 / r13 #4): the multimodal
+    # family's FIRST hard driver rows, plus the bounded-traversal and
+    # ranking-eval witnesses.
+    "multimodal_media_features",
+    "multimodal_phash_dedup",
+    "graph_bfs_hops",
+    "eval_ndcg_at_k",
 )
 
 

@@ -170,8 +170,15 @@ def cdc_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
              as n_base,
            cast(sum(case when is_delta then 1 else 0 end) as bigint)
              as n_delta,
-           round(cast(sum(price) as double), 2) as sum_total,
-           round(cast(sum(price) as double) / count(*), 4) as avg_total
+           cast(round(sum(price), 2) as double) as sum_total,
+           -- exact integer half-up round of (sum/count) to 4 dp: both
+           -- engines' decimal division degrades to double, and a quotient
+           -- landing EXACTLY on a half (sum has 4 dp, so sum/400 can) then
+           -- rounds by fp luck — 2 rows diverged at sf0.1 (r15 parity
+           -- sweep). s_scaled = sum*10^4 is exact hugeint; floor((2s+n)/2n)
+           -- is round-half-up; the /10000.0 is the same IEEE op both sides.
+           cast((2 * cast(sum(price) * 10000 as hugeint) + count(*))
+                // (2 * count(*)) as double) / 10000 as avg_total
     from tagged
     group by priority, month
     """,
@@ -234,16 +241,37 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("s_base"), zero) + F.coalesce(F.col("s_delta"), zero))
         .alias("s_total"),
     )
-    return merged.select(
-        "priority",
-        "month",
-        F.col("n_orders").cast("bigint").alias("n_orders"),
-        "n_base",
-        "n_delta",
-        F.round(F.col("s_total").cast("double"), 2).alias("sum_total"),
-        F.round(F.col("s_total").cast("double") / F.col("n_orders"), 4).alias(
-            "avg_total"
-        ),
+    # avg re-derives from (sum, count) with the 4-dp round done in EXACT
+    # integer arithmetic: s_scaled = sum*10^4 (exact, scale-4 decimal),
+    # floor((2*s_scaled + n) / (2*n)) = round-half-up(s_scaled / n). A
+    # double-path round diverged from DuckDB on quotients landing exactly
+    # on a half (caught at sf0.1 by the r15 parity sweep); decimal `div`
+    # keeps both engines on the same integers, and the final /10000.0 is
+    # the identical IEEE op on both sides. sum_total rounds in DECIMAL
+    # (exact half-up) before the double cast for the same reason.
+    return (
+        merged.withColumn(
+            "s_scaled", (F.col("s_total") * 10000).cast("decimal(38,0)")
+        )
+        .withColumn(
+            # `div` is EXACT integral division on decimals (never a
+            # rounded decimal quotient, whose floor could land one off
+            # for quotients within the division scale's half-ulp of an
+            # integer), so both engines compute the identical integer.
+            "avg_scaled",
+            F.expr("(2 * s_scaled + n_orders) div (2 * n_orders)"),
+        )
+        .select(
+            "priority",
+            "month",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "n_base",
+            "n_delta",
+            F.round(F.col("s_total"), 2).cast("double").alias("sum_total"),
+            (F.col("avg_scaled").cast("double") / F.lit(10000.0)).alias(
+                "avg_total"
+            ),
+        )
     )
 
 

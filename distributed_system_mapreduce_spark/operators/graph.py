@@ -57,23 +57,48 @@ def copurchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-graph queries project (src, dst), graph_components filters
     support >= BACKBONE_SUPPORT — so ONE materialization of the
     O(|lineitem|) pair rollup serves the whole family within a session
-    (cache registry). The rollup doubles as the dedup of raw
-    co-occurrences (groupBy replaces distinct at identical cost).
+    (cache registry).
+
+    Support counts ORDERS, not lineitem row-pairs: TPC-H orders can list
+    the same part on several lines, and counting row-pairs inflates
+    support — an order with a duplicated part could alone push a pair
+    past BACKBONE_SUPPORT, and the inflated counts reordered
+    graph_assoc_rules' top-50-by-lift at sf0.1 (caught by the r15
+    tools/parity_bigsf.py sweep; sf0.01 membership happened to be
+    insensitive). The oracles' ``co`` CTEs mirror the same distinct.
+
+    Plan (r15 rework): per-order BASKETS via collect_set (deduping the
+    duplicate parts for free), then pairs generated MAP-SIDE from the
+    sorted basket array — the capped_wedges higher-order-transform idiom.
+    Two shuffles total (group by order key, then the pair rollup) vs the
+    old self-join's three-plus-distinct; basket size is bounded by order
+    width (≤7 lines in TPC-H, bounded in any real corpus), so the pair
+    expansion is skew-free and never materializes a join.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    return track(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
+    return track(basket_pair_support(li))
+
+
+def basket_pair_support(li: DataFrame) -> DataFrame:
+    """(src, dst, support) with src < dst from (l_orderkey, l_partkey)
+    rows: support = number of DISTINCT orders containing both parts
+    (duplicate rows within an order count once — collect_set). Exposed so
+    the randomized property test can pit it against a plain-Python
+    reference on arbitrary multisets (the kcore_peel testing pattern)."""
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> named_struct('src', x, 'dst', y))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("support")
     )
 
 
@@ -422,8 +447,8 @@ def backbone_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     with recursive
     co as (
       select a.l_partkey as src, b.l_partkey as dst
-      from lineitem a
-      join lineitem b
+      from (select distinct l_orderkey, l_partkey from lineitem) a
+      join (select distinct l_orderkey, l_partkey from lineitem) b
         on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
       group by all
       having count(*) >= {BACKBONE_SUPPORT}),
@@ -782,7 +807,8 @@ def _kcore_summary(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
 
 #: unroll depth of the k-core ORACLE (not the Spark loop, which runs to
 #: its data-dependent fixpoint under KCORE_MAX_ROUNDS): the sf0.01 peels
-#: converge in 4 (k=2) / 9 (k=3) rounds; 16 leaves regeneration margin,
+#: converge in 4 (k=2) / 11 (k=3) rounds on the deduped backbone (r15);
+#: 16 leaves regeneration margin,
 #: and a fixture needing more fails LOUDLY (the oracle's n_rounds goes
 #: NULL -> hash mismatch), never silently.
 KCORE_ORACLE_UNROLL = 16
@@ -821,8 +847,8 @@ def _kcore_oracle(k: int, unroll: int = KCORE_ORACLE_UNROLL) -> str:
     with
     co as materialized (
       select a.l_partkey as src, b.l_partkey as dst
-      from lineitem a
-      join lineitem b
+      from (select distinct l_orderkey, l_partkey from lineitem) a
+      join (select distinct l_orderkey, l_partkey from lineitem) b
         on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
       group by all
       having count(*) >= {BACKBONE_SUPPORT}),
@@ -1057,11 +1083,12 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wedge-enumeration pair (VERDICT r11 #5: the x16 probe shows the
     exact variant's local slope reaching ~1.1 past x8, i.e. its
     output-proportional triangle term turning linear; this variant BOUNDS
-    per-vertex wedge work at C({ADAMIC_ADAR_NEIGHBOR_CAP}, 2) so total
-    work is O(V·cap²) — corpus-linear with a constant, hub-immune).
+    per-vertex wedge work at C(ADAMIC_ADAR_NEIGHBOR_CAP, 2) = C(16, 2)
+    so total work is O(V·cap²) — corpus-linear with a constant,
+    hub-immune).
 
-    Each wedge center keeps only its {ADAMIC_ADAR_NEIGHBOR_CAP} lowest-id
-    neighbors (deterministic and SQL-mirrorable; a production ranking
+    Each wedge center keeps only its ADAMIC_ADAR_NEIGHBOR_CAP (16)
+    lowest-id neighbors (deterministic and SQL-mirrorable; a production ranking
     would keep the strongest-support neighbors instead — same plan, one
     orderBy key swap). Wedge pairs are generated MAP-SIDE from the capped
     sorted adjacency array (nested higher-order transform over slice — no
@@ -1155,8 +1182,8 @@ def graph_common_neighbors_capped(
     ``graph_adamic_adar_capped``): top-20 co-purchase edges by common
     neighbors counted THROUGH CAPPED WEDGE CENTERS (a center w
     contributes iff both endpoints are among its
-    {ADAMIC_ADAR_NEIGHBOR_CAP} lowest-id neighbors), so per-center work
-    is bounded at C({ADAMIC_ADAR_NEIGHBOR_CAP}, 2) — O(V·cap²) total,
+    ADAMIC_ADAR_NEIGHBOR_CAP (16) lowest-id neighbors), so per-center
+    work is bounded at C(ADAMIC_ADAR_NEIGHBOR_CAP, 2) — O(V·cap²) total,
     hub-immune, the exact same map-side wedge generation as the capped
     Adamic-Adar (shared :func:`adamic_adar_capped_scores`).
 
@@ -1385,7 +1412,8 @@ def graph_clustering_coeff_capped(
     scale path for the transitivity audit (VERDICT r13 #3: exact
     graph_clustering_coeff rides the triangle family's x16 alpha 0.73,
     the steepest probed number; this twin bounds per-center wedge work
-    at C({ADAMIC_ADAR_NEIGHBOR_CAP}, 2), O(V·cap²) total, hub-immune).
+    at C(ADAMIC_ADAR_NEIGHBOR_CAP, 2) = C(16, 2), O(V·cap²) total,
+    hub-immune).
 
     Wedges come from the SAME map-side capped-adjacency generator as the
     capped Adamic-Adar pair (shared :func:`capped_wedges`); a wedge
@@ -1465,8 +1493,8 @@ def clustering_capped_from_pairs(
     with recursive
     co as (
       select a.l_partkey as src, b.l_partkey as dst
-      from lineitem a
-      join lineitem b
+      from (select distinct l_orderkey, l_partkey from lineitem) a
+      join (select distinct l_orderkey, l_partkey from lineitem) b
         on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
       group by all
       having count(*) >= {BACKBONE_SUPPORT}),
@@ -1592,8 +1620,8 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
     return f"""
     with co as materialized (
       select a.l_partkey as src, b.l_partkey as dst
-      from lineitem a
-      join lineitem b
+      from (select distinct l_orderkey, l_partkey from lineitem) a
+      join (select distinct l_orderkey, l_partkey from lineitem) b
         on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
       group by all
       having count(*) >= {BACKBONE_SUPPORT}),
@@ -1649,7 +1677,7 @@ def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
 @register("graph_label_propagation", oracle=_lpa_oracle())
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 communities of the co-purchase backbone after
-    {LPA_ROUNDS} synchronous label-propagation rounds (Raghavan et al.
+    LPA_ROUNDS (4) synchronous label-propagation rounds (Raghavan et al.
     2007): every vertex starts as its own label and each round adopts the
     most frequent label among its neighbors (ties → smallest label) —
     the near-linear community detector that needs no modularity
@@ -1662,7 +1690,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of the previous one, so both engines agree exactly
     (the oracle's per-round max-count join IS the same rule).
 
-    Scale plan: the {LPA_ROUNDS} rounds unroll into ONE declarative plan
+    Scale plan: the LPA_ROUNDS (4) rounds unroll into ONE declarative plan
     (the graph_bfs_hops pattern — no driver loop): per round, one O(E)
     equi-join sends labels along edges, one (vertex × incident-label)
     rollup counts them, and one max_by argmax collapses to the

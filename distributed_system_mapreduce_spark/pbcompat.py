@@ -34,6 +34,18 @@ from __future__ import annotations
 import os
 import sys
 import tempfile
+import warnings
+
+
+class ProtobufShimWarning(RuntimeWarning):
+    """google.protobuf is unavailable and could not be shimmed: the
+    transformWithState surface degrades to runtime gates / test skips.
+
+    Raised as a WARNING, not an error, because batch queries are
+    unaffected — but it must be LOUD (VERDICT r14 #7): an environment
+    regression that silently drops the streaming tests would otherwise
+    look like a green run.
+    """
 
 #: publicly-known locations of a vendored pure-Python google.protobuf
 #: runtime, probed in order. Only the protobuf subpackage is ever linked.
@@ -61,9 +73,39 @@ def _import_ok() -> bool:
 
 
 def ensure_protobuf() -> tuple[bool, str]:
-    """Make ``google.protobuf`` importable if possible; (ok, detail)."""
+    """Make ``google.protobuf`` importable if possible; (ok, detail).
+
+    On failure, emits ONE :class:`ProtobufShimWarning` (memoized with the
+    result) so the degraded transformWithState surface is visible in any
+    log/pytest run instead of silently turning into skips (VERDICT r14 #7).
+    """
+    global _RESULT
+    first_call = _RESULT is None
+    result = _ensure_protobuf_impl()
+    if first_call and not result[0]:
+        warnings.warn(
+            ProtobufShimWarning(
+                "transformWithState surface degraded to runtime gates: "
+                + result[1]
+            ),
+            stacklevel=2,
+        )
+    return result
+
+
+def _ensure_protobuf_impl() -> tuple[bool, str]:
     global _RESULT
     if _RESULT is not None:
+        return _RESULT
+    if os.environ.get("DSMR_DISABLE_PB_SHIM"):
+        # test hook (VERDICT r14 #7): lets a pytest run exercise the whole
+        # degraded path — ProtobufShimWarning, runtime gates, the terminal
+        # summary's explicit skip count — on a container where the vendored
+        # runtime IS present. Never set in production.
+        _RESULT = (
+            False,
+            "DSMR_DISABLE_PB_SHIM set: simulating a shim-less environment",
+        )
         return _RESULT
     if _import_ok():
         _RESULT = (True, "native google.protobuf")

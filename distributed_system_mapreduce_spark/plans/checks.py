@@ -14,6 +14,23 @@ import io
 
 from pyspark.sql import DataFrame
 
+#: Queries where Arrow-batched Python IS the design (per-bucket cosine via
+#: applyInPandas; the size-guarded all-pairs fallback; multimodal fake-codec
+#: decode via mapInPandas). Single-sourced here because two consumers need
+#: it and must not drift: tests/test_plans.py whitelists these in the
+#: BatchEvalPython ban sweep, and bench.py gives them a wider regression
+#: band (Python worker-pool variance flagged at unchanged commits in r13
+#: AND r14 — VERDICT r14 #4).
+ARROW_BATCH_QUERIES = frozenset(
+    {
+        "dedup_embed_cosine",
+        "multimodal_frame_sample",
+        "multimodal_media_features",
+        "multimodal_phash_dedup",
+        "sim_topk_pairs",
+    }
+)
+
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     buf = io.StringIO()
@@ -135,7 +152,14 @@ PROBE_BOUND_COLS = frozenset(
 )
 
 _CONSTFILTER_RE = _re.compile(r"\((\w+)#\d+L? (?:=|<|<=) \d+\)")
-_GROUPED_RE = _re.compile(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[(\w+)#")
+# Capture the FULL keys=[...] list, not just the first key: an aggregate
+# keyed by (label, doc_id) is NOT bounded by label's arity — its output
+# scales with the corpus — so it must not classify as grouped:label
+# (ADVICE r14 low: the stale-whitelist regression this check polices).
+_GROUPED_RE = _re.compile(
+    r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[([^\]]*)\]"
+)
+_KEYCOL_RE = _re.compile(r"(\w+)#\d+")
 
 
 def _classify_build_side(tree_string: str) -> set[str]:
@@ -168,8 +192,13 @@ def _classify_build_side(tree_string: str) -> set[str]:
         if col in PROBE_BOUND_COLS:
             classes.add("probe")
         classes.add(f"constfilter:{col}")
-    for col in _GROUPED_RE.findall(tree_string):
-        classes.add(f"grouped:{col}")
+    for keys_blob in _GROUPED_RE.findall(tree_string):
+        key_cols = _KEYCOL_RE.findall(keys_blob)
+        # grouped:<col> is only a bound when <col> is the SOLE grouping
+        # key — (label, doc_id) output scales with doc count, not label
+        # arity.
+        if len(key_cols) == 1:
+            classes.add(f"grouped:{key_cols[0]}")
     return classes
 
 

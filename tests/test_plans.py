@@ -286,14 +286,11 @@ _SCALAR_COMBINE_BNLJ = {
 #: Queries where Arrow-batched Python IS the design (per-bucket cosine via
 #: applyInPandas; the size-guarded all-pairs fallback; multimodal fake-codec
 #: decode via mapInPandas). Row-at-a-time BatchEvalPython is banned even
-#: here.
-_ARROW_BATCH_OK = {
-    "dedup_embed_cosine",
-    "multimodal_frame_sample",
-    "multimodal_media_features",
-    "multimodal_phash_dedup",
-    "sim_topk_pairs",
-}
+#: here. Single-sourced in plans.checks (bench.py's wider variance band
+#: uses the same set — VERDICT r14 #4).
+from distributed_system_mapreduce_spark.plans.checks import (
+    ARROW_BATCH_QUERIES as _ARROW_BATCH_OK,
+)
 
 
 @pytest.mark.parametrize("name", sorted(_ALL))
@@ -343,6 +340,25 @@ def test_bnlj_build_sides_structurally_bounded(name, spark):
             f"but the whitelist declares {sorted(declared)} — the "
             "broadcast branch carries no declared structural bound"
         )
+
+
+def test_bnlj_grouped_class_requires_sole_key():
+    """ADVICE r14: an aggregate keyed by (label, doc_id) must NOT classify
+    as grouped:label — its output scales with the corpus, not with label
+    arity. grouped:<col> is emitted only when <col> is the SOLE grouping
+    key."""
+    from distributed_system_mapreduce_spark.plans.checks import (
+        _classify_build_side,
+    )
+
+    multi = _classify_build_side(
+        "HashAggregate(keys=[label#12, doc_id#34L], functions=[count(1)])"
+    )
+    assert not any(c.startswith("grouped:") for c in multi), multi
+    sole = _classify_build_side(
+        "HashAggregate(keys=[label#12], functions=[count(1)])"
+    )
+    assert "grouped:label" in sole, sole
 
 
 def test_bnlj_checker_flags_unbounded_counterexample(spark):

@@ -729,3 +729,39 @@ def test_lpa_labels_match_python_reference(spark, edges, rounds):
             nxt[v] = best[0]
         lbl = nxt
     assert got == lbl, (canon, rounds)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_pair_support_counts_distinct_orders(spark, rows):
+    """r15 regression guard for the sweep-caught support inflation:
+    support must count DISTINCT orders containing both parts — duplicate
+    (order, part) rows (TPC-H orders can list a part on several lines)
+    must count once, never as extra row-pairs."""
+    from collections import Counter
+    from itertools import combinations
+
+    from distributed_system_mapreduce_spark.operators.graph import (
+        basket_pair_support,
+    )
+
+    expected = Counter()
+    baskets: dict[int, set[int]] = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            expected[(a, b)] += 1
+
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in basket_pair_support(df).collect()
+    }
+    assert got == dict(expected), (sorted(rows), got)
