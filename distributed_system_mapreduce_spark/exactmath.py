@@ -1,0 +1,92 @@
+"""Exact cross-engine rounding of rational quotients (r15).
+
+The r15 sf0.1 parity sweep caught `mv_incremental_refresh` diverging on a
+quotient that landed EXACTLY on a half at the rounding scale
+(101299573.10 / 400 = 253248.93275): Spark's `round(double)` rounds the
+double's shortest decimal representation half-up (253248.93274999998 →
+.9327, the nearest double being just below the half), while DuckDB's
+resolves the same value up (.9328). No double-path rounding of an exact
+rational is engine-portable at its tie points — and ties are REACHABLE
+whenever the numerator has fixed scale (integer counts, 2-dp money, 4-dp
+rates) and the denominator is a row count: sum/400 at 4 dp fired in a
+60k-row fixture.
+
+The portable form: round-half-up(num/den, s) computed entirely on
+integers — floor((2·num·10^s + den) / (2·den)) — then ONE division by
+10^s whose result both engines derive from the identical integer.
+:func:`round_div` builds that as Spark Column algebra; :func:`sql_round_div`
+emits the DuckDB mirror (hugeint `//` is exact integer floor-division).
+
+Denominators must be positive (zero/NULL yields NULL — degenerate
+corpora stay total); numerators may be negative — the round is half
+AWAY from zero (both engines' HALF_UP semantics), computed as the
+magnitude formula on |num| with the sign restored after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_div(
+    num: Column, den: Column, scale: int, num_scale: int | None = None
+) -> Column:
+    """round-half-up(num/den, scale) as a double, exact at tie points.
+
+    ``num`` must have fixed decimal scale ``num_scale`` (default:
+    ``scale``) so num*10^num_scale is an integer — integer counts
+    (num_scale 0 works via the default whenever scale >= 0), 2-dp money
+    sums, 9-dp probability sums. ``den`` must be a positive integer
+    column.
+
+    With q = num*10^num_scale and d = den*10^(num_scale-scale) (both
+    integers; num_scale >= scale required):
+    round-half-up(num/den, scale)*10^scale = floor((2q + d) / (2d)) —
+    all-integer decimal algebra. The `%`-then-divide is exact because
+    (x - x % y) is exactly divisible, so Spark's decimal division
+    introduces no rounding. The final /10^scale is the same IEEE double
+    op DuckDB's mirror performs on the same integer.
+    """
+    if num_scale is None:
+        num_scale = scale
+    if num_scale < scale:
+        raise ValueError("num_scale must be >= scale")
+    q = F.abs((num * F.lit(10 ** num_scale)).cast("decimal(38,0)"))
+    den_eff = (den * F.lit(10 ** (num_scale - scale))).cast("decimal(38,0)")
+    d = (den_eff * F.lit(2)).cast("decimal(38,0)")
+    x = q * F.lit(2) + den_eff
+    scaled = ((x - x % d) / d).cast("decimal(38,0)")
+    # negative numerators round half AWAY from zero (both engines' HALF_UP
+    # semantics): magnitude on |q|, sign restored after
+    signed = F.when(num < 0, -scaled).otherwise(scaled)
+    # CASE WHEN short-circuits, so the modulo never sees a zero divisor
+    # under ANSI mode; a zero/NULL denominator yields NULL (degenerate
+    # corpora must stay total — tests/test_degenerate.py).
+    return F.when(
+        den > 0, signed.cast("double") / F.lit(float(10 ** scale))
+    ).alias("round_div")
+
+
+def sql_round_div(
+    num_sql: str, den_sql: str, scale: int, num_scale: int | None = None
+) -> str:
+    """DuckDB mirror of :func:`round_div`: same integers, same final op.
+
+    ``num_sql`` must be an expression whose value times 10**num_scale is
+    an integer (cast to a sufficiently-scaled DECIMAL by the caller, e.g.
+    ``sum(cast(x as decimal(18,4)))`` with num_scale=4, or any integer
+    aggregate with the default); ``den_sql`` a positive integer
+    expression.
+    """
+    if num_scale is None:
+        num_scale = scale
+    if num_scale < scale:
+        raise ValueError("num_scale must be >= scale")
+    q = f"abs(cast(({num_sql}) * {10 ** num_scale} as hugeint))"
+    d = f"(cast({den_sql} as hugeint) * {10 ** (num_scale - scale)})"
+    sign = f"(case when ({num_sql}) < 0 then -1 else 1 end)"
+    return (
+        f"(cast({sign} * ((2 * {q} + {d}) // (2 * {d})) as double)"
+        f" / {10 ** scale})"
+    )

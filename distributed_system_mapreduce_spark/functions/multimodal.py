@@ -338,16 +338,19 @@ def _register_multimodal_dedup() -> None:
     from ..registry import register
     from ..sources.io import load
 
+    from ..exactmath import round_div, sql_round_div
+
     @register(
         "multimodal_dedup",
-        oracle="""
+        oracle=f"""
         select case when doc_id % 3 = 0 then 'image'
                     when doc_id % 3 = 1 then 'audio'
                     else 'video' end as media_type,
                count(*) as n_items,
                count(distinct text) as n_unique,
-               round(1.0 - count(distinct text) * 1.0 / count(*), 4)
-                 as dup_rate
+               {sql_round_div(
+                   "count(*) - count(distinct text)", "count(*)", 4
+               )} as dup_rate
         from documents
         group by media_type
         order by media_type
@@ -374,8 +377,12 @@ def _register_multimodal_dedup() -> None:
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
                 F.count_distinct("digest").alias("n_unique"),
-                F.round(
-                    1.0 - F.count_distinct("digest") / F.count(F.lit(1)), 4
+                # all-integer half-up round (exactmath.py, r15): written
+                # as (n - d)/n so the numerator stays integer
+                round_div(
+                    F.count(F.lit(1)) - F.count_distinct("digest"),
+                    F.count(F.lit(1)),
+                    4,
                 ).alias("dup_rate"),
             )
             .orderBy("media_type")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..cache import track
 from ..plans.topk import salted_topk
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
 from ..sources.io import load
 from ..operators.relational import tokens
@@ -48,7 +49,7 @@ STOPWORDS = ("the", "a", "data")
     with base as (
       select lang, count(*) as n_docs,
              cast(sum(len(string_split(text, ' '))) as bigint) as total_tokens,
-             round(avg(n_chars), 2) as avg_chars
+             {avg_chars} as avg_chars
       from documents group by lang),
     vocab as (
       select lang, count(distinct word) as vocab
@@ -56,10 +57,14 @@ STOPWORDS = ("the", "a", "data")
       where word <> '' group by lang)
     select base.lang as lang, n_docs, total_tokens, avg_chars, vocab
     from base join vocab on base.lang = vocab.lang
-    """,
+    """.format(avg_chars=sql_round_div("sum(n_chars)", "count(*)", 2)),
 )
 def text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language doc counts, token totals, avg length, distinct vocabulary."""
+    """Per-language doc counts, token totals, avg length, distinct
+    vocabulary. avg_chars is the all-integer half-up round of
+    sum(n_chars)/count (exactmath.py, r15): an integer-sum average CAN
+    land exactly on a 2-dp half, where double-path rounds diverge
+    between engines."""
     docs = load(spark, sf_dir, "documents")
     base = (
         docs.withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
@@ -67,7 +72,9 @@ def text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            round_div(
+                F.sum("n_chars"), F.count(F.lit(1)), 2
+            ).alias("avg_chars"),
         )
     )
     vocab = tokens(docs).groupBy("lang").agg(F.countDistinct("word").alias("vocab"))
@@ -1029,11 +1036,14 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(count(*) as bigint) as vocab,
            cast(sum(case when cnt = 1 then 1 else 0 end) as bigint) as hapax,
            cast(sum(cnt) as bigint) as total_tokens,
-           round(sum(case when cnt = 1 then 1 else 0 end) * 1.0 / count(*),
-                 6) as hapax_ratio
+           {ratio} as hapax_ratio
     from wc
     group by source
-    """,
+    """.format(
+        ratio=sql_round_div(
+            "sum(case when cnt = 1 then 1 else 0 end)", "count(*)", 6
+        )
+    ),
 )
 def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source hapax-legomena share: the fraction of each source's
@@ -1057,8 +1067,10 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("vocab"),
         F.sum((F.col("cnt") == 1).cast("bigint")).alias("hapax"),
         F.sum("cnt").alias("total_tokens"),
-        F.round(
-            F.sum((F.col("cnt") == 1).cast("bigint")) / F.count(F.lit(1)), 6
+        # all-integer half-up round (exactmath.py, r15): an int/int ratio
+        # can land exactly on a 6-dp half where double rounds diverge
+        round_div(
+            F.sum((F.col("cnt") == 1).cast("bigint")), F.count(F.lit(1)), 6
         ).alias("hapax_ratio"),
     )
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -26,36 +27,66 @@ from ..sources.io import load
 @register(
     "agg_pricing_summary",
     oracle="""
+    with d as (
+      select l_returnflag, l_linestatus,
+             cast(l_quantity as decimal(18,2)) as qty,
+             cast(l_extendedprice as decimal(18,2)) as price,
+             cast(l_discount as decimal(18,2)) as disc,
+             cast(l_tax as decimal(18,2)) as tax
+      from lineitem
+      where l_shipdate <= timestamp '1998-09-02')
     select l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                            as sum_qty,
-           round(sum(l_extendedprice), 2)                                       as sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                    as sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      as sum_charge,
-           round(avg(l_quantity), 2)                                            as avg_qty,
-           round(avg(l_extendedprice), 2)                                       as avg_price,
-           round(avg(l_discount), 4)                                            as avg_disc,
-           count(*)                                                             as count_order
-    from lineitem
-    where l_shipdate <= timestamp '1998-09-02'
+           cast(round(sum(qty), 2) as double)                        as sum_qty,
+           cast(round(sum(price), 2) as double)                      as sum_base_price,
+           cast(round(sum(price * (1 - disc)), 2) as double)         as sum_disc_price,
+           cast(round(sum(price * (1 - disc) * (1 + tax)), 2)
+                as double)                                           as sum_charge,
+           {avg_qty}                                                 as avg_qty,
+           {avg_price}                                               as avg_price,
+           {avg_disc}                                                as avg_disc,
+           count(*)                                                  as count_order
+    from d
     group by l_returnflag, l_linestatus
-    """,
+    """.format(
+        avg_qty=sql_round_div("sum(qty)", "count(*)", 2),
+        avg_price=sql_round_div("sum(price)", "count(*)", 2),
+        avg_disc=sql_round_div("sum(disc)", "count(*)", 4),
+    ),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FLAGSHIP: TPC-H Q1 pricing summary — filter, group, 8 aggregates."""
+    """FLAGSHIP: TPC-H Q1 pricing summary — filter, group, 8 aggregates.
+
+    All money math runs in DECIMAL (values are 2-dp by construction;
+    per-value double→decimal casts are identical in both engines), so
+    every sum is exact and order-independent and every round is an exact
+    half-up — the r15 tie-portability rework (see exactmath.py: a
+    double-path round of a rational quotient diverges between engines
+    exactly at its half-way tie points, which a sum/count CAN reach).
+    Averages re-derive from (sum, count) via the all-integer
+    round-half-up, never a double division.
+    """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (one - disc)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(price * (one - disc) * (one + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            round_div(F.sum(qty), n, 2).alias("avg_qty"),
+            round_div(F.sum(price), n, 2).alias("avg_price"),
+            round_div(F.sum(disc), n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

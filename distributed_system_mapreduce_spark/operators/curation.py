@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..cache import track
 from ..plans.scan import chunked_running_sum
 from ..plans.topk import salted_topk
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
 from ..sources.io import load
 from .dedup import shingle_expr
@@ -162,7 +163,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     select d.source,
            count(*) as n_train,
            count(c.doc_id) as n_contaminated,
-           round(count(c.doc_id) / count(*), 4) as contam_rate
+           {sql_round_div("count(c.doc_id)", "count(*)", 4)} as contam_rate
     from documents d
     left join contaminated c on c.doc_id = d.doc_id
     where d.doc_id % {_EVAL_MOD} <> 0
@@ -190,8 +191,9 @@ def corpus_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_train"),
             F.count("is_contam").alias("n_contaminated"),
-            F.round(
-                F.count("is_contam") / F.count(F.lit(1)), 4
+            # all-integer half-up round (exactmath.py, r15 tie rework)
+            round_div(
+                F.count("is_contam"), F.count(F.lit(1)), 4
             ).alias("contam_rate"),
         )
         .orderBy("source")
@@ -371,7 +373,8 @@ PACK_SEQ_TOKENS = 512
            count(*) as n_docs,
            count(distinct seq_id) as n_sequences,
            cast(sum(n_tok) as bigint) as total_tokens,
-           round(count(*) / count(distinct seq_id), 2) as docs_per_seq
+           {sql_round_div("count(*)", "count(distinct seq_id)", 2)}
+             as docs_per_seq
     from binned
     group by source
     order by source
@@ -419,8 +422,9 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("seq_id").alias("n_sequences"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(
-                F.count(F.lit(1)) / F.countDistinct("seq_id"), 2
+            # all-integer half-up round (exactmath.py, r15 tie rework)
+            round_div(
+                F.count(F.lit(1)), F.countDistinct("seq_id"), 2
             ).alias("docs_per_seq"),
         )
         .orderBy("source")
@@ -656,13 +660,13 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_dup_rate_by_source",
-    oracle="""
+    oracle=f"""
     select source,
            count(*) as n_docs,
            count(distinct text) as n_unique,
-           round(1.0 - count(distinct text) * 1.0 / count(*), 4)
+           {sql_round_div("count(*) - count(distinct text)", "count(*)", 4)}
              as dup_rate,
-           round(avg(n_chars), 2) as avg_chars
+           {sql_round_div("sum(n_chars)", "count(*)", 2)} as avg_chars
     from documents
     group by source
     order by source
@@ -685,10 +689,16 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("text").alias("n_unique"),
-            F.round(
-                1.0 - F.count_distinct("text") / F.count(F.lit(1)), 4
+            # all-integer half-up rounds (exactmath.py, r15 tie rework):
+            # 1 - d/n rewritten as (n-d)/n so the numerator stays integer
+            round_div(
+                F.count(F.lit(1)) - F.count_distinct("text"),
+                F.count(F.lit(1)),
+                4,
             ).alias("dup_rate"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            round_div(F.sum("n_chars"), F.count(F.lit(1)), 2).alias(
+                "avg_chars"
+            ),
         )
         .orderBy("source")
     )
@@ -916,7 +926,7 @@ OVERLAP_HIGH = 0.5
       from perdoc p join documents d using (doc_id))
     select source,
            count(*) as n_docs,
-           round(cast(sum(c) as double) / count(*), 6) as avg_coverage,
+           {sql_round_div("sum(c)", "count(*)", 6, 9)} as avg_coverage,
            cast(sum(case when c >= {OVERLAP_HIGH} then 1 else 0 end)
                 as bigint) as n_docs_high
     from cov
@@ -963,7 +973,9 @@ def corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 6).alias(
+            # all-integer half-up round over the 9-dp decimal sum
+            # (exactmath.py, r15 tie rework)
+            round_div(F.sum("c"), F.count(F.lit(1)), 6, 9).alias(
                 "avg_coverage"
             ),
             F.sum((F.col("c") >= OVERLAP_HIGH).cast("int"))
@@ -1218,12 +1230,14 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_dataset_card",
-    oracle="""
+    oracle=f"""
     with d as (
       select count(*) as n_docs,
              count(distinct text) as n_unique_texts,
              cast(sum(len(string_split(text, ' '))) as bigint) as n_tokens,
-             round(avg(n_chars), 2) as avg_chars
+             {sql_round_div("sum(n_chars)", "count(*)", 2)} as avg_chars,
+             {sql_round_div("count(*) - count(distinct text)", "count(*)", 4)}
+               as exact_dup_rate
       from documents),
     v as (
       select count(distinct word) as vocab
@@ -1239,7 +1253,7 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
       from lc)
     select cast(n_docs as bigint) as n_docs,
            cast(n_unique_texts as bigint) as n_unique_texts,
-           round(1.0 - n_unique_texts * 1.0 / n_docs, 4) as exact_dup_rate,
+           exact_dup_rate,
            n_tokens,
            avg_chars,
            cast(vocab as bigint) as vocab,
@@ -1269,7 +1283,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("n_unique_texts"),
         F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        round_div(F.sum("n_chars"), F.count(F.lit(1)), 2).alias("avg_chars"),
     )
     v = tokens(docs).agg(F.countDistinct("word").alias("vocab"))
     lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
@@ -1288,13 +1302,17 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_docs",
             "n_unique_texts",
-            F.round(
-                # empty-corpus guard: dup rate of zero docs is 0, not 0/0
-                F.when(F.col("n_docs") == 0, F.lit(0.0)).otherwise(
-                    1.0 - F.col("n_unique_texts") / F.col("n_docs")
-                ),
-                4,
-            ).alias("exact_dup_rate"),
+            # empty-corpus guard: dup rate of zero docs is 0, not 0/0;
+            # otherwise the all-integer half-up round (exactmath.py, r15)
+            F.when(F.col("n_docs") == 0, F.lit(0.0))
+            .otherwise(
+                round_div(
+                    F.col("n_docs") - F.col("n_unique_texts"),
+                    F.col("n_docs"),
+                    4,
+                )
+            )
+            .alias("exact_dup_rate"),
             "n_tokens",
             "avg_chars",
             "vocab",

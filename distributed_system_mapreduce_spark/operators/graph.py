@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import track
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -232,7 +233,8 @@ def _oriented_with_adj(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     select (select count(*) from deg) as n_nodes,
            (select count(*) from pairs) as n_edges,
            (select n_triangles from tri) as n_triangles,
-           (select round(avg(deg), 4) from deg) as avg_degree
+           (select {sql_round_div("sum(deg)", "count(*)", 4)} from deg)
+             as avg_degree
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +253,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.round(F.avg("deg"), 4).alias("avg_degree"),
+        # all-integer half-up round (exactmath.py, r15 tie rework)
+        round_div(F.sum("deg"), F.count(F.lit(1)), 4).alias("avg_degree"),
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return (

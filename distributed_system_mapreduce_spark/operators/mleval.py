@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..cache import track
 from ..plans.topk import salted_topk
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -82,9 +83,12 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
       from per_score)
     select case when (select sum(pos) from per_score) = 0
                   or (select sum(neg) from per_score) = 0 then null
-           else round(cast(sum(pos * (2 * cum_neg + neg)) as double)
-                 / (2.0 * (select sum(pos) from per_score)
-                        * (select sum(neg) from per_score)), 6) end as auc,
+           else {sql_round_div(
+               "sum(pos * (2 * cum_neg + neg))",
+               "2 * (select sum(pos) from per_score)"
+               " * (select sum(neg) from per_score)",
+               6,
+           )} end as auc,
            cast((select sum(pos) from per_score) as bigint) as n_pos,
            cast((select sum(neg) from per_score) as bigint) as n_neg,
            count(*) as n_scores
@@ -121,10 +125,11 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.sum("pos") == 0) | (F.sum("neg") == 0), F.lit(None)
         ).otherwise(
-            F.round(
-                F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg")))
-                .cast("double")
-                / (2.0 * F.sum("pos") * F.sum("neg")),
+            # all-integer half-up round (exactmath.py, r15 tie rework):
+            # the Mann-Whitney U statistic over 2*P*N is rational
+            round_div(
+                F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg"))),
+                F.lit(2) * F.sum("pos") * F.sum("neg"),
                 6,
             )
         ).alias("auc"),
@@ -161,8 +166,9 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
       select cast(round(pos * cast(tp as double) / (tp + fp), 9)
                   as decimal(18,9)) as term
       from cum where pos > 0)
-    select round(cast(sum(term) as double)
-                 / (select sum(pos) from per_score), 6) as ap,
+    select {sql_round_div(
+        "sum(term)", "(select sum(pos) from per_score)", 6, 9
+    )} as ap,
            cast((select sum(pos) from per_score) as bigint) as n_pos,
            cast((select sum(neg) from per_score) as bigint) as n_neg,
            (select count(*) from per_score) as n_scores
@@ -203,10 +209,10 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     ).cast("decimal(18,9)")
     return cum.agg(
-        F.round(
-            F.sum(F.when(F.col("pos") > 0, term)).cast("double")
-            / F.sum("pos"),
-            6,
+        # all-integer half-up round over the 9-dp decimal term sum
+        # (exactmath.py, r15 tie rework)
+        round_div(
+            F.sum(F.when(F.col("pos") > 0, term)), F.sum("pos"), 6, 9
         ).alias("ap"),
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
@@ -231,8 +237,8 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
       from probs)
     select bin,
            count(*) as n,
-           round(cast(sum(p9) as double) / count(*), 6) as mean_p,
-           round(cast(sum(is_pos) as double) / count(*), 6) as pos_rate
+           {sql_round_div("sum(p9)", "count(*)", 6, 9)} as mean_p,
+           {sql_round_div("sum(is_pos)", "count(*)", 6)} as pos_rate
     from binned
     group by bin
     """,
@@ -263,12 +269,9 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum("p9").cast("double") / F.count(F.lit(1)), 6
-        ).alias("mean_p"),
-        F.round(
-            F.sum("is_pos").cast("double") / F.count(F.lit(1)), 6
-        ).alias("pos_rate"),
+        # all-integer half-up rounds (exactmath.py, r15 tie rework)
+        round_div(F.sum("p9"), F.count(F.lit(1)), 6, 9).alias("mean_p"),
+        round_div(F.sum("is_pos"), F.count(F.lit(1)), 6).alias("pos_rate"),
     )
 
 
@@ -643,7 +646,7 @@ def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "eval_f1_macro",
-    oracle="""
+    oracle=f"""
     with e as (
       select vec_id, label, embedding::DOUBLE[] as x from embeddings),
     percoord as (
@@ -684,10 +687,10 @@ def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(tp as bigint) as tp,
            cast(actual_n as bigint) as actual_n,
            cast(pred_n as bigint) as pred_n,
-           round(prec, 6) as precision,
-           round(rec, 6) as recall,
-           round(case when prec + rec = 0 then 0.0
-                      else 2 * prec * rec / (prec + rec) end, 6) as f1
+           case when pred_n = 0 then 0.0
+                else {sql_round_div("tp", "pred_n", 6)} end as precision,
+           {sql_round_div("tp", "actual_n", 6)} as recall,
+           {sql_round_div("2 * tp", "actual_n + pred_n", 6)} as f1
     from perclass
     """,
 )
@@ -716,28 +719,23 @@ def eval_f1_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted = conf.groupBy(F.col("pred_label").alias("cls")).agg(
         F.sum("n").alias("pred_n")
     )
-    prec = F.when(F.col("pred_n") == 0, F.lit(0.0)).otherwise(
-        F.col("tp") / F.col("pred_n")
-    )
-    rec = F.col("tp") / F.col("actual_n")
-    per = (
-        classes.join(predicted, "cls", "left")
-        .withColumn("pred_n", F.coalesce(F.col("pred_n"), F.lit(0)))
-        .withColumn("prec", prec)
-        .withColumn("rec", rec)
+    per = classes.join(predicted, "cls", "left").withColumn(
+        "pred_n", F.coalesce(F.col("pred_n"), F.lit(0))
     )
     return per.select(
         F.col("cls").cast("int").alias("cls"),
         F.col("tp").cast("bigint").alias("tp"),
         F.col("actual_n").cast("bigint").alias("actual_n"),
         F.col("pred_n").cast("bigint").alias("pred_n"),
-        F.round("prec", 6).alias("precision"),
-        F.round("rec", 6).alias("recall"),
-        F.round(
-            F.when(F.col("prec") + F.col("rec") == 0, F.lit(0.0)).otherwise(
-                2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec"))
-            ),
-            6,
+        # all-integer half-up rounds (exactmath.py, r15 tie rework); the
+        # harmonic-mean identity 2PR/(P+R) = 2*tp/(actual_n+pred_n) keeps
+        # F1 a single integer ratio (and covers tp=0: both sides are 0)
+        F.when(F.col("pred_n") == 0, F.lit(0.0))
+        .otherwise(round_div(F.col("tp"), F.col("pred_n"), 6))
+        .alias("precision"),
+        round_div(F.col("tp"), F.col("actual_n"), 6).alias("recall"),
+        round_div(
+            F.lit(2) * F.col("tp"), F.col("actual_n") + F.col("pred_n"), 6
         ).alias("f1"),
     )
 
@@ -765,7 +763,7 @@ TOPK_ACC_KS = (1, 3, 5)
              row_number() over (partition by vec_id order by d, cl) as rn
       from scored)
     select cast(k as int) as k,
-           round(sum(case when hit then 1 else 0 end) * 1.0 / count(*), 6)
+           {sql_round_div("sum(case when hit then 1 else 0 end)", "count(*)", 6)}
              as topk_accuracy
     from (select vec_id, label, k, bool_or(label = cl) as hit
           from rk cross join (select unnest([{', '.join(map(str, TOPK_ACC_KS))}]) as k) ks
@@ -801,8 +799,9 @@ def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         ranked.agg(
             F.lit(k).cast("int").alias("k"),
-            F.round(
-                F.sum((F.col("pos") <= k).cast("int")) / F.count(F.lit(1)), 6
+            # all-integer half-up round (exactmath.py, r15 tie rework)
+            round_div(
+                F.sum((F.col("pos") <= k).cast("int")), F.count(F.lit(1)), 6
             ).alias("topk_accuracy"),
         )
         for k in TOPK_ACC_KS
@@ -865,11 +864,11 @@ _CONF_CTES = """
       join (select pred_label as cls, sum(n) as pred_n from conf
             group by pred_label) p
         on a.cls = p.cls)
-    select case when cast(nn as double) * nn = pe_nn then null
-           else round((cast(po_n as double) * nn - pe_nn)
-                 / (cast(nn as double) * nn - pe_nn), 6) end as kappa,
-           round(cast(po_n as double) / nn, 6) as po,
-           round(cast(pe_nn as double) / (cast(nn as double) * nn), 6) as pe,
+    select case when nn * nn = pe_nn then null
+           else {sql_round_div("po_n * nn - pe_nn", "nn * nn - pe_nn", 6)}
+           end as kappa,
+           {sql_round_div("po_n", "nn", 6)} as po,
+           {sql_round_div("pe_nn", "nn * nn", 6)} as pe,
            cast(nn as bigint) as n
     from tot, agree, marg
     """,
@@ -909,22 +908,20 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(F.broadcast(marg)).select(
         # degenerate marginals (pe = 1, e.g. a single-cell confusion):
         # kappa is undefined -> NULL, mirrored in the oracle
+        # all-integer half-up rounds (exactmath.py, r15 tie rework); the
+        # kappa numerator can be negative (worse-than-chance), which the
+        # sign-aware helper rounds half away from zero like both engines
         F.when(
-            F.col("nn").cast("double") * F.col("nn") == F.col("pe_nn"),
-            F.lit(None),
+            F.col("nn") * F.col("nn") == F.col("pe_nn"), F.lit(None)
         ).otherwise(
-            F.round(
-                (F.col("po_n").cast("double") * F.col("nn") - F.col("pe_nn"))
-                / (F.col("nn").cast("double") * F.col("nn") - F.col("pe_nn")),
+            round_div(
+                F.col("po_n") * F.col("nn") - F.col("pe_nn"),
+                F.col("nn") * F.col("nn") - F.col("pe_nn"),
                 6,
             )
         ).alias("kappa"),
-        F.round(F.col("po_n").cast("double") / F.col("nn"), 6).alias("po"),
-        F.round(
-            F.col("pe_nn").cast("double")
-            / (F.col("nn").cast("double") * F.col("nn")),
-            6,
-        ).alias("pe"),
+        round_div(F.col("po_n"), F.col("nn"), 6).alias("po"),
+        round_div(F.col("pe_nn"), F.col("nn") * F.col("nn"), 6).alias("pe"),
         F.col("nn").cast("bigint").alias("n"),
     )
 
@@ -969,7 +966,7 @@ _PROBS_SQL = f"""
                + (1 - is_pos) * ln(greatest(1 - p, {LOGLOSS_EPS}))), 9)
                as decimal(18,9)) as t
       from probs)
-    select round(cast(sum(t) as double) / count(*), 6) as log_loss,
+    select {sql_round_div("sum(t)", "count(*)", 6, 9)} as log_loss,
            count(*) as n
     from terms
     """,
@@ -997,9 +994,9 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t")
     )
     return terms.agg(
-        F.round(
-            F.sum("t").cast("double") / F.count(F.lit(1)), 6
-        ).alias("log_loss"),
+        # all-integer half-up round over the 9-dp decimal sum
+        # (exactmath.py, r15 tie rework)
+        round_div(F.sum("t"), F.count(F.lit(1)), 6, 9).alias("log_loss"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1012,7 +1009,7 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
       select cast(round((p - is_pos) * (p - is_pos), 9)
                as decimal(18,9)) as t
       from probs)
-    select round(cast(sum(t) as double) / count(*), 6) as brier,
+    select {sql_round_div("sum(t)", "count(*)", 6, 9)} as brier,
            count(*) as n
     from terms
     """,
@@ -1033,9 +1030,9 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t")
     )
     return terms.agg(
-        F.round(
-            F.sum("t").cast("double") / F.count(F.lit(1)), 6
-        ).alias("brier"),
+        # all-integer half-up round over the 9-dp decimal sum
+        # (exactmath.py, r15 tie rework)
+        round_div(F.sum("t"), F.count(F.lit(1)), 6, 9).alias("brier"),
         F.count(F.lit(1)).alias("n"),
     )
 

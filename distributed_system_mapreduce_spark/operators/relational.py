@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -224,26 +225,36 @@ def count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "reduce_numeric",
     oracle="""
-    select round(sum(l_extendedprice), 2) as sum_price,
+    select cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2)
+                as double) as sum_price,
            min(l_extendedprice) as min_price,
            max(l_extendedprice) as max_price,
-           round(avg(l_extendedprice), 2) as avg_price,
+           {avg_price} as avg_price,
            count(*) as n_rows
     from lineitem
-    """,
+    """.format(
+        avg_price=sql_round_div(
+            "sum(cast(l_extendedprice as decimal(18,2)))", "count(*)", 2
+        )
+    ),
 )
 def reduce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global single-key reduce: sum/min/max/avg/count.
 
-    Sums/avgs rounded to 2dp on BOTH sides — double summation order differs
-    between engines (SURVEY.md §7.3.1). min/max are exact, left unrounded.
+    Sum and avg run in DECIMAL (prices are 2-dp by construction) so both
+    are exact and order-independent, and the avg's 2-dp round is the
+    all-integer half-up (exactmath.py, r15 tie-portability rework) —
+    double summation order differs between engines (SURVEY.md §7.3.1) and
+    a double-path round diverges at rational tie points. min/max are
+    exact doubles, left unrounded.
     """
     li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
     return li.agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        round_div(F.sum(price), F.count(F.lit(1)), 2).alias("avg_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -995,12 +996,15 @@ def events_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
       select strftime(ts, '%Y-%m') as month, count(distinct user_id) as mau
       from events group by month)
     select d.month as month,
-           round(avg(dau), 2) as avg_dau,
+           {avg_dau} as avg_dau,
            cast(max(mau) as bigint) as mau,
-           round(avg(dau) / max(mau), 4) as stickiness
+           {stickiness} as stickiness
     from daily d join monthly m on d.month = m.month
     group by d.month
-    """,
+    """.format(
+        avg_dau=sql_round_div("sum(dau)", "count(*)", 2),
+        stickiness=sql_round_div("sum(dau)", "count(*) * max(mau)", 4),
+    ),
 )
 def events_dau_mau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stickiness (DAU/MAU): average daily active users over monthly
@@ -1030,9 +1034,13 @@ def events_dau_mau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.join(F.broadcast(monthly), "month")
         .groupBy("month")
         .agg(
-            F.round(F.avg("dau"), 2).alias("avg_dau"),
+            # all-integer half-up rounds (exactmath.py, r15 tie rework):
+            # stickiness = avg(dau)/mau = sum(dau)/(n_days*mau), rational
+            round_div(F.sum("dau"), F.count(F.lit(1)), 2).alias("avg_dau"),
             F.max("mau").alias("mau"),
-            F.round(F.avg("dau") / F.max("mau"), 4).alias("stickiness"),
+            round_div(
+                F.sum("dau"), F.count(F.lit(1)) * F.max("mau"), 4
+            ).alias("stickiness"),
         )
     )
 
@@ -1046,15 +1054,18 @@ def events_dau_mau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
           from events e join v on e.user_id = v.user_id
           where e.event_type = 'purchase' and e.ts >= v.first_view
           group by e.user_id),
-    d as (select (epoch_us(first_purchase) - epoch_us(v.first_view))
+    d as (select epoch_us(first_purchase) - epoch_us(v.first_view) as us,
+                 (epoch_us(first_purchase) - epoch_us(v.first_view))
                  / 3600000000.0 as hours
           from v join p on v.user_id = p.user_id)
     select cast(count(*) as bigint) as n_converted,
            round(quantile_cont(hours, 0.5), 2) as p50_hours,
            round(quantile_cont(hours, 0.9), 2) as p90_hours,
-           round(avg(hours), 2) as avg_hours
+           {avg_hours} as avg_hours
     from d
-    """,
+    """.format(
+        avg_hours=sql_round_div("sum(us)", "count(*) * 3600000000", 2)
+    ),
 )
 def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel velocity: hours from a user's first view to their first
@@ -1082,16 +1093,24 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.min("ts").alias("first_purchase"))
     )
     d = v.join(p, "user_id").select(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias(
+            "us"
+        ),
         (
             (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
             / 3.6e9
-        ).alias("hours")
+        ).alias("hours"),
     )
     return d.agg(
         F.count(F.lit(1)).alias("n_converted"),
         F.round(F.percentile("hours", F.lit(0.5)), 2).alias("p50_hours"),
         F.round(F.percentile("hours", F.lit(0.9)), 2).alias("p90_hours"),
-        F.round(F.avg("hours"), 2).alias("avg_hours"),
+        # avg from the INTEGER microsecond sum via the all-integer
+        # half-up round (exactmath.py, r15): sum(us)/(n*3.6e9) is
+        # rational and can land exactly on a 2-dp half
+        round_div(
+            F.sum("us"), F.count(F.lit(1)) * F.lit(3_600_000_000), 2
+        ).alias("avg_hours"),
     )
 
 

@@ -1,0 +1,97 @@
+"""exactmath.round_div / sql_round_div — the r15 tie-portability helpers.
+
+Both must equal Python's Decimal ROUND_HALF_UP (the semantics Spark's
+decimal `round` and DuckDB's decimal `round` share) on arbitrary
+rationals, INCLUDING exact tie points — the case a double-path round
+resolves differently per engine (caught live by the sf0.1 parity sweep
+on mv_incremental_refresh).
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from distributed_system_mapreduce_spark.exactmath import (
+    round_div,
+    sql_round_div,
+)
+
+SETTINGS = dict(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _expected(s: Decimal, n: int, sc: int) -> float:
+    return float(
+        (s / n).quantize(Decimal(1).scaleb(-sc), rounding=ROUND_HALF_UP)
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    raw=st.integers(-(10 ** 12), 10 ** 12),
+    n=st.integers(1, 10 ** 6),
+    scales=st.sampled_from([(2, 2), (4, 4), (6, 6), (2, 9), (6, 9), (4, 6)]),
+)
+def test_round_div_matches_decimal_half_up(spark, raw, n, scales):
+    sc, ns = scales
+    s = Decimal(raw) / 10 ** ns
+    got = (
+        spark.createDataFrame([(s, n)], f"s decimal(30,{ns}), n long")
+        .select(round_div(F.col("s"), F.col("n"), sc, ns).alias("r"))
+        .collect()[0]["r"]
+    )
+    duck = duckdb.execute(
+        "select "
+        + sql_round_div(f"cast({s} as decimal(30,{ns}))", str(n), sc, ns)
+    ).fetchone()[0]
+    expect = _expected(s, n, sc)
+    assert got == duck == expect, (s, n, sc, ns, got, duck, expect)
+
+
+@pytest.mark.parametrize(
+    "s,n,sc,ns",
+    [
+        # the live sf0.1 divergence: exact half at 4 dp
+        (Decimal("101299573.1000"), 400, 4, 4),
+        # negative exact half: half AWAY from zero on both engines
+        (Decimal("-2.675000000"), 1, 2, 9),
+        # tie exactly at the target scale from an integer ratio
+        (Decimal("1"), 8, 2, 0),  # 0.125 -> 0.13
+        (Decimal("-1"), 8, 2, 0),  # -0.125 -> -0.13
+    ],
+)
+def test_round_div_tie_points(spark, s, n, sc, ns):
+    got = (
+        spark.createDataFrame([(s, n)], f"s decimal(30,{max(ns,1)}), n long")
+        .select(round_div(F.col("s"), F.col("n"), sc, ns).alias("r"))
+        .collect()[0]["r"]
+    )
+    duck = duckdb.execute(
+        "select "
+        + sql_round_div(
+            f"cast({s} as decimal(30,{max(ns, 1)}))", str(n), sc, ns
+        )
+    ).fetchone()[0]
+    expect = _expected(s, n, sc)
+    assert got == duck == expect, (s, n, sc, ns, got, duck, expect)
+
+
+def test_round_div_zero_denominator_is_null(spark):
+    """Totality on degenerate corpora: NULL, never an ANSI divide error."""
+    r = (
+        spark.createDataFrame(
+            [(Decimal("1.00"), 0)], "s decimal(30,2), n long"
+        )
+        .select(round_div(F.col("s"), F.col("n"), 2).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert r is None

@@ -26,6 +26,8 @@ BOUND_QUERIES = {
     "agg_cms_heavy_hitters": ("within_bound",),
     "agg_hll_union": ("within_bound",),
     "agg_percentile_sketch_error": ("within_bound",),
+    # r15: rank-space GK audit of the ship-latency percentile swap
+    "orders_ship_latency_sketch": ("within_bound",),
     "dedup_minhash_est_error": ("within_bound",),
     "sim_pq_recall": ("recall_floor_met",),
     "sim_ivfpq_recall": ("recall_floor_met",),
