@@ -52,7 +52,11 @@ def round_div(
         num_scale = scale
     if num_scale < scale:
         raise ValueError("num_scale must be >= scale")
-    q = F.abs((num * F.lit(10 ** num_scale)).cast("decimal(38,0)"))
+    # widen num to decimal BEFORE the 10^num_scale multiply: a LONG num
+    # near 2^63 would overflow the long multiply (ANSI raise) even though
+    # the scaled value fits decimal(38,0) comfortably
+    num_wide = num.cast(f"decimal(38,{num_scale})")
+    q = F.abs((num_wide * F.lit(10 ** num_scale)).cast("decimal(38,0)"))
     den_eff = (den * F.lit(10 ** (num_scale - scale))).cast("decimal(38,0)")
     d = (den_eff * F.lit(2)).cast("decimal(38,0)")
     x = q * F.lit(2) + den_eff
@@ -89,4 +93,27 @@ def sql_round_div(
     return (
         f"(cast({sign} * ((2 * {q} + {d}) // (2 * {d})) as double)"
         f" / {10 ** scale})"
+    )
+
+
+def split_units(col: Column, unit: int) -> tuple[Column, Column]:
+    """Per-row (quotient, remainder) of a non-negative integer-valued
+    LONG column by ``unit`` — the fast-sum decomposition: summing q and r
+    separately keeps both aggregates on Spark's long codegen fast path
+    (a decimal(38,0) sum leaves it, measured 2-4x slower), while the
+    recombined total stays exact far beyond long range: with unit=10^6,
+    sum(q) overflows only past ~9e18 DOLLARS of total charge. Pair with
+    :func:`recombine_units`."""
+    r = F.pmod(col, F.lit(unit))
+    # (col - r) is exactly divisible; the double division is exact for
+    # per-row quotients below 2^53 (all call sites are ≤ ~1e6)
+    q = ((col - r) / F.lit(unit)).cast("long")
+    return q, r
+
+
+def recombine_units(sum_q: Column, sum_r: Column, unit: int) -> Column:
+    """Exact decimal total from the two long sums of :func:`split_units`:
+    sum_q*unit + sum_r as decimal(38,0)."""
+    return sum_q.cast("decimal(38,0)") * F.lit(unit) + sum_r.cast(
+        "decimal(38,0)"
     )

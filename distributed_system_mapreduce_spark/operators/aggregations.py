@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..exactmath import round_div, sql_round_div
+from ..exactmath import (
+    recombine_units,
+    round_div,
+    split_units,
+    sql_round_div,
+)
 from ..registry import register
 from ..sources.io import load
 
@@ -27,68 +32,100 @@ from ..sources.io import load
 @register(
     "agg_pricing_summary",
     oracle="""
-    with d as (
+    with c as (
       select l_returnflag, l_linestatus,
-             cast(l_quantity as decimal(18,2)) as qty,
-             cast(l_extendedprice as decimal(18,2)) as price,
-             cast(l_discount as decimal(18,2)) as disc,
-             cast(l_tax as decimal(18,2)) as tax
+             cast(round(l_quantity) as hugeint) as qc,
+             cast(round(l_extendedprice * 100) as hugeint) as pc,
+             cast(round(l_discount * 100) as hugeint) as dc,
+             cast(round(l_tax * 100) as hugeint) as tc
       from lineitem
       where l_shipdate <= timestamp '1998-09-02')
     select l_returnflag, l_linestatus,
-           cast(round(sum(qty), 2) as double)                        as sum_qty,
-           cast(round(sum(price), 2) as double)                      as sum_base_price,
-           cast(round(sum(price * (1 - disc)), 2) as double)         as sum_disc_price,
-           cast(round(sum(price * (1 - disc) * (1 + tax)), 2)
-                as double)                                           as sum_charge,
+           cast(sum(qc) as double)                                   as sum_qty,
+           cast(sum(pc) as double) / 100                             as sum_base_price,
+           {sum_disc_price}                                          as sum_disc_price,
+           {sum_charge}                                              as sum_charge,
            {avg_qty}                                                 as avg_qty,
            {avg_price}                                               as avg_price,
            {avg_disc}                                                as avg_disc,
            count(*)                                                  as count_order
-    from d
+    from c
     group by l_returnflag, l_linestatus
     """.format(
-        avg_qty=sql_round_div("sum(qty)", "count(*)", 2),
-        avg_price=sql_round_div("sum(price)", "count(*)", 2),
-        avg_disc=sql_round_div("sum(disc)", "count(*)", 4),
+        sum_disc_price=sql_round_div("sum(pc * (100 - dc))", "10000", 2),
+        sum_charge=sql_round_div(
+            "sum(pc * (100 - dc) * (100 + tc))", "1000000", 2
+        ),
+        avg_qty=sql_round_div("sum(qc)", "count(*)", 2),
+        avg_price=sql_round_div("sum(pc)", "100 * count(*)", 2),
+        avg_disc=sql_round_div("sum(dc)", "100 * count(*)", 4),
     ),
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: TPC-H Q1 pricing summary — filter, group, 8 aggregates.
 
-    All money math runs in DECIMAL (values are 2-dp by construction;
-    per-value double→decimal casts are identical in both engines), so
-    every sum is exact and order-independent and every round is an exact
-    half-up — the r15 tie-portability rework (see exactmath.py: a
-    double-path round of a rational quotient diverges between engines
-    exactly at its half-way tie points, which a sum/count CAN reach).
-    Averages re-derive from (sum, count) via the all-integer
-    round-half-up, never a double division.
+    All money math is EXACT and engine-portable (r15 tie rework,
+    exactmath.py): per-row values scale to integer cents in LONG (the
+    fixture's money columns are 2-dp by construction, so the *100 round
+    is a no-op correction of fp repr), the product columns (scale-4
+    ten-thousandths and scale-6 millionths) sum via the split_units
+    quotient/remainder decomposition — every aggregate stays a LONG sum
+    on the codegen fast path, yet the recombined decimal totals are
+    exact to ~9e18 DOLLARS of group total, far past 100 TB — and every
+    rounded output derives from those integers via the all-integer
+    half-up: a double-path round of a rational diverges between engines
+    exactly at its tie points, which a 4-dp product sum rounded to 2 dp
+    CAN reach. sum_qty/sum_base_price need no rounding at all (integer
+    and exact-2-dp rationals have no tie points); their integer→double
+    casts are correctly-rounded identically in both engines. A
+    full-decimal(18,2) formulation was 5x slower (no long fast path once
+    products widen past precision 18); decimal(38,0) sums 2-4x slower.
     """
     li = load(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    tax = F.col("l_tax").cast("decimal(18,2)")
-    one = F.lit(1).cast("decimal(18,2)")
-    n = F.count(F.lit(1))
-    return (
+    qc = F.round(F.col("l_quantity")).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    tc = F.round(F.col("l_tax") * 100).cast("long")
+    disc4 = pc * (100 - dc)
+    chg6 = disc4 * (100 + tc)
+    # split_units keeps every aggregate a LONG sum (codegen fast path —
+    # decimal(38,0) sums measured 2-4x slower) while the recombined
+    # decimal totals stay exact to ~9e18 dollars of group total. qc/pc/dc
+    # sum as plain longs: even at 100 TB (6e11 rows) their totals stay
+    # under 2^63 (ANSI raises loudly, never wraps, if a corpus exceeds
+    # that); only the scale-4/scale-6 product columns need the split.
+    d4q, d4r = split_units(disc4, 10000)
+    c6q, c6r = split_units(chg6, 1000000)
+    agg = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(price * (one - disc)), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.sum(price * (one - disc) * (one + tax)), 2)
-            .cast("double")
-            .alias("sum_charge"),
-            round_div(F.sum(qty), n, 2).alias("avg_qty"),
-            round_div(F.sum(price), n, 2).alias("avg_price"),
-            round_div(F.sum(disc), n, 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qc).alias("sum_qc"),
+            F.sum(pc).alias("sum_pc"),
+            F.sum(d4q).alias("s_d4q"),
+            F.sum(d4r).alias("s_d4r"),
+            F.sum(c6q).alias("s_c6q"),
+            F.sum(c6r).alias("s_c6r"),
+            F.sum(dc).alias("sum_dc"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    sum_pc = F.col("sum_pc")
+    sum_d4 = recombine_units(F.col("s_d4q"), F.col("s_d4r"), 10000)
+    sum_c6 = recombine_units(F.col("s_c6q"), F.col("s_c6r"), 1000000)
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qc").cast("double").alias("sum_qty"),
+        (sum_pc.cast("double") / 100).alias("sum_base_price"),
+        round_div(sum_d4, F.lit(10000), 2).alias("sum_disc_price"),
+        round_div(sum_c6, F.lit(1000000), 2).alias("sum_charge"),
+        round_div(F.col("sum_qc"), F.col("n"), 2).alias("avg_qty"),
+        round_div(sum_pc, F.lit(100) * F.col("n"), 2).alias("avg_price"),
+        round_div(F.col("sum_dc"), F.lit(100) * F.col("n"), 4).alias(
+            "avg_disc"
+        ),
+        F.col("n").alias("count_order"),
     )
 
 

@@ -225,8 +225,8 @@ def count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "reduce_numeric",
     oracle="""
-    select cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2)
-                as double) as sum_price,
+    select cast(sum(cast(round(l_extendedprice * 100) as hugeint)) as double)
+             / 100 as sum_price,
            min(l_extendedprice) as min_price,
            max(l_extendedprice) as max_price,
            {avg_price} as avg_price,
@@ -234,27 +234,37 @@ def count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lineitem
     """.format(
         avg_price=sql_round_div(
-            "sum(cast(l_extendedprice as decimal(18,2)))", "count(*)", 2
+            "sum(cast(round(l_extendedprice * 100) as hugeint))",
+            "100 * count(*)",
+            2,
         )
     ),
 )
 def reduce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global single-key reduce: sum/min/max/avg/count.
 
-    Sum and avg run in DECIMAL (prices are 2-dp by construction) so both
-    are exact and order-independent, and the avg's 2-dp round is the
-    all-integer half-up (exactmath.py, r15 tie-portability rework) —
-    double summation order differs between engines (SURVEY.md §7.3.1) and
-    a double-path round diverges at rational tie points. min/max are
-    exact doubles, left unrounded.
+    Sum and avg run on integer CENTS (prices are 2-dp by construction,
+    so the *100 round only corrects fp repr): long per-row, decimal(38,0)
+    sum — exact, order-independent, codegen-fast (the r15 tie rework;
+    a full-decimal formulation loses the long fast path). The sum needs
+    no rounding (an exact 2-dp rational has no tie points); the avg is
+    the all-integer half-up over (cents, 100·n) — a double-path round
+    diverges between engines at rational tie points. min/max are exact
+    doubles, left unrounded.
     """
     li = load(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
     return li.agg(
-        F.round(F.sum(price), 2).cast("double").alias("sum_price"),
+        (F.sum(pc.cast("decimal(38,0)")).cast("double") / 100).alias(
+            "sum_price"
+        ),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        round_div(F.sum(price), F.count(F.lit(1)), 2).alias("avg_price"),
+        round_div(
+            F.sum(pc.cast("decimal(38,0)")),
+            F.lit(100) * F.count(F.lit(1)),
+            2,
+        ).alias("avg_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

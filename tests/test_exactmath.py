@@ -64,9 +64,10 @@ def test_round_div_matches_decimal_half_up(spark, raw, n, scales):
         (Decimal("101299573.1000"), 400, 4, 4),
         # negative exact half: half AWAY from zero on both engines
         (Decimal("-2.675000000"), 1, 2, 9),
-        # tie exactly at the target scale from an integer ratio
-        (Decimal("1"), 8, 2, 0),  # 0.125 -> 0.13
-        (Decimal("-1"), 8, 2, 0),  # -0.125 -> -0.13
+        # tie exactly at the target scale from an integer ratio (integer
+        # numerators use the default num_scale == scale)
+        (Decimal("1"), 8, 2, 2),  # 0.125 -> 0.13
+        (Decimal("-1"), 8, 2, 2),  # -0.125 -> -0.13
     ],
 )
 def test_round_div_tie_points(spark, s, n, sc, ns):
