@@ -214,13 +214,16 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r14 outcome: eval_auc, eval_calibration_bins, cdc_merge_upserts,
     #    cdc_scd2_history — all four driver-green in CORRECTNESS_r14;
     #    rotated out to make room for the r15 queue below (VERDICT r14 #2).
-    # r15 active window (per VERDICT r14 #2 / r13 #4): the multimodal
-    # family's FIRST hard driver rows, plus the bounded-traversal and
-    # ranking-eval witnesses.
-    "multimodal_media_features",
-    "multimodal_phash_dedup",
-    "graph_bfs_hops",
-    "eval_ndcg_at_k",
+    #   r15 outcome: multimodal_media_features, multimodal_phash_dedup,
+    #    graph_bfs_hops, eval_ndcg_at_k — all four driver-green
+    #    (hash_match) in CORRECTNESS_r15; rotated out per VERDICT r15 #1.
+    # r16 active window (per VERDICT r15 #1): prototype-classifier eval,
+    # the range-join family's first driver row, the running-share window
+    # family, and average precision.
+    "eval_confusion_centroid",
+    "join_interval_overlap",
+    "orders_abc_pareto",
+    "eval_pr_auc",
 )
 
 
