@@ -47,6 +47,21 @@ def round_div(
     (x - x % y) is exactly divisible, so Spark's decimal division
     introduces no rounding. The final /10^scale is the same IEEE double
     op DuckDB's mirror performs on the same integer.
+
+    MAGNITUDE CEILING (~10^32, ADVICE r15): the num*10^num_scale multiply
+    types as decimal(38, num_scale) x integer, which Spark's
+    precision-loss adjustment resolves to decimal(38, min(num_scale, 6))
+    rather than raising — exact only while the SCALED numerator
+    |num|*10^num_scale fits ~32 integer digits (38 minus the adjusted
+    scale's 6). Beyond that Spark silently rounds q instead of erroring,
+    and the "exact at tie points" guarantee quietly dies. Every current
+    call site is an aggregate of fixture-bounded integers (cents,
+    counts, scaled rates: <= ~10^20 even at 100 TB), leaving 12 orders
+    of headroom; a NEW call site whose scaled numerator can approach
+    10^32 must restructure (reduce num_scale, or pre-divide den) rather
+    than rely on this function. tests/test_exactmath.py pins the
+    behavior at the ceiling so a Spark upgrade changing the adjustment
+    surfaces loudly.
     """
     if num_scale is None:
         num_scale = scale

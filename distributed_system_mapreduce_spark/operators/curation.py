@@ -921,7 +921,7 @@ OVERLAP_HIGH = 0.5
       group by doc_id),
     cov as (
       select d.source,
-             cast(round(p.n_shared * 1.0 / p.n_shingles, 9)
+             cast({sql_round_div('p.n_shared', 'p.n_shingles', 9)}
                   as decimal(18,9)) as c
       from perdoc p join documents d using (doc_id))
     select source,
@@ -965,7 +965,7 @@ def corpus_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cov = perdoc.join(docs.select("doc_id", "source"), "doc_id").select(
         "source",
-        F.round(F.col("n_shared") / F.col("n_shingles"), 9)
+        round_div(F.col("n_shared"), F.col("n_shingles"), 9)
         .cast("decimal(18,9)")
         .alias("c"),
     )
@@ -1071,6 +1071,11 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: for — uniform over the fixture's five languages. A real pipeline loads
 #: this from its mix config; the KL machinery is identical.
 LANG_MIX_TARGET = 0.2
+#: Exact-rational reading of the target (1/5) for the tie-exact rebalance
+#: math: keep_rate/tokens_after are computed on integers with this
+#: denominator, never through the double 0.2 (VERDICT r15 #3).
+_MIX_TARGET_DEN = 5
+assert abs(1.0 / _MIX_TARGET_DEN - LANG_MIX_TARGET) < 1e-15
 
 
 @register(
@@ -1082,7 +1087,7 @@ LANG_MIX_TARGET = 0.2
       from documents group by lang),
     tot as (select sum(n_tokens) as t from tok)
     select lang, n_tokens,
-           round(n_tokens * 1.0 / (select t from tot), 6) as share,
+           {sql_round_div('n_tokens', '(select t from tot)', 6)} as share,
            cast({LANG_MIX_TARGET} as double) as target_share,
            round((n_tokens * 1.0 / (select t from tot))
                  * ln((n_tokens * 1.0 / (select t from tot))
@@ -1113,7 +1118,11 @@ def corpus_lang_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n_tokens",
-            F.round(share, 6).alias("share"),
+            # integer-ratio share: all-integer half-up (exactmath) — a
+            # double round of n_tokens/t can land on an engine-divergent
+            # tie; the kl_term stays on the double path (ln is irrational
+            # off a measure-zero set, so its 6-dp ties are unreachable)
+            round_div(F.col("n_tokens"), F.col("t"), 6).alias("share"),
             F.lit(float(LANG_MIX_TARGET)).alias("target_share"),
             F.round(
                 share * F.log(share / F.lit(float(LANG_MIX_TARGET))), 6
@@ -1131,16 +1140,15 @@ def corpus_lang_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
       from documents group by lang),
     tot as (select sum(n_tokens) as t from tok),
     rates as (
-      select lang, n_tokens,
-             n_tokens * 1.0 / (select t from tot) as share,
-             least(1.0, {LANG_MIX_TARGET}
-                        / (n_tokens * 1.0 / (select t from tot)))
-               as keep_rate
-      from tok)
+      select lang, n_tokens, (select t from tot) as t from tok)
     select lang, n_tokens,
-           round(share, 6) as share,
-           round(keep_rate, 6) as keep_rate,
-           cast(floor(n_tokens * keep_rate) as bigint) as tokens_after
+           {sql_round_div('n_tokens', 't', 6)} as share,
+           case when t >= {_MIX_TARGET_DEN} * n_tokens then 1.0
+                else {sql_round_div('t', f'({_MIX_TARGET_DEN} * n_tokens)', 6)}
+           end as keep_rate,
+           cast(case when t >= {_MIX_TARGET_DEN} * n_tokens then n_tokens
+                     else t // {_MIX_TARGET_DEN} end as bigint)
+             as tokens_after
     from rates
     """,
 )
@@ -1154,22 +1162,40 @@ def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loader, not by duplicating rows).
 
     Same one-pass token rollup + broadcast scalar combine as
-    corpus_lang_mix_kl (the audit this manifest acts on); tokens_after
-    floors deterministically so both engines agree on the integer budget.
+    corpus_lang_mix_kl (the audit this manifest acts on). All three
+    outputs are EXACT rational/integer algebra (r16, VERDICT r15 #3): the
+    target is interpreted as the exact rational 1/_MIX_TARGET_DEN (not
+    the double 0.2), so keep_rate = min(1, t/(5·n_tokens)) rounds via the
+    all-integer half-up, and tokens_after = floor(n_tokens·keep)
+    collapses to exactly n_tokens or t div 5 — a double floor sits ON an
+    integer whenever t divides evenly, the same engine-divergence class
+    as a rational round tie.
     """
     docs = load(spark, sf_dir, "documents")
     tok = docs.groupBy("lang").agg(
         F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens")
     )
     tot = tok.agg(F.sum("n_tokens").alias("t"))
-    share = F.col("n_tokens") / F.col("t")
-    keep = F.least(F.lit(1.0), F.lit(float(LANG_MIX_TARGET)) / share)
+    den = F.lit(_MIX_TARGET_DEN) * F.col("n_tokens")
+    whole = F.col("t") >= den
     return tok.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_tokens",
-        F.round(share, 6).alias("share"),
-        F.round(keep, 6).alias("keep_rate"),
-        F.floor(F.col("n_tokens") * keep).cast("bigint").alias("tokens_after"),
+        round_div(F.col("n_tokens"), F.col("t"), 6).alias("share"),
+        F.when(whole, F.lit(1.0))
+        .otherwise(round_div(F.col("t"), den, 6))
+        .alias("keep_rate"),
+        F.when(whole, F.col("n_tokens"))
+        .otherwise(
+            # exact integer floor(t / DEN): (t - t mod DEN) is exactly
+            # divisible, so the double division introduces no rounding
+            (
+                (F.col("t") - F.pmod(F.col("t"), F.lit(_MIX_TARGET_DEN)))
+                / F.lit(_MIX_TARGET_DEN)
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("tokens_after"),
     )
 
 
@@ -1465,14 +1491,14 @@ MIX_EPOCH_TOKENS = 1_000_000
       from documents group by lang),
     tot as (select sum(tokens) as n from per_lang),
     scored as (
-      select lang, n_docs, tokens,
+      select lang, n_docs, tokens, n,
              tokens * 1.0 / n as p,
              pow(tokens * 1.0 / n, {MIX_TEMPERATURE_ALPHA}) as w
       from per_lang cross join tot
       where tokens > 0),
     z as (select sum(w) as z from scored)
     select lang, n_docs, tokens,
-           round(p, 6) as nat_share,
+           {sql_round_div('tokens', 'n', 6)} as nat_share,
            round(w / z, 6) as temp_share,
            round((w / z) / p, 4) as boost,
            cast(floor((w / z) * {MIX_EPOCH_TOKENS}) as bigint)
@@ -1515,6 +1541,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "tokens",
+        "n",
         (F.col("tokens") / F.col("n")).alias("p"),
         F.pow(F.col("tokens") / F.col("n"), MIX_TEMPERATURE_ALPHA).alias(
             "w"
@@ -1527,7 +1554,10 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "tokens",
-            F.round("p", 6).alias("nat_share"),
+            # tokens/n is an integer ratio — tie-exact half-up; the
+            # pow-derived temp_share/boost stay on the double path
+            # (irrational off a measure-zero set)
+            round_div(F.col("tokens"), F.col("n"), 6).alias("nat_share"),
             F.round(F.col("w") / F.col("z"), 6).alias("temp_share"),
             F.round((F.col("w") / F.col("z")) / F.col("p"), 4).alias(
                 "boost"
@@ -1685,9 +1715,10 @@ def _logreg_oracle() -> str:
            cast(sum(case when ((b.w0 + b.w1 * f.x1 + b.w2 * f.x2) > 0)
                               = (f.y = 1)
                          then 1 else 0 end) as bigint) as n_correct,
-           round(sum(case when ((b.w0 + b.w1 * f.x1 + b.w2 * f.x2) > 0)
-                               = (f.y = 1)
-                          then 1.0 else 0.0 end) / count(*), 6) as accuracy
+           {sql_round_div(
+               "sum(case when ((b.w0 + b.w1 * f.x1 + b.w2 * f.x2) > 0)"
+               " = (f.y = 1) then 1 else 0 end)",
+               "count(*)", 6)} as accuracy
     from feat f cross join {last} b
     group by b.w0, b.w1, b.w2
     """
@@ -1728,9 +1759,7 @@ def pipeline_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(round(beta[2], 6)).alias("beta2"),
         F.count(F.lit(1)).alias("n"),
         F.sum(correct).cast("bigint").alias("n_correct"),
-        F.round(
-            F.sum(correct.cast("double")) / F.count(F.lit(1)), 6
-        ).alias("accuracy"),
+        round_div(F.sum(correct), F.count(F.lit(1)), 6).alias("accuracy"),
     )
 
 
@@ -1759,9 +1788,9 @@ def _dup_curve_oracle() -> str:
            cast((select count(*) from docmax where mj >= threshold)
                 as bigint) as n_docs_affected,
            case when (select n from tot) = 0 then null
-                else round((select count(*) from docmax
-                            where mj >= threshold)
-                           * 1.0 / (select n from tot), 6)
+                else {sql_round_div(
+                    "(select count(*) from docmax where mj >= threshold)",
+                    "(select n from tot)", 6)}
            end as affected_share
     from grid
     order by threshold
@@ -1837,10 +1866,6 @@ def corpus_dup_threshold_curve(
         "n_pairs",
         "n_docs_affected",
         F.when(F.col("ntot") == 0, F.lit(None))
-        .otherwise(
-            F.round(
-                F.col("n_docs_affected") * 1.0 / F.col("ntot"), 6
-            )
-        )
+        .otherwise(round_div(F.col("n_docs_affected"), F.col("ntot"), 6))
         .alias("affected_share"),
     ).orderBy("threshold")

@@ -244,24 +244,27 @@ def reduce_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global single-key reduce: sum/min/max/avg/count.
 
     Sum and avg run on integer CENTS (prices are 2-dp by construction,
-    so the *100 round only corrects fp repr): long per-row, decimal(38,0)
-    sum — exact, order-independent, codegen-fast (the r15 tie rework;
-    a full-decimal formulation loses the long fast path). The sum needs
-    no rounding (an exact 2-dp rational has no tie points); the avg is
-    the all-integer half-up over (cents, 100·n) — a double-path round
-    diverges between engines at rational tie points. min/max are exact
-    doubles, left unrounded.
+    so the *100 round only corrects fp repr), summed as plain LONG —
+    exact, order-independent, and genuinely on the long codegen fast
+    path (r16, ADVICE r15: the prior decimal(38,0)-sum formulation
+    contradicted this claim — agg_pricing_summary measures that plan
+    2-4x slower). Long suffices here for the same reason the flagship's
+    sum_pc needs no split_units: even at 100 TB (~6e11 rows x ~4e6 cents)
+    the GLOBAL cents total is ~2e18 < 2^63, and ANSI mode raises loudly,
+    never wraps, if a corpus exceeds that. The sum needs no rounding (an
+    exact 2-dp rational has no tie points); the avg is the all-integer
+    half-up over (cents, 100·n) — a double-path round diverges between
+    engines at rational tie points. min/max are exact doubles, left
+    unrounded.
     """
     li = load(spark, sf_dir, "lineitem")
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
     return li.agg(
-        (F.sum(pc.cast("decimal(38,0)")).cast("double") / 100).alias(
-            "sum_price"
-        ),
+        (F.sum(pc).cast("double") / 100).alias("sum_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         round_div(
-            F.sum(pc.cast("decimal(38,0)")),
+            F.sum(pc),
             F.lit(100) * F.count(F.lit(1)),
             2,
         ).alias("avg_price"),

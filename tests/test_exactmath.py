@@ -86,6 +86,42 @@ def test_round_div_tie_points(spark, s, n, sc, ns):
     assert got == duck == expect, (s, n, sc, ns, got, duck, expect)
 
 
+def test_round_div_magnitude_ceiling(spark):
+    """ADVICE r15: round_div's exactness silently depends on Spark's
+    precision-loss adjustment — num(decimal(38,ns)) * 10^ns resolves to
+    decimal(38,6), exact only while the scaled numerator stays within
+    ~32 integer digits. Pin BOTH sides of the documented ceiling: a
+    numerator at ~10^30 (12 digits of headroom below it, the widest any
+    real call site can reach even at 100 TB) stays tie-exact, and the
+    adjustment itself still resolves wide products to scale 6 rather
+    than raising, so a Spark upgrade that changes either behavior
+    surfaces here before it can silently corrupt a new call site."""
+    # exact tie at 2 dp with a ~1e30-cent-scale numerator: 1e30+5, /1e3,
+    # scale 2 -> q=1e32+500 (32 digits, at the documented edge but exact)
+    s = Decimal(10**30 + 5) / 100
+    got = (
+        spark.createDataFrame([(s, 1000)], "s decimal(38,2), n long")
+        .select(round_div(F.col("s"), F.col("n"), 2, 2).alias("r"))
+        .collect()[0]["r"]
+    )
+    duck = duckdb.execute(
+        "select "
+        + sql_round_div(f"cast({s} as decimal(38,2))", "1000", 2, 2)
+    ).fetchone()[0]
+    expect = _expected(s, 1000, 2)
+    assert got == duck == expect, (got, duck, expect)
+    # the adjustment behavior itself: decimal(38,9) * 10^9 must come out
+    # decimal(38,6) (precision-loss adjustment), not raise — the premise
+    # the ceiling analysis in the docstring rests on
+    wide = (
+        spark.createDataFrame([(Decimal("1.5"),)], "x decimal(38,9)")
+        .select((F.col("x") * F.lit(10**9)).alias("p"))
+    )
+    assert wide.schema["p"].dataType.simpleString() == "decimal(38,6)", (
+        wide.schema["p"].dataType.simpleString()
+    )
+
+
 def test_round_div_zero_denominator_is_null(spark):
     """Totality on degenerate corpora: NULL, never an ANSI divide error."""
     r = (
