@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from distributed_system_mapreduce_spark.exactmath import (
     round_div,
+    round_div_long,
     sql_round_div,
 )
 
@@ -129,6 +130,71 @@ def test_round_div_zero_denominator_is_null(spark):
             [(Decimal("1.00"), 0)], "s decimal(30,2), n long"
         )
         .select(round_div(F.col("s"), F.col("n"), 2).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert r is None
+
+
+@settings(**SETTINGS)
+@given(
+    num=st.integers(-(10 ** 9), 10 ** 9),
+    n=st.integers(1, 10 ** 6),
+    sc=st.sampled_from([2, 4, 6]),
+)
+def test_round_div_long_matches_decimal_half_up(spark, num, n, sc):
+    """round_div_long (r16 hot-path variant) must agree with Decimal
+    ROUND_HALF_UP and the DuckDB mirror on integer ratios, ties
+    included — same contract as round_div, long arithmetic only."""
+    got = (
+        spark.createDataFrame([(num, n)], "m long, n long")
+        .select(round_div_long(F.col("m"), F.col("n"), sc).alias("r"))
+        .collect()[0]["r"]
+    )
+    duck = duckdb.execute(
+        "select " + sql_round_div(f"cast({num} as bigint)", str(n), sc)
+    ).fetchone()[0]
+    expect = _expected(Decimal(num), n, sc)
+    assert got == duck == expect, (num, n, sc, got, duck, expect)
+
+
+@pytest.mark.parametrize(
+    "num,n,sc",
+    [
+        (1, 8, 2),     # 0.125 -> 0.13 (tie at target scale)
+        (-1, 8, 2),    # half away from zero
+        (1, 128, 6),   # 0.0078125 -> 0.007813 (the RRF 1/(K+rn) class)
+        (405198292, 4, 4),  # quotient tie at 4 dp, large numerator
+    ],
+)
+def test_round_div_long_tie_points(spark, num, n, sc):
+    got = (
+        spark.createDataFrame([(num, n)], "m long, n long")
+        .select(round_div_long(F.col("m"), F.col("n"), sc).alias("r"))
+        .collect()[0]["r"]
+    )
+    duck = duckdb.execute(
+        "select " + sql_round_div(f"cast({num} as bigint)", str(n), sc)
+    ).fetchone()[0]
+    expect = _expected(Decimal(num), n, sc)
+    assert got == duck == expect, (num, n, sc, got, duck, expect)
+
+
+def test_round_div_long_guard_raises_past_bound(spark):
+    """Past the 2^51 long-exactness bound the guard must raise loudly,
+    never return a silently mis-rounded value."""
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame([(1 << 50, 3)], "m long, n long").select(
+        round_div_long(F.col("m"), F.col("n"), 4).alias("r")
+    )
+    with pytest.raises(PySparkException):
+        df.collect()
+
+
+def test_round_div_long_zero_denominator_is_null(spark):
+    r = (
+        spark.createDataFrame([(7, 0)], "m long, n long")
+        .select(round_div_long(F.col("m"), F.col("n"), 2).alias("r"))
         .collect()[0]["r"]
     )
     assert r is None
