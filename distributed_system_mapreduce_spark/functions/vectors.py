@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import register_memo_clearer, track
+from ..exactmath import round_div, sql_round_div
 from ..plans.topk import salted_topk
 from ..registry import register
 from ..sources.io import load
@@ -308,10 +309,10 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_vector_norm",
-    oracle="""
+    oracle=f"""
     select label,
            count(*) as n_vecs,
-           round(avg(norm_r), 4) as avg_norm,
+           {sql_round_div('sum(cast(norm_r as decimal(18,6)))', 'count(*)', 4, 6)} as avg_norm,
            min(norm_r) as min_norm,
            max(norm_r) as max_norm
     from (
@@ -336,7 +337,12 @@ def multimodal_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("norm_r"), 4).alias("avg_norm"),
+            round_div(
+                F.sum(F.col("norm_r").cast("decimal(18,6)")),
+                F.count(F.lit(1)),
+                4,
+                6,
+            ).alias("avg_norm"),
             F.min("norm_r").alias("min_norm"),
             F.max("norm_r").alias("max_norm"),
         )
@@ -853,7 +859,7 @@ def seeded_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       select count(*) as h from exact join approx using (q_id, v_id))
     select {RECALL_K} as k,
            {RECALL_N_QUERIES} as n_queries,
-           round(h / ({RECALL_N_QUERIES} * {RECALL_K}.0), 4) as recall
+           {sql_round_div('h', f'({RECALL_N_QUERIES} * {RECALL_K})', 4)} as recall
     from hits
     """,
 )
@@ -915,8 +921,8 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         F.lit(RECALL_K).alias("k"),
         F.lit(RECALL_N_QUERIES).alias("n_queries"),
-        F.round(
-            F.col("h") / F.lit(RECALL_N_QUERIES * RECALL_K * 1.0), 4
+        round_div(
+            F.col("h"), F.lit(RECALL_N_QUERIES * RECALL_K), 4
         ).alias("recall"),
     )
 
@@ -1218,7 +1224,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       select count(*) as h from exact join quant using (q_id, v_id))
     select {RECALL_K} as k,
            {RECALL_N_QUERIES} as n_queries,
-           round(h / ({RECALL_N_QUERIES} * {RECALL_K}.0), 4) as recall
+           {sql_round_div('h', f'({RECALL_N_QUERIES} * {RECALL_K})', 4)} as recall
     from hits
     """,
 )
@@ -1258,8 +1264,8 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         F.lit(RECALL_K).alias("k"),
         F.lit(RECALL_N_QUERIES).alias("n_queries"),
-        F.round(
-            F.col("h") / F.lit(RECALL_N_QUERIES * RECALL_K * 1.0), 4
+        round_div(
+            F.col("h"), F.lit(RECALL_N_QUERIES * RECALL_K), 4
         ).alias("recall"),
     )
 
@@ -1559,7 +1565,7 @@ def _silhouette_oracle() -> str:
       from a{iters} a join b using (vec_id))
     select cluster,
            count(*) as n_vecs,
-           round(cast(sum(s) as double) / count(*), 6) as mean_silhouette
+           {sql_round_div('sum(s)', 'count(*)', 6, 9)} as mean_silhouette
     from s
     group by cluster
     order by cluster
@@ -1608,8 +1614,8 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(
-                F.sum("s").cast("double") / F.count(F.lit(1)), 6
+            round_div(
+                F.sum("s"), F.count(F.lit(1)), 6, 9
             ).alias("mean_silhouette"),
         )
         .orderBy("cluster")
@@ -2104,11 +2110,12 @@ NPROBE_LEVELS = (1, 2, 4, 8)
       join sizes using (cent_id)
       group by l.nprobe, p.q_id),
     cagg as (
-      select nprobe, round(avg(nc), 2) as avg_list_candidates
+      select nprobe, {sql_round_div('sum(nc)', 'count(*)', 2)} as avg_list_candidates
       from cands group by nprobe)
     select cast(c.nprobe as int) as nprobe,
            c.avg_list_candidates,
-           round(coalesce(h.h, 0) / ({RECALL_N_QUERIES} * {RECALL_K}.0), 4)
+           {sql_round_div('coalesce(h.h, 0)',
+                          f'({RECALL_N_QUERIES} * {RECALL_K})', 4)}
              as recall
     from cagg c left join hits h using (nprobe)
     order by nprobe
@@ -2188,16 +2195,20 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe", "q_id")
         .agg(F.sum("sz").cast("bigint").alias("nc"))
         .groupBy("nprobe")
-        .agg(F.round(F.avg("nc"), 2).alias("avg_list_candidates"))
+        .agg(
+            round_div(F.sum("nc"), F.count(F.lit(1)), 2).alias(
+                "avg_list_candidates"
+            )
+        )
     )
     return (
         cagg.join(hits, "nprobe", "left")
         .select(
             F.col("nprobe").cast("int").alias("nprobe"),
             "avg_list_candidates",
-            F.round(
-                F.coalesce(F.col("h"), F.lit(0))
-                / F.lit(RECALL_N_QUERIES * RECALL_K * 1.0),
+            round_div(
+                F.coalesce(F.col("h"), F.lit(0)),
+                F.lit(RECALL_N_QUERIES * RECALL_K),
                 4,
             ).alias("recall"),
         )

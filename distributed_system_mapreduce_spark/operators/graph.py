@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..exactmath import round_div, sql_round_div
+from ..exactmath import round_div, round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -518,17 +518,17 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       having count(*) >= {BACKBONE_SUPPORT}),
     rules as (
       select src as antecedent, dst as consequent, support,
-             round(support * 1.0 / ca.cnt, 4) as confidence,
-             round((support * 1.0 / ca.cnt)
-                   / (cb.cnt * 1.0 / (select n from n_orders)), 4) as lift
+             {sql_round_div('support', 'ca.cnt', 4)} as confidence,
+             {sql_round_div('support * (select n from n_orders)',
+                            'ca.cnt * cb.cnt', 4)} as lift
       from pair_sup
       join item_cnt ca on ca.part = src
       join item_cnt cb on cb.part = dst
       union all
       select dst, src, support,
-             round(support * 1.0 / cb.cnt, 4),
-             round((support * 1.0 / cb.cnt)
-                   / (ca.cnt * 1.0 / (select n from n_orders)), 4)
+             {sql_round_div('support', 'cb.cnt', 4)},
+             {sql_round_div('support * (select n from n_orders)',
+                            'ca.cnt * cb.cnt', 4)}
       from pair_sup
       join item_cnt ca on ca.part = src
       join item_cnt cb on cb.part = dst)
@@ -572,10 +572,12 @@ def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("antecedent"),
         F.col("dst").alias("consequent"),
         "support",
-        F.round(F.col("support") / F.col("ca"), 4).alias("confidence"),
-        F.round(
-            (F.col("support") / F.col("ca"))
-            / (F.col("cb") / F.lit(float(n_orders))),
+        round_div_long(F.col("support"), F.col("ca"), 4).alias(
+            "confidence"
+        ),
+        round_div(
+            F.col("support") * F.lit(n_orders),
+            F.col("ca") * F.col("cb"),
             4,
         ).alias("lift"),
     )
@@ -583,10 +585,12 @@ def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").alias("antecedent"),
         F.col("src").alias("consequent"),
         "support",
-        F.round(F.col("support") / F.col("cb"), 4).alias("confidence"),
-        F.round(
-            (F.col("support") / F.col("cb"))
-            / (F.col("ca") / F.lit(float(n_orders))),
+        round_div_long(F.col("support"), F.col("cb"), 4).alias(
+            "confidence"
+        ),
+        round_div(
+            F.col("support") * F.lit(n_orders),
+            F.col("ca") * F.col("cb"),
             4,
         ).alias("lift"),
     )
@@ -1280,16 +1284,18 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       from deg left join tv on tv.id = deg.id)
     select cast((select count(*) from tri) as bigint) as n_triangles,
            cast(sum(deg * (deg - 1) / 2) as bigint) as n_wedges,
-           round(case when sum(deg * (deg - 1) / 2) = 0 then 0.0
-                      else 3.0 * (select count(*) from tri)
-                           / sum(deg * (deg - 1) / 2) end, 6) as global_cc,
-           round(case when sum(case when deg >= 2 then 1 else 0 end) = 0
-                      then 0.0
-                      else sum(case when deg >= 2
-                          then cast(round(t * 2.0 / (deg * (deg - 1)), 9)
-                                    as decimal(18,9))
-                          else cast(0 as decimal(18,9)) end)::double
-                 / sum(case when deg >= 2 then 1 else 0 end) end, 6)
+           case when sum(deg * (deg - 1)) = 0 then 0.0
+                else {sql_round_div('6 * (select count(*) from tri)',
+                                    'sum(deg * (deg - 1))', 6)} end
+             as global_cc,
+           case when sum(case when deg >= 2 then 1 else 0 end) = 0
+                then 0.0
+                else {sql_round_div(
+                    "sum(case when deg >= 2 then cast("
+                    + sql_round_div('2 * t', 'deg * (deg - 1)', 9)
+                    + " as decimal(18,9)) else cast(0 as decimal(18,9))"
+                    " end)",
+                    'sum(case when deg >= 2 then 1 else 0 end)', 6, 9)} end
              as avg_local_cc
     from local
     """,
@@ -1338,14 +1344,21 @@ def clustering_from_pairs(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     )
     local_cc9 = F.when(
         F.col("deg") >= 2,
-        F.round(
-            F.col("t") * 2.0 / (F.col("deg") * (F.col("deg") - 1)), 9
+        # all-integer half-up (exactmath r16): 2t/(deg(deg-1)) is a
+        # rational whose 9-dp double round can tie engine-divergently;
+        # decimal path — per-VERTEX cardinality, and t can outgrow the
+        # long bound on heavy vertices at scale
+        round_div(
+            F.col("t") * 2, F.col("deg") * (F.col("deg") - 1), 9
         ).cast("decimal(18,9)"),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))
     # wedge-free graphs (every degree <= 1) define both coefficients as
     # 0.0 — the guards keep the operator total (found by the randomized
     # property test; unreachable on the fixture but not on real data)
-    n_wedges = F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+    # integer doubled-wedge sum: deg*(deg-1) is even, so /2 is exact —
+    # but keeping the rollup integral lets the cc quotients round via the
+    # all-integer half-up instead of a double division
+    n_wedges2 = F.sum(F.col("deg") * (F.col("deg") - 1))
     n_eligible = F.sum((F.col("deg") >= 2).cast("int"))
     # edgeless corpus: `local` is empty, so sum("t") is NULL while the
     # oracle's scalar-subquery count(*) reports 0 — coalesce to match
@@ -1354,19 +1367,15 @@ def clustering_from_pairs(pairs: DataFrame, deg: DataFrame) -> DataFrame:
         (F.coalesce(F.sum("t"), F.lit(0)) / 3)
         .cast("bigint")
         .alias("n_triangles"),
-        n_wedges.cast("bigint").alias("n_wedges"),
-        F.round(
-            F.when(n_wedges == 0, F.lit(0.0)).otherwise(
-                F.sum("t").cast("double") / n_wedges
-            ),
-            6,
-        ).alias("global_cc"),
-        F.round(
-            F.when(n_eligible == 0, F.lit(0.0)).otherwise(
-                F.sum(local_cc9).cast("double") / n_eligible
-            ),
-            6,
-        ).alias("avg_local_cc"),
+        (n_wedges2.cast("decimal(38,0)") / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.when(n_wedges2 == 0, F.lit(0.0))
+        .otherwise(round_div(F.sum("t") * 2, n_wedges2, 6))
+        .alias("global_cc"),
+        F.when(n_eligible == 0, F.lit(0.0))
+        .otherwise(round_div(F.sum(local_cc9), n_eligible, 6, 9))
+        .alias("avg_local_cc"),
     )
 
 
@@ -1394,16 +1403,18 @@ def clustering_from_pairs(pairs: DataFrame, deg: DataFrame) -> DataFrame:
       from deg d left join closedw c on c.w = d.id)
     select cast(coalesce(sum(t), 0) as bigint) as n_closed_wedges,
            cast(sum(cd * (cd - 1) / 2) as bigint) as n_wedges,
-           round(case when sum(cd * (cd - 1) / 2) = 0 then 0.0
-                      else sum(t) / sum(cd * (cd - 1) / 2) end, 6)
+           case when sum(cd * (cd - 1)) = 0 then 0.0
+                else {sql_round_div('2 * sum(t)',
+                                    'sum(cd * (cd - 1))', 6)} end
              as global_cc,
-           round(case when sum(case when cd >= 2 then 1 else 0 end) = 0
-                      then 0.0
-                      else sum(case when cd >= 2
-                          then cast(round(t * 2.0 / (cd * (cd - 1)), 9)
-                                    as decimal(18,9))
-                          else cast(0 as decimal(18,9)) end)::double
-                 / sum(case when cd >= 2 then 1 else 0 end) end, 6)
+           case when sum(case when cd >= 2 then 1 else 0 end) = 0
+                then 0.0
+                else {sql_round_div(
+                    "sum(case when cd >= 2 then cast("
+                    + sql_round_div('2 * t', 'cd * (cd - 1)', 9)
+                    + " as decimal(18,9)) else cast(0 as decimal(18,9))"
+                    " end)",
+                    'sum(case when cd >= 2 then 1 else 0 end)', 6, 9)} end
              as avg_local_cc
     from local
     """,
@@ -1464,29 +1475,26 @@ def clustering_capped_from_pairs(
     )
     local_cc9 = F.when(
         F.col("cd") >= 2,
-        F.round(
-            F.col("t") * 2.0 / (F.col("cd") * (F.col("cd") - 1)), 9
+        # same all-integer half-up as the uncapped variant (r16)
+        round_div(
+            F.col("t") * 2, F.col("cd") * (F.col("cd") - 1), 9
         ).cast("decimal(18,9)"),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))
-    n_wedges = F.sum(F.col("cd") * (F.col("cd") - 1) / 2)
+    n_wedges2 = F.sum(F.col("cd") * (F.col("cd") - 1))
     n_eligible = F.sum((F.col("cd") >= 2).cast("int"))
     return local.agg(
         F.coalesce(F.sum("t"), F.lit(0))
         .cast("bigint")
         .alias("n_closed_wedges"),
-        n_wedges.cast("bigint").alias("n_wedges"),
-        F.round(
-            F.when(n_wedges == 0, F.lit(0.0)).otherwise(
-                F.sum("t").cast("double") / n_wedges
-            ),
-            6,
-        ).alias("global_cc"),
-        F.round(
-            F.when(n_eligible == 0, F.lit(0.0)).otherwise(
-                F.sum(local_cc9).cast("double") / n_eligible
-            ),
-            6,
-        ).alias("avg_local_cc"),
+        (n_wedges2.cast("decimal(38,0)") / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+        F.when(n_wedges2 == 0, F.lit(0.0))
+        .otherwise(round_div(F.sum("t") * 2, n_wedges2, 6))
+        .alias("global_cc"),
+        F.when(n_eligible == 0, F.lit(0.0))
+        .otherwise(round_div(F.sum(local_cc9), n_eligible, 6, 9))
+        .alias("avg_local_cc"),
     )
 
 
@@ -1526,11 +1534,12 @@ def clustering_capped_from_pairs(
     m as (select count(*) as m from pairs)
     select cast(m.m as bigint) as n_edges,
            cast((select count(*) from dsum) as bigint) as n_communities,
-           round(cast(intra.e_in as double) / m.m, 6) as intra_edge_frac,
-           round(cast(intra.e_in as double) / m.m
-                 - cast((select sum(cast(d_c as decimal(38,0)) * d_c)
-                         from dsum) as double)
-                   / (4.0 * m.m * m.m), 6) as modularity
+           {sql_round_div('intra.e_in', 'm.m', 6)} as intra_edge_frac,
+           {sql_round_div(
+               "4 * cast(intra.e_in as hugeint) * m.m"
+               " - (select sum(cast(d_c as decimal(38,0)) * d_c)"
+               "    from dsum)",
+               '4 * cast(m.m as hugeint) * m.m', 6)} as modularity
     from m, intra
     """,
 )
@@ -1581,13 +1590,17 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("m").cast("bigint").alias("n_edges"),
             F.col("n_communities").cast("bigint").alias("n_communities"),
-            F.round(
-                F.col("e_in").cast("double") / F.col("m"), 6
-            ).alias("intra_edge_frac"),
-            F.round(
-                F.col("e_in").cast("double") / F.col("m")
-                - F.col("dd").cast("double")
-                / (4.0 * F.col("m") * F.col("m")),
+            round_div(F.col("e_in"), F.col("m"), 6).alias(
+                "intra_edge_frac"
+            ),
+            # Q = e_in/m - dd/(4m^2) folded to the single integer ratio
+            # (4*e_in*m - dd)/(4*m^2): exact half-up, may be negative
+            # (decimal path; 4m^2*10^6 approaches the ~10^32 round_div
+            # ceiling only past ~10^12 edges)
+            round_div(
+                F.lit(4) * F.col("e_in").cast("decimal(38,0)") * F.col("m")
+                - F.col("dd"),
+                F.lit(4) * F.col("m").cast("decimal(38,0)") * F.col("m"),
                 6,
             ).alias("modularity"),
         )
