@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exactmath import round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -179,7 +180,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_transition_matrix",
-    oracle="""
+    oracle=f"""
     with ordered as (
       select user_id, event_type,
              lag(event_type) over (partition by user_id
@@ -187,8 +188,9 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       from events)
     select prev_type, event_type as next_type,
            count(*) as n_transitions,
-           round(count(*) * 1.0 / sum(count(*)) over (partition by prev_type),
-                 4) as p_next
+           {sql_round_div('count(*)',
+                          'sum(count(*)) over (partition by prev_type)',
+                          4)} as p_next
     from ordered
     where prev_type is not null
     group by prev_type, next_type
@@ -220,9 +222,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n_transitions",
-        F.round(
-            F.col("n_transitions")
-            / F.sum("n_transitions").over(wnorm),
+        round_div_long(
+            F.col("n_transitions"),
+            F.sum("n_transitions").over(wnorm),
             4,
         ).alias("p_next"),
     )
@@ -402,7 +404,7 @@ def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_attribution",
-    oracle="""
+    oracle=f"""
     with tagged as (
       select user_id, event_type, ts, event_id,
              last_value(case when event_type <> 'purchase' then event_type end
@@ -420,7 +422,7 @@ def events_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       where event_type = 'purchase')
     select channel,
            count(*) as n_conversions,
-           round(count(*) * 1.0 / sum(count(*)) over (), 4) as share
+           {sql_round_div('count(*)', 'sum(count(*)) over ()', 4)} as share
     from conv
     group by channel
     order by channel
@@ -471,9 +473,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "channel",
             "n_conversions",
-            F.round(
-                F.col("n_conversions")
-                / F.sum("n_conversions").over(wall),
+            round_div_long(
+                F.col("n_conversions"),
+                F.sum("n_conversions").over(wall),
                 4,
             ).alias("share"),
         )

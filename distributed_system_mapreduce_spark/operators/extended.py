@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exactmath import round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -467,13 +468,20 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_percent_rank",
-    oracle="""
+    oracle=f"""
+    with r as (
+      select o_orderkey,
+             rank() over w - 1 as rk,
+             row_number() over w as rn,
+             count(*) over (partition by o_orderpriority) as n
+      from orders
+      window w as (partition by o_orderpriority
+                   order by o_totalprice, o_orderkey))
     select o_orderkey,
-           round(percent_rank() over w, 6) as pr,
-           round(cume_dist() over w, 6) as cd
-    from orders
-    window w as (partition by o_orderpriority
-                 order by o_totalprice, o_orderkey)
+           case when n = 1 then 0.0
+                else {sql_round_div('rk', '(n - 1)', 6)} end as pr,
+           {sql_round_div('rn', 'n', 6)} as cd
+    from r
     """,
 )
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,10 +495,17 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"
     )
+    wp = Window.partitionBy("o_orderpriority")
+    # percent_rank = (rank-1)/(n-1), cume_dist = rn/n (total order, so
+    # no rank ties): both are integer ratios whose 6-dp double round can
+    # tie engine-divergently (1/128 -> 0.0078125) — all-integer half-up
+    n = F.count(F.lit(1)).over(wp)
     return orders.select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise(round_div_long(F.rank().over(w) - 1, n - 1, 6))
+        .alias("pr"),
+        round_div_long(F.row_number().over(w), n, 6).alias("cd"),
     )
 
 
@@ -524,7 +539,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_repeat_purchase_curve",
-    oracle="""
+    oracle=f"""
     with per_cust as (
       select o_custkey, count(*) as n_orders from orders group by o_custkey),
     hist as (
@@ -535,10 +550,11 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
                   order by k desc
                   rows between unbounded preceding and current row)
                 as bigint) as n_customers_at_least,
-           round(sum(n_customers_exact) over (
+           {sql_round_div(
+               '''sum(n_customers_exact) over (
                    order by k desc
-                   rows between unbounded preceding and current row)
-                 * 1.0 / (select sum(n_customers_exact) from hist), 4)
+                   rows between unbounded preceding and current row)''',
+               '(select sum(n_customers_exact) from hist)', 4)}
              as retention
     from hist
     order by k
@@ -575,7 +591,7 @@ def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("k"),
         "n_customers_exact",
         at_least.cast("bigint").alias("n_customers_at_least"),
-        F.round(
-            at_least * 1.0 / F.sum("n_customers_exact").over(total), 4
+        round_div_long(
+            at_least, F.sum("n_customers_exact").over(total), 4
         ).alias("retention"),
     ).orderBy("k")

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exactmath import round_div, sql_round_div
+from ..exactmath import round_div, round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -746,8 +746,8 @@ CHURN_LAPSED_US = 24 * 3600 * 1_000_000
     select status,
            count(*) as n_users,
            cast(sum(n_events) as bigint) as n_events,
-           round(count(*) * 1.0 /
-                 (select count(*) from last_seen), 4) as user_share
+           {sql_round_div('count(*)', '(select count(*) from last_seen)',
+                          4)} as user_share
     from bucketed
     group by status
     order by status
@@ -792,8 +792,8 @@ def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status",
             "n_users",
             "n_events",
-            F.round(
-                F.col("n_users") * 1.0 / F.sum("n_users").over(total), 4
+            round_div_long(
+                F.col("n_users"), F.sum("n_users").over(total), 4
             ).alias("user_share"),
         )
         .orderBy("status")
@@ -921,8 +921,8 @@ SESSION_HIST_GAP_MIN = 30
       from sess group by user_id, sess_id)
     select cast(n_events as int) as session_len,
            cast(count(*) as bigint) as n_sessions,
-           round(cast(sum(cast(dur_us as decimal(38,0))) as double)
-                 / count(*) / 1e6, 2) as avg_duration_s
+           {sql_round_div('sum(cast(dur_us as decimal(38,0)))',
+                          'count(*) * 1000000', 2)} as avg_duration_s
     from per_sess
     group by n_events
     """,
@@ -976,10 +976,9 @@ def events_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("int").alias("session_len")
     ).agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(
-            F.sum(F.col("dur_us").cast("decimal(38,0)")).cast("double")
-            / F.count(F.lit(1))
-            / 1e6,
+        round_div(
+            F.sum(F.col("dur_us").cast("decimal(38,0)")),
+            F.count(F.lit(1)) * F.lit(1_000_000),
             2,
         ).alias("avg_duration_s"),
     )
@@ -1583,7 +1582,7 @@ def changepoint_split(filled: DataFrame) -> DataFrame:
 
 @register(
     "events_changepoint",
-    oracle="""
+    oracle=f"""
     with hourly as (
       select cast(epoch(date_trunc('hour', ts)) as bigint) as hour_epoch,
              count(*) as cnt
@@ -1617,9 +1616,12 @@ def changepoint_split(filled: DataFrame) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') as split_start,
            cast(t as bigint) as t,
            cast(n as bigint) as n_hours,
-           round(cast(s as double) / t, 6) as mean_before,
-           round(cast(stot - s as double) / (n - t), 6) as mean_after,
-           round(gstat / n, 6) as gstat
+           {sql_round_div('s', 't', 6)} as mean_before,
+           {sql_round_div('(stot - s)', '(n - t)', 6)} as mean_after,
+           {sql_round_div(
+               '(cast(n as hugeint) * s - cast(t as hugeint) * stot)'
+               ' * (cast(n as hugeint) * s - cast(t as hugeint) * stot)',
+               'cast(t as hugeint) * (n - t) * n', 6)} as gstat
     from best
     """,
 )
@@ -1661,15 +1663,27 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("split_start"),
         F.col("t").cast("bigint").alias("t"),
         F.col("n").cast("bigint").alias("n_hours"),
-        F.round(F.col("s").cast("double") / F.col("t"), 6).alias(
-            "mean_before"
-        ),
-        F.round(
-            (F.col("stot") - F.col("s")).cast("double")
-            / (F.col("n") - F.col("t")),
-            6,
+        round_div_long(F.col("s"), F.col("t"), 6).alias("mean_before"),
+        round_div_long(
+            F.col("stot") - F.col("s"), F.col("n") - F.col("t"), 6
         ).alias("mean_after"),
-        F.round(F.col("gstat") / F.col("n"), 6).alias("gstat"),
+        # G/N = (N*S_t - t*S_N)^2 / (t*(N-t)*N) re-derived from the exact
+        # integer prefix sums (the double gstat column stays argmax-only);
+        # decimal path — the squared numerator outgrows longs
+        round_div(
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("s")
+                - F.col("t").cast("decimal(38,0)") * F.col("stot")
+            )
+            * (
+                F.col("n").cast("decimal(38,0)") * F.col("s")
+                - F.col("t").cast("decimal(38,0)") * F.col("stot")
+            ),
+            F.col("t").cast("decimal(38,0)")
+            * (F.col("n") - F.col("t"))
+            * F.col("n"),
+            6,
+        ).alias("gstat"),
     )
 
 
