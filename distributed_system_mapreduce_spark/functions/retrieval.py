@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exactmath import round_div_long, sql_round_div
 from ..registry import ORACLES, register
 from ..sources.io import load
 from .text import text_bm25_topk
@@ -42,8 +43,16 @@ RRF_K = 60
                     row_number() over (order by score desc, vec_id) as vec_rn
              from vec)
     select id,
-           round(coalesce(1.0 / ({RRF_K} + bm_rn), 0)
-                 + coalesce(1.0 / ({RRF_K} + vec_rn), 0), 6) as rrf
+           case
+             when bm_rn is not null and vec_rn is not null then
+               {sql_round_div(f'(2 * {RRF_K} + bm_rn + vec_rn)',
+                              f'(({RRF_K} + bm_rn) * ({RRF_K} + vec_rn))',
+                              6)}
+             when bm_rn is not null then
+               {sql_round_div('1', f'({RRF_K} + bm_rn)', 6)}
+             else
+               {sql_round_div('1', f'({RRF_K} + vec_rn)', 6)}
+           end as rrf
     from bmr full outer join vecr using (id)
     order by rrf desc, id
     limit 10
@@ -67,10 +76,18 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecr = vec.withColumn("vec_rn", F.row_number().over(vec_w)).select(
         F.col("vec_id").alias("id"), "vec_rn"
     )
-    rrf = F.round(
-        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm_rn")), F.lit(0.0))
-        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rn")), F.lit(0.0)),
-        6,
+    # RRF with a common denominator: 1/(K+a) + 1/(K+b) is the integer
+    # ratio (2K+a+b)/((K+a)(K+b)), whose 6-dp round ties ARE reachable
+    # (a lone rank 68 gives 1/128 = 0.0078125) — all-integer half-up
+    a = F.lit(RRF_K) + F.col("bm_rn")
+    b = F.lit(RRF_K) + F.col("vec_rn")
+    rrf = (
+        F.when(
+            F.col("bm_rn").isNotNull() & F.col("vec_rn").isNotNull(),
+            round_div_long(a + b, a * b, 6),
+        )
+        .when(F.col("bm_rn").isNotNull(), round_div_long(F.lit(1), a, 6))
+        .otherwise(round_div_long(F.lit(1), b, 6))
     )
     return (
         bm.join(vecr, "id", "full_outer")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..cache import track
 from ..plans.topk import salted_topk
-from ..exactmath import round_div, sql_round_div
+from ..exactmath import round_div, round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 from ..operators.relational import tokens
@@ -252,11 +252,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     select doc_id,
            cast(len(string_split(text, ' ')) as bigint) as n_tokens,
-           round((n_chars - len(string_split(text, ' ')) + 1)
-                 / len(string_split(text, ' ')), 4) as avg_token_len,
-           round(len(list_filter(string_split(text, ' '),
-                                 x -> x in {STOPWORDS!r}))
-                 / len(string_split(text, ' ')), 4) as stop_ratio,
+           {sql_round_div(
+               "(n_chars - len(string_split(text, ' ')) + 1)",
+               "len(string_split(text, ' '))", 4)} as avg_token_len,
+           {sql_round_div(
+               "len(list_filter(string_split(text, ' '),"
+               " x -> x in " + repr(STOPWORDS) + "))",
+               "len(string_split(text, ' '))", 4)} as stop_ratio,
            round((1 - len(list_filter(string_split(text, ' '),
                                       x -> x in {STOPWORDS!r}))
                       / len(string_split(text, ' ')))
@@ -277,8 +279,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
-        F.round((F.col("n_chars") - n_tok + 1) / n_tok, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
+        round_div_long(F.col("n_chars") - n_tok + 1, n_tok, 4).alias(
+            "avg_token_len"
+        ),
+        round_div_long(n_stop, n_tok, 4).alias("stop_ratio"),
         F.round((F.lit(1) - stop_ratio) * F.log(F.lit(1) + n_tok), 4).alias("quality"),
     )
 
@@ -542,9 +546,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_repetition_score",
-    oracle="""
+    oracle=f"""
     select doc_id,
-           round(1 - len(list_distinct(tg)) / len(tg), 4) as rep_ratio,
+           {sql_round_div('(len(tg) - len(list_distinct(tg)))',
+                          'len(tg)', 4)} as rep_ratio,
            cast(len(tg) as bigint) as n_shingles
     from (
       select doc_id,
@@ -588,9 +593,9 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shingled.select(
             "doc_id",
-            F.round(
-                F.lit(1)
-                - F.size(F.array_distinct("tg")) / F.size("tg"),
+            round_div_long(
+                F.size("tg") - F.size(F.array_distinct("tg")),
+                F.size("tg"),
                 4,
             ).alias("rep_ratio"),
             F.size("tg").cast("bigint").alias("n_shingles"),
@@ -1096,7 +1101,7 @@ SOURCE_OVERLAP_TOP = 10
       from big a join big b on a.bigram = b.bigram and a.source < b.source
       group by a.source, b.source)
     select s1, s2, cast(i as bigint) as n_common,
-           round(i * 1.0 / (x.v + y.v - i), 4) as jacc
+           {sql_round_div('i', '(x.v + y.v - i)', 4)} as jacc
     from inter
     join sizes x on x.source = s1
     join sizes y on y.source = s2
@@ -1152,9 +1157,9 @@ def text_source_bigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s1",
             "s2",
             "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("v1") + F.col("v2") - F.col("n_common")),
+            round_div_long(
+                F.col("n_common"),
+                F.col("v1") + F.col("v2") - F.col("n_common"),
                 4,
             ).alias("jacc"),
         )

@@ -13,10 +13,11 @@ the same either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.scan import chunked_running_sum
+from ..exactmath import round_div, round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -24,14 +25,29 @@ MKT_REGION = "ASIA"
 MKT_NATION = "NATION_5"
 
 
+
+#: revenue in exact 1e-4-dollar units: pc*(100-dc) with pc/dc the
+#: repr-corrected integer cents of the 2-dp price/discount — the exact
+#: integer both engines agree on row-for-row (r16 tie rework)
+_REV4_SQL = (
+    "cast(round(l_extendedprice * 100) as bigint)"
+    " * (100 - cast(round(l_discount * 100) as bigint))"
+)
+def _rev4() -> Column:
+    """Column mirror of _REV4_SQL (built lazily — Columns need a live
+    session)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
 @register(
     "sql_market_share",
     oracle=f"""
     select cast(year(o_orderdate) as int) as o_year,
-           round(sum(case when n_s.n_name = '{MKT_NATION}'
-                          then l_extendedprice * (1 - l_discount)
-                          else 0 end)
-                 / sum(l_extendedprice * (1 - l_discount)), 4)
+           {sql_round_div(
+               "sum(case when n_s.n_name = '" + MKT_NATION + "' then "
+               + _REV4_SQL + " else 0 end)",
+               "sum(" + _REV4_SQL + ")", 4)}
              as mkt_share,
            cast(count(*) as bigint) as n_lines
     from lineitem
@@ -85,9 +101,17 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_s), supp.s_nationkey == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == MKT_NATION, rev).otherwise(0.0))
-                / F.sum(rev),
+            # revenue as exact 1e-4-unit integers (pc*(100-dc)): the
+            # share is then ONE integer ratio, half-up-exact at ties;
+            # decimal(38,0) sums — the global 1e-4-unit total outgrows
+            # longs at extreme SF
+            round_div(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == MKT_NATION, _rev4()
+                    ).otherwise(F.lit(0)).cast("decimal(38,0)")
+                ),
+                F.sum(_rev4().cast("decimal(38,0)")),
                 4,
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -171,7 +195,7 @@ def sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_min_cost_supplier",
-    oracle="""
+    oracle=f"""
     with offers as (
       select l_partkey, l_suppkey,
              round(avg(l_extendedprice / l_quantity), 2) as unit_price
@@ -185,7 +209,9 @@ def sql_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     select p_partkey, p_name, s_name,
            unit_price,
            round(p_retailprice, 2) as p_retailprice,
-           round(unit_price / p_retailprice, 4) as price_ratio
+           {sql_round_div('cast(round(unit_price * 100) as bigint)',
+                          'cast(round(p_retailprice * 100) as bigint)',
+                          4)} as price_ratio
     from ranked
     join part     on p_partkey = l_partkey
     join supplier on s_suppkey = l_suppkey
@@ -234,9 +260,12 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "unit_price",
             F.round("p_retailprice", 2).alias("p_retailprice"),
-            F.round(F.col("unit_price") / F.col("p_retailprice"), 4).alias(
-                "price_ratio"
-            ),
+            # 2-dp/2-dp integer-cents ratio, half-up-exact at ties
+            round_div_long(
+                F.round(F.col("unit_price") * 100).cast("long"),
+                F.round(F.col("p_retailprice") * 100).cast("long"),
+                4,
+            ).alias("price_ratio"),
         )
         .orderBy("price_ratio", "p_partkey")
         .limit(20)
@@ -245,7 +274,7 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_mom_growth",
-    oracle="""
+    oracle=f"""
     with monthly as (
       select strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') as month,
              cast(round(sum(cast(o_totalprice as decimal(18, 4))), 2)
@@ -254,7 +283,12 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       from orders
       group by all)
     select month, revenue, n_orders,
-           round(revenue / lag(revenue) over (order by month) - 1, 4)
+           {sql_round_div(
+               'cast(round(revenue * 100) as hugeint)'
+               ' - lag(cast(round(revenue * 100) as hugeint))'
+               '     over (order by month)',
+               'lag(cast(round(revenue * 100) as hugeint))'
+               ' over (order by month)', 4)}
              as mom_growth
     from monthly
     """,
@@ -283,9 +317,15 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "revenue",
         "n_orders",
-        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 4).alias(
-            "mom_growth"
-        ),
+        # (rev - lag)/lag on exact integer cents (revenue is 2-dp by
+        # construction); decimal path — monthly cents outgrow the long
+        # bound at large SF, and the month spine is tiny
+        round_div(
+            F.round(F.col("revenue") * 100).cast("long")
+            - F.round(F.lag("revenue").over(w) * 100).cast("long"),
+            F.round(F.lag("revenue").over(w) * 100).cast("long"),
+            4,
+        ).alias("mom_growth"),
     )
 
 
@@ -945,7 +985,8 @@ RETURNED_TOP_N = 20
     oracle=f"""
     with rev as (
       select c_custkey, c_name, n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+             {sql_round_div("sum(" + _REV4_SQL + ")", '10000', 2)}
+               as revenue,
              cast(count(*) as bigint) as n_items
       from lineitem
       join orders   on o_orderkey  = l_orderkey
@@ -985,8 +1026,11 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # per-customer revenue summed as exact 1e-4-unit integers
+            # (the 4-dp sum's 2-dp round has reachable .xx5 ties);
+            # decimal path for headroom on whale customers
+            round_div(
+                F.sum(_rev4().cast("decimal(38,0)")), F.lit(10000), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1002,14 +1046,15 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_order_size_hist",
-    oracle="""
+    oracle=f"""
     with per_order as (
       select l_orderkey, count(*) as n_lines from lineitem group by l_orderkey),
     hist as (
       select n_lines, count(*) as n_orders from per_order group by n_lines)
     select cast(n_lines as int) as n_lines,
            cast(n_orders as bigint) as n_orders,
-           round(n_orders * 1.0 / sum(n_orders) over (), 6) as share
+           {sql_round_div('n_orders', 'sum(n_orders) over ()', 6)}
+             as share
     from hist
     """,
 )
@@ -1038,9 +1083,9 @@ def orders_order_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         F.col("n_lines").cast("int").alias("n_lines"),
         F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.round(F.col("n_orders") / F.sum("n_orders").over(w), 6).alias(
-            "share"
-        ),
+        round_div_long(
+            F.col("n_orders"), F.sum("n_orders").over(w), 6
+        ).alias("share"),
     )
 
 
