@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..cache import track
 from ..plans.topk import salted_topk
-from ..exactmath import round_div, sql_round_div
+from ..exactmath import round_div, round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -163,7 +163,7 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                             and current row) as fp
       from per_score),
     terms as (
-      select cast(round(pos * cast(tp as double) / (tp + fp), 9)
+      select cast({sql_round_div('pos * tp', '(tp + fp)', 9)}
                   as decimal(18,9)) as term
       from cum where pos > 0)
     select {sql_round_div(
@@ -204,9 +204,10 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").over(w).alias("tp"),
         F.sum("neg").over(w).alias("fp"),
     )
-    term = F.round(
-        F.col("pos") * F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
-        9,
+    # pos*tp/(tp+fp) as the all-integer half-up (exactmath r16) —
+    # decimal path: pos*tp*10^9 outgrows the long bound on big corpora
+    term = round_div(
+        F.col("pos") * F.col("tp"), F.col("tp") + F.col("fp"), 9
     ).cast("decimal(18,9)")
     return cum.agg(
         # all-integer half-up round over the 9-dp decimal term sum
@@ -507,8 +508,8 @@ def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       group by qid)
     select q.qid as qid,
            cast(coalesce(h.first_rel_rank, 0) as int) as first_rel_rank,
-           round(case when h.first_rel_rank is null then 0.0
-                      else 1.0 / h.first_rel_rank end, 6) as rr
+           case when h.first_rel_rank is null then 0.0
+                else {sql_round_div('1', 'h.first_rel_rank', 6)} end as rr
     from (select distinct qid from q) q
     left join hit h using (qid)
     """,
@@ -564,12 +565,11 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("first_rel_rank"), F.lit(0))
         .cast("int")
         .alias("first_rel_rank"),
-        F.round(
-            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
-                1.0 / F.col("first_rel_rank")
-            ),
-            6,
-        ).alias("rr"),
+        # 1/rank at 6 dp: ties reachable (1/128 = 0.0078125) —
+        # all-integer half-up on the long path
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+        .otherwise(round_div_long(F.lit(1), F.col("first_rel_rank"), 6))
+        .alias("rr"),
     )
 
 
@@ -584,8 +584,8 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       from embeddings),
     per_bin as (
       select bin, count(*) as n,
-             cast(sum(p9) as double) / count(*) as mean_p,
-             cast(sum(is_pos) as double) / count(*) as pos_rate
+             cast(sum(is_pos) as hugeint) as pos,
+             cast(sum(p9) * 1000000000 as hugeint) as s9n
       from (select least(cast(floor(p * {N_BINS}) as int), {N_BINS} - 1)
                      as bin,
                    cast(p as decimal(18,9)) as p9, is_pos
@@ -593,7 +593,8 @@ def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       group by bin)
     select cast(sum(n) as bigint) as n_scored,
            cast(count(*) as int) as n_bins_used,
-           round(sum(n * abs(pos_rate - mean_p)) / sum(n), 6) as ece
+           {sql_round_div('sum(abs(pos * 1000000000 - s9n))',
+                          'sum(n) * 1000000000', 6)} as ece
     from per_bin
     """,
 )
@@ -627,18 +628,26 @@ def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum("p9").cast("double") / F.count(F.lit(1))).alias("mean_p"),
-            (F.sum("is_pos").cast("double") / F.count(F.lit(1))).alias(
-                "pos_rate"
-            ),
+            F.sum("is_pos").alias("pos"),
+            # bin probability mass in exact integer NANOS: n*|pos_rate -
+            # mean_p| collapses to |pos*10^9 - s9n|/10^9, so the
+            # bin-weighted ECE becomes ONE integer ratio (r16 tie rework)
+            (F.sum("p9") * F.lit(10 ** 9))
+            .cast("decimal(38,0)")
+            .alias("s9n"),
         )
     )
     return per_bin.agg(
         F.sum("n").alias("n_scored"),
         F.count(F.lit(1)).cast("int").alias("n_bins_used"),
-        F.round(
-            F.sum(F.col("n") * F.abs(F.col("pos_rate") - F.col("mean_p")))
-            / F.sum("n"),
+        round_div(
+            F.sum(
+                F.abs(
+                    F.col("pos").cast("decimal(38,0)") * F.lit(10 ** 9)
+                    - F.col("s9n")
+                )
+            ),
+            F.sum("n") * F.lit(10 ** 9),
             6,
         ).alias("ece"),
     )
@@ -1172,7 +1181,7 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "eval_regression_metrics",
-    oracle="""
+    oracle=f"""
     with base as (
       select event_type,
              cast(hour(ts) as int) as hod,
@@ -1180,31 +1189,37 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       from events),
     model as (
       select event_type, hod,
-             cast(sum(v) as double) / count(*) as pred
+             cast(sum(cast(cast(v as decimal(28,9)) * 1000000000 as hugeint)) as hugeint) as s9,
+             count(*) as cn
       from base group by event_type, hod),
     scored as (
-      select cast(round(b.v - m.pred, 9) as decimal(18,9)) as r,
-             cast(round((b.v - m.pred) * (b.v - m.pred), 9)
-                  as decimal(18,9)) as r2t,
-             cast(round(abs(b.v - m.pred), 9) as decimal(18,9)) as ra,
-             b.v
+      select cast({sql_round_div(
+                 '(cast(cast(b.v as decimal(28,9)) * 1000000000 as hugeint) * m.cn - m.s9)',
+                 'm.cn * 1000000000', 9)} as decimal(18,9)) as r,
+             cast(cast(b.v as decimal(28,9)) * 1000000000 as hugeint) as vn
       from base b join model m using (event_type, hod)),
     tot as (
       select count(*) as n,
-             cast(sum(v) as double) / count(*) as vbar
+             cast(sum(cast(cast(v as decimal(28,9)) * 1000000000 as hugeint)) as hugeint) as s9t
       from base),
+    dtot as (
+      select cast({sql_round_div('(s.vn * t.n - t.s9t)',
+                                 't.n * 1000000000', 9)}
+                  as decimal(18,9)) as d,
+             s.r, t.n
+      from scored s cross join tot t),
     ss as (
-      select sum(r2t) as ss_res,
-             sum(ra) as s_abs,
-             sum(cast(round((s.v - t.vbar) * (s.v - t.vbar), 9)
-                      as decimal(18,9))) as ss_tot,
-             max(t.n) as n
-      from scored s cross join tot t)
+      select sum(round(r * r, 9)) as ss_res,
+             sum(abs(r)) as s_abs,
+             sum(round(d * d, 9)) as ss_tot,
+             max(n) as n
+      from dtot)
     select round(sqrt(cast(ss_res as double) / n), 6) as rmse,
-           round(cast(s_abs as double) / n, 6) as mae,
+           {sql_round_div('s_abs', 'n', 6, 9)} as mae,
            case when cast(ss_tot as double) = 0 then null
-                else round(1.0 - cast(ss_res as double)
-                           / cast(ss_tot as double), 6) end as r2,
+                else {sql_round_div(
+                    'cast((ss_tot - ss_res) * 1000000000 as hugeint)',
+                    'cast(ss_tot * 1000000000 as hugeint)', 6)} end as r2,
            cast(n as bigint) as n
     from ss
     """,
@@ -1228,47 +1243,58 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hod"),
         F.round(F.col("value"), 9).cast("decimal(18,9)").alias("v"),
     )
+    # integer NANOS throughout (r16 tie rework): the residual
+    # v - mean(v) is the rational (vn*cn - s9)/(cn*10^9), whose 9-dp
+    # round can tie engine-divergently through the double path; rounding
+    # it via the all-integer half-up makes r exact, and the SQUARED
+    # terms round(r*r, 9) are then tie-FREE by 2/5-adic parity (a 9-dp
+    # square would need odd 2-adic valuation to land on a half — see
+    # tools/round_audit.py), so decimal rounds of them are portable.
+    vn = (F.col("v") * F.lit(10 ** 9)).cast("decimal(38,0)")
     model = base.groupBy("event_type", "hod").agg(
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("pred")
+        F.sum(vn).alias("s9"), F.count(F.lit(1)).alias("cn")
     )
-    vd = F.col("v").cast("double")
     scored = base.join(F.broadcast(model), ["event_type", "hod"]).select(
-        F.round(vd - F.col("pred"), 9).cast("decimal(18,9)").alias("r"),
-        F.round((vd - F.col("pred")) * (vd - F.col("pred")), 9)
+        round_div(
+            vn * F.col("cn") - F.col("s9"),
+            F.col("cn") * F.lit(10 ** 9),
+            9,
+        )
         .cast("decimal(18,9)")
-        .alias("r2t"),
-        F.round(F.abs(vd - F.col("pred")), 9)
-        .cast("decimal(18,9)")
-        .alias("ra"),
-        F.col("v"),
+        .alias("r"),
+        vn.alias("vn"),
     )
     tot = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("vbar"),
+        F.count(F.lit(1)).alias("n"), F.sum(vn).alias("s9t")
     )
-    ss = scored.crossJoin(F.broadcast(tot)).agg(
-        F.sum("r2t").alias("ss_res"),
-        F.sum("ra").alias("s_abs"),
-        F.sum(
-            F.round(
-                (F.col("v").cast("double") - F.col("vbar"))
-                * (F.col("v").cast("double") - F.col("vbar")),
-                9,
-            ).cast("decimal(18,9)")
-        ).alias("ss_tot"),
+    dtot = scored.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "n",
+        round_div(
+            F.col("vn") * F.col("n") - F.col("s9t"),
+            F.col("n") * F.lit(10 ** 9),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("d"),
+    )
+    ss = dtot.agg(
+        F.sum(F.round(F.col("r") * F.col("r"), 9)).alias("ss_res"),
+        F.sum(F.abs("r")).alias("s_abs"),
+        F.sum(F.round(F.col("d") * F.col("d"), 9)).alias("ss_tot"),
         F.max("n").alias("n"),
     )
     return ss.select(
         F.round(
             F.sqrt(F.col("ss_res").cast("double") / F.col("n")), 6
         ).alias("rmse"),
-        F.round(F.col("s_abs").cast("double") / F.col("n"), 6).alias("mae"),
+        round_div(F.col("s_abs"), F.col("n"), 6, 9).alias("mae"),
         # constant target (ss_tot = 0): R2 undefined -> NULL, mirrored
         F.when(F.col("ss_tot").cast("double") == 0, F.lit(None)).otherwise(
-            F.round(
-                1.0
-                - F.col("ss_res").cast("double")
-                / F.col("ss_tot").cast("double"),
+            round_div(
+                ((F.col("ss_tot") - F.col("ss_res")) * F.lit(10 ** 9))
+                .cast("decimal(38,0)"),
+                (F.col("ss_tot") * F.lit(10 ** 9)).cast("decimal(38,0)"),
                 6,
             )
         ).alias("r2"),
@@ -1307,14 +1333,15 @@ LIFT_DECILES = 10
       from binned group by decile),
     tot as (select sum(n) as tn, sum(n_pos) as tp from dec)
     select d.decile, d.n, d.n_pos,
-           round(cast(d.n_pos as double) / d.n, 6) as pos_rate,
+           {sql_round_div('d.n_pos', 'd.n', 6)} as pos_rate,
            case when t.tp = 0 then null
-                else round((cast(d.n_pos as double) / d.n)
-                           / (cast(t.tp as double) / t.tn), 6) end as lift,
+                else {sql_round_div('d.n_pos * t.tn', 'd.n * t.tp', 6)}
+           end as lift,
            case when t.tp = 0 then null
-                else round(cast(sum(d.n_pos) over (order by d.decile
-                         rows between unbounded preceding and current row)
-                       as double) / t.tp, 6) end as cum_capture
+                else {sql_round_div(
+                    '''sum(d.n_pos) over (order by d.decile
+                         rows between unbounded preceding and current row)''',
+                    't.tp', 6)} end as cum_capture
     from dec d cross join tot t
     order by d.decile
     """,
@@ -1375,20 +1402,19 @@ def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tp = F.sum("n_pos").over(w_dall)
     tn = F.sum("n").over(w_dall)
-    rate = F.col("n_pos").cast("double") / F.col("n")
     return dec.select(
         "decile",
         "n",
         "n_pos",
-        F.round(rate, 6).alias("pos_rate"),
-        F.when(tp == 0, F.lit(None))
-        .otherwise(F.round(rate / (tp.cast("double") / tn), 6))
-        .alias("lift"),
+        round_div_long(F.col("n_pos"), F.col("n"), 6).alias("pos_rate"),
+        # lift = (pos/n)/(TP/TN) = pos*TN/(n*TP): one integer ratio on
+        # the decimal path (pos*TN outgrows longs on big corpora)
         F.when(tp == 0, F.lit(None))
         .otherwise(
-            F.round(
-                F.sum("n_pos").over(w_dec).cast("double") / tp, 6
-            )
+            round_div(F.col("n_pos") * tn, F.col("n") * tp, 6)
         )
+        .alias("lift"),
+        F.when(tp == 0, F.lit(None))
+        .otherwise(round_div_long(F.sum("n_pos").over(w_dec), tp, 6))
         .alias("cum_capture"),
     ).orderBy("decile")
