@@ -658,7 +658,7 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_seasonal_index",
-    oracle="""
+    oracle=f"""
     with daily as (
       select event_type, cast(ts as date) as day,
              cast(count(*) as bigint) as cnt
@@ -671,12 +671,11 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       from daily
       group by all)
     select event_type, dow_iso, n_days,
-           round(cast(dow_cnt as double) / n_days, 4) as avg_cnt,
-           round((cast(dow_cnt as double) / n_days)
-                 / (cast(sum(dow_cnt) over (partition by event_type)
-                         as double)
-                    / sum(n_days) over (partition by event_type)),
-                 4) as seasonal_index
+           {sql_round_div('dow_cnt', 'n_days', 4)} as avg_cnt,
+           {sql_round_div(
+               '''dow_cnt * sum(n_days) over (partition by event_type)''',
+               '''n_days * sum(dow_cnt) over (partition by event_type)''',
+               4)} as seasonal_index
     from by_dow
     """,
 )
@@ -705,16 +704,20 @@ def events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("dow_cnt"),
     )
     w = Window.partitionBy("event_type")
-    avg_dow = F.col("dow_cnt").cast("double") / F.col("n_days")
-    avg_all = (
-        F.sum("dow_cnt").over(w).cast("double") / F.sum("n_days").over(w)
-    )
     return by_dow.select(
         "event_type",
         "dow_iso",
         "n_days",
-        F.round(avg_dow, 4).alias("avg_cnt"),
-        F.round(avg_dow / avg_all, 4).alias("seasonal_index"),
+        # both are integer ratios — (dow/n_d)/(all/n_a) folds to
+        # dow*n_a/(n_d*all) — rounded via the all-integer half-up
+        round_div_long(F.col("dow_cnt"), F.col("n_days"), 4).alias(
+            "avg_cnt"
+        ),
+        round_div(
+            F.col("dow_cnt") * F.sum("n_days").over(w),
+            F.col("n_days") * F.sum("dow_cnt").over(w),
+            4,
+        ).alias("seasonal_index"),
     )
 
 
@@ -1058,11 +1061,19 @@ def events_dau_mau_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 3600000000.0 as hours
           from v join p on v.user_id = p.user_id)
     select cast(count(*) as bigint) as n_converted,
-           round(quantile_cont(hours, 0.5), 2) as p50_hours,
-           round(quantile_cont(hours, 0.9), 2) as p90_hours,
+           {p50_hours} as p50_hours,
+           {p90_hours} as p90_hours,
            {avg_hours} as avg_hours
     from d
     """.format(
+        p50_hours=sql_round_div(
+            "cast(round(quantile_cont(us, 0.5) * 2) as bigint)",
+            "7200000000", 2
+        ),
+        p90_hours=sql_round_div(
+            "cast(round(quantile_cont(us, 0.9) * 10) as bigint)",
+            "36000000000", 2
+        ),
         avg_hours=sql_round_div("sum(us)", "count(*) * 3600000000", 2)
     ),
 )
@@ -1102,8 +1113,21 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return d.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.percentile("hours", F.lit(0.5)), 2).alias("p50_hours"),
-        F.round(F.percentile("hours", F.lit(0.9)), 2).alias("p90_hours"),
+        # interpolated percentiles re-derived from the INTEGER
+        # microsecond order statistics: q50*2 = a+b and q90*10 = a+9b
+        # are exact integers recovered from the double (error << 0.5),
+        # so the 2-dp hour rounds become all-integer half-ups — the
+        # us/3.6e9 rational CAN tie at 2 dp (us divisible by 36e8/...)
+        round_div(
+            F.round(F.percentile("us", F.lit(0.5)) * 2).cast("long"),
+            F.lit(7_200_000_000),
+            2,
+        ).alias("p50_hours"),
+        round_div(
+            F.round(F.percentile("us", F.lit(0.9)) * 10).cast("long"),
+            F.lit(36_000_000_000),
+            2,
+        ).alias("p90_hours"),
         # avg from the INTEGER microsecond sum via the all-integer
         # half-up round (exactmath.py, r15): sum(us)/(n*3.6e9) is
         # rational and can land exactly on a 2-dp half
