@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exactmath import round_div_long, sql_round_div
+from ..exactmath import round_div, round_div_long, sql_round_div
 from ..registry import register
 from ..sources.io import load
 
@@ -384,32 +384,51 @@ def reduce_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_correlation",
-    oracle="""
+    oracle=f"""
     select l_returnflag,
            round(corr(l_quantity, l_extendedprice), 4) as corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) as covar_qty_price
+           {sql_round_div(
+               '(count(*) * sum(cast(l_quantity as hugeint)'
+               '               * cast(round(l_extendedprice * 100) as hugeint))'
+               ' - sum(cast(l_quantity as hugeint))'
+               '   * sum(cast(round(l_extendedprice * 100) as hugeint)))',
+               'count(*) * (count(*) - 1) * 100', 2)} as covar_qty_price
     from lineitem
     group by l_returnflag
     """,
 )
 def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bivariate statistics: Pearson correlation + sample covariance."""
+    """Bivariate statistics: Pearson correlation + sample covariance.
+
+    corr passes through sqrt (irrational off a measure-zero set — double
+    round portable); covar_samp of an integer and a 2-dp money column is
+    the exact rational (n*Sxy - Sx*Sy)/(100*n*(n-1)), rounded via the
+    all-integer half-up (r16 tie rework)."""
     li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "covar_qty_price"
-        ),
+        round_div(
+            d38(n) * F.sum(q * pc) - d38(F.sum(q)) * F.sum(pc),
+            d38(n) * (n - 1) * 100,
+            2,
+        ).alias("covar_qty_price"),
     )
 
 
 @register(
     "agg_conditional",
-    oracle="""
+    oracle=f"""
     select event_type,
            cast(count_if(value > 100) as bigint) as n_high,
            round(sum(value) filter (where value > 100), 2) as sum_high,
-           round(avg(case when value > 100 then value end), 2) as avg_high
+           {sql_round_div(
+               'sum(cast(round(value * 100) as bigint))'
+               ' filter (where value > 100)',
+               '100 * count_if(value > 100)', 2)} as avg_high
     from events
     group by event_type
     """,
@@ -421,7 +440,13 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count_if(F.col("value") > 100).alias("n_high"),
         F.round(F.sum(high), 2).alias("sum_high"),
-        F.round(F.avg(high), 2).alias("avg_high"),
+        # 2-dp mean via integer cents (reachable .xx5 ties); zero
+        # matching rows -> NULL den -> NULL, matching avg-of-empty
+        round_div(
+            F.sum(F.round(high * 100).cast("long")),
+            F.lit(100) * F.count_if(F.col("value") > 100),
+            2,
+        ).alias("avg_high"),
     )
 
 

@@ -613,7 +613,7 @@ def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       group by p.src, p.dst),
     scored as (
       select i.src, i.dst, i.i,
-             round(i.i * 1.0 / (du.deg + dv.deg - i.i), 4) as jacc
+             {sql_round_div('i.i', '(du.deg + dv.deg - i.i)', 4)} as jacc
       from inter i
       join deg du on du.id = i.src
       join deg dv on dv.id = i.dst)
@@ -675,9 +675,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src",
             "dst",
             "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common")),
+            round_div_long(
+                F.col("n_common"),
+                F.col("deg_u") + F.col("deg_v") - F.col("n_common"),
                 4,
             ).alias("jacc"),
         )
@@ -1220,8 +1220,10 @@ def graph_common_neighbors_capped(
       select deg, row_number() over (order by deg, id) as r from deg)
     select cast(count(*) as bigint) as n_vertices,
            cast(sum(deg) as bigint) as total_degree,
-           round(2.0 * sum(r * deg) / (count(*) * sum(deg))
-                 - (count(*) + 1.0) / count(*), 4) as gini
+           {sql_round_div(
+               '(2 * sum(cast(r as hugeint) * deg)'
+               ' - (count(*) + 1) * sum(cast(deg as hugeint)))',
+               'count(*) * sum(cast(deg as hugeint))', 4)} as gini
     from ranked
     """,
 )
@@ -1257,11 +1259,14 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum("deg").alias("total_degree"),
-        F.round(
-            2.0
-            * (F.sum(d38("r") * d38("deg")).cast("double"))
-            / (F.count(F.lit(1)) * F.sum("deg"))
-            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+        # Gini = 2*Sum(r*deg)/(n*D) - (n+1)/n folded to the single
+        # integer ratio (2*S - (n+1)*D)/(n*D) — exact half-up, can be
+        # negative only on degenerate inputs (sign handled)
+        round_div(
+            F.lit(2) * F.sum(d38("r") * d38("deg"))
+            - (F.count(F.lit(1)) + F.lit(1))
+            * F.sum(d38("deg")),
+            F.count(F.lit(1)) * F.sum(d38("deg")),
             4,
         ).alias("gini"),
     )

@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..exactmath import round_div, sql_round_div
 from ..registry import register
+from .analytics import _REV4_SQL
 from ..sources.io import load
 
 
@@ -67,9 +69,9 @@ def join_map_side(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_multiway",
-    oracle="""
+    oracle=f"""
     select n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+           {sql_round_div('sum(' + _REV4_SQL + ')', '10000', 2)} as revenue,
            count(*) as n_lines
     from region
     join nation   on n_regionkey = r_regionkey
@@ -101,9 +103,12 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    # revenue summed as exact 1e-4-dollar integers (see
+    # analytics._REV4_SQL) — the 4-dp sum's 2-dp round has reachable ties
+    from .analytics import _rev4
+
     return j.groupBy("n_name").agg(
-        F.round(F.sum(revenue), 2).alias("revenue"),
+        round_div(F.sum(_rev4()), F.lit(10000), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

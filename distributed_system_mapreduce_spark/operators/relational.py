@@ -100,9 +100,12 @@ def filter_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_predicate",
-    oracle="""
+    oracle=f"""
     select count(*) as n_rows,
-           round(sum(l_extendedprice * l_discount), 2) as revenue
+           {sql_round_div(
+               "sum(cast(round(l_extendedprice * 100) as bigint)"
+               " * cast(round(l_discount * 100) as bigint))",
+               '10000', 2)} as revenue
     from lineitem
     where l_shipdate >= timestamp '1996-01-01'
       and l_shipdate < timestamp '1997-01-01'
@@ -122,7 +125,18 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         ).agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            # price*discount summed as exact 1e-4-dollar integers (the
+            # 4-dp sum's 2-dp round has reachable .xx5 ties); plain-long
+            # sum stays on the codegen fast path and ANSI raises loudly
+            # far before any real corpus overflows the filtered subtotal
+            round_div(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round(F.col("l_discount") * 100).cast("long")
+                ),
+                F.lit(10000),
+                2,
+            ).alias("revenue"),
         )
     )
 
