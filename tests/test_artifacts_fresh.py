@@ -74,6 +74,74 @@ def test_artifact_reports_zero_failures():
     assert not bad, bad
 
 
+PARITY_ARTIFACT = os.path.join(ROOT, "PARITY_SF01.json")
+
+
+def _load_parity():
+    assert os.path.exists(PARITY_ARTIFACT), (
+        "PARITY_SF01.json missing — run `python tools/parity_bigsf.py`"
+    )
+    with open(PARITY_ARTIFACT) as fh:
+        return json.load(fh)
+
+
+def test_parity_sf01_matches_current_sources():
+    """VERDICT r15 #4: the sf0.1 parity sweep caught the only two real
+    correctness bugs found in three rounds, so its artifact is enforced
+    fresh exactly like CORRECTNESS_LOCAL.json — per-file, so the failure
+    names WHICH module changed and the fix is a targeted
+    `python tools/parity_bigsf.py --changed-only --merge`, not a full
+    re-sweep."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    try:
+        from parity_bigsf import _file_hashes
+    finally:
+        sys.path.remove(os.path.join(ROOT, "tools"))
+    art = _load_parity()
+    stamped = (art.get("provenance") or {}).get("source_files")
+    assert stamped, (
+        "PARITY_SF01.json predates per-file provenance stamping — rerun "
+        "`python tools/parity_bigsf.py` to regenerate with a stamp."
+    )
+    current = _file_hashes()
+    changed = sorted(
+        f for f in set(stamped) | set(current)
+        if stamped.get(f) != current.get(f)
+    )
+    assert not changed, (
+        f"PARITY_SF01.json is stale for {changed} — rerun "
+        "`python tools/parity_bigsf.py --changed-only --merge` and commit "
+        "the refreshed artifact."
+    )
+
+
+def test_parity_sf01_covers_full_registry_with_zero_failures():
+    from distributed_system_mapreduce_spark.registry import QUERIES
+
+    art = _load_parity()
+    results = art.get("results") or {}
+    missing = sorted(set(QUERIES) - set(results))
+    assert not missing, f"PARITY_SF01.json missing queries: {missing}"
+    summary = art.get("summary") or {}
+    assert summary.get("failed") == 0, summary
+    bad = {
+        k: v.get("err") for k, v in results.items()
+        if isinstance(v, dict)
+        and v.get("err") not in (None, "no_oracle", "oracle_timeout")
+    }
+    assert not bad, bad
+
+
+def test_parity_sf01_provenance_head_is_clean():
+    art = _load_parity()
+    prov = art.get("provenance") or {}
+    assert prov.get("source_dirty") is False, (
+        f"provenance.source_dirty={prov.get('source_dirty')!r} — rerun "
+        "`python tools/parity_bigsf.py --changed-only --merge` AFTER the "
+        "last source-touching commit."
+    )
+
+
 def test_artifact_provenance_head_is_clean():
     """VERDICT r13 #5: the committed artifact's ledger must be generated
     from a CLEAN tree, so provenance.git_head fully describes the hashed

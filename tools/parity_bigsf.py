@@ -62,6 +62,9 @@ sys.path.insert(0, REPO_ROOT)
 #: ritual never "times out by default" on a query we know finishes).
 SLOW_ORACLE_BUDGETS: dict[str, float] = {
     "graph_adamic_adar": 1800.0,  # exact wedge enumeration, ~10 min in DuckDB
+    # exact triangle-per-edge enumeration; tripped the 120 s default in the
+    # r16 sweep, finished hash-green under 900
+    "graph_common_neighbors": 900.0,
 }
 
 
