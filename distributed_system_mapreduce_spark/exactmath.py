@@ -121,9 +121,10 @@ def round_div_long(
     den_eff = den.cast("long") * F.lit(10 ** (num_scale - scale))
     d = den_eff * F.lit(2)
     x = qn * F.lit(2) + den_eff
-    # (x - x%d) is exactly divisible; the double divide is exact while
-    # the dividend < 2^53 — guarded, so an out-of-bound caller fails
-    # loudly instead of rounding wrong
+    # guard unchanged (same raise at the same bound — callers and the
+    # pinning test see identical semantics); the division below is now
+    # IntegralDivide, exact on ALL longs, so the bound is no longer a
+    # correctness ceiling, just the documented operating envelope
     x_ok = F.when(
         x <= F.lit(1 << 52),
         x,
@@ -135,11 +136,50 @@ def round_div_long(
             )
         )
     )
-    scaled = ((x_ok - F.pmod(x_ok, d)) / d).cast("long")
+    # r16 optimization-round change (guide §4.1 "prefer built-ins",
+    # measured on the million-pair jaccard frames): one long
+    # IntegralDivide (`div`) replaces the pmod → subtract → double-divide
+    # → cast chain. x_ok, d > 0, so truncation == floor — bit-identical
+    # results with ~4 fewer per-row ops on every hot pair path.
+    scaled = F.call_function("div", x_ok, d)
     signed = F.when(num < 0, -scaled).otherwise(scaled)
     return F.when(
         den > 0, signed.cast("double") / F.lit(float(10 ** scale))
     ).alias("round_div")
+
+
+def round_div_long_or_dec(
+    num: Column, den: Column, scale: int, num_scale: int | None = None
+) -> Column:
+    """:func:`round_div` semantics with a per-row long fast path.
+
+    For integer-valued ``num``/``den`` columns whose magnitude is usually
+    small but not provably bounded (per-vertex wedge counts, residual
+    numerators): rows where a conservative guard proves the long algebra
+    exact take :func:`round_div_long`'s codegen path; the rest fall back
+    to the decimal path — never a raise, never a wrong round. The CASE
+    branches evaluate lazily, so the common case pays long ops only.
+
+    Guard: |num| < 2^50 / 10^num_scale and den·10^(num_scale-scale) < 2^50
+    keep round_div_long's dividend x = 2·|num|·10^ns + den_eff under
+    2^51 + 2^50 < 2^52, inside its own exactness bound (so the fallback
+    fires strictly before the fast path's raise could).
+    """
+    if num_scale is None:
+        num_scale = scale
+    if num_scale < scale:
+        raise ValueError("num_scale must be >= scale")
+    num_lim = (1 << 50) // (10 ** num_scale)
+    den_lim = (1 << 50) // (10 ** (num_scale - scale))
+    fits = (
+        num.isNotNull()
+        & den.isNotNull()
+        & (F.abs(num) < F.lit(num_lim))
+        & (den < F.lit(den_lim))
+    )
+    return F.when(
+        fits, round_div_long(num, den, scale, num_scale)
+    ).otherwise(round_div(num, den, scale, num_scale))
 
 
 def sql_round_div(

@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import track
-from ..exactmath import round_div, round_div_long, sql_round_div
+from ..exactmath import (
+    round_div,
+    round_div_long,
+    round_div_long_or_dec,
+    sql_round_div,
+)
 from ..registry import register
 from ..sources.io import load
 
@@ -1350,10 +1355,13 @@ def clustering_from_pairs(pairs: DataFrame, deg: DataFrame) -> DataFrame:
     local_cc9 = F.when(
         F.col("deg") >= 2,
         # all-integer half-up (exactmath r16): 2t/(deg(deg-1)) is a
-        # rational whose 9-dp double round can tie engine-divergently;
-        # decimal path — per-VERTEX cardinality, and t can outgrow the
-        # long bound on heavy vertices at scale
-        round_div(
+        # rational whose 9-dp double round can tie engine-divergently.
+        # r16 optimization round: guarded long fast path — per-vertex
+        # rows with t, deg(deg-1) under the 2^50/10^9 bound (every
+        # realistic vertex) take the long codegen path; a hub whose
+        # wedge count outgrows it falls back to the decimal algebra
+        # per row instead of raising
+        round_div_long_or_dec(
             F.col("t") * 2, F.col("deg") * (F.col("deg") - 1), 9
         ).cast("decimal(18,9)"),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))
@@ -1480,8 +1488,11 @@ def clustering_capped_from_pairs(
     )
     local_cc9 = F.when(
         F.col("cd") >= 2,
-        # same all-integer half-up as the uncapped variant (r16)
-        round_div(
+        # same all-integer half-up as the uncapped variant; r16
+        # optimization round: the cap bounds the operands BY CONSTRUCTION
+        # (t <= C(cap,2) = 120, cd(cd-1) <= 240 at cap 16), so the long
+        # fast path applies outright — no decimal ops, no fallback branch
+        round_div_long(
             F.col("t") * 2, F.col("cd") * (F.col("cd") - 1), 9
         ).cast("decimal(18,9)"),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))

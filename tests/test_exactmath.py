@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from distributed_system_mapreduce_spark.exactmath import (
     round_div,
     round_div_long,
+    round_div_long_or_dec,
     sql_round_div,
 )
 
@@ -198,3 +199,62 @@ def test_round_div_long_zero_denominator_is_null(spark):
         .collect()[0]["r"]
     )
     assert r is None
+
+
+@settings(**SETTINGS)
+@given(
+    num=st.integers(-(10 ** 9), 10 ** 9),
+    n=st.integers(1, 10 ** 6),
+    sc=st.sampled_from([2, 4, 6, 9]),
+)
+def test_round_div_long_or_dec_matches_decimal_half_up(spark, num, n, sc):
+    """round_div_long_or_dec (r16 guarded fast path) must match Decimal
+    ROUND_HALF_UP on the long-path domain — same contract as both
+    underlying implementations."""
+    got = (
+        spark.createDataFrame([(num, n)], "m long, n long")
+        .select(round_div_long_or_dec(F.col("m"), F.col("n"), sc).alias("r"))
+        .collect()[0]["r"]
+    )
+    expect = _expected(Decimal(num), n, sc)
+    assert got == expect, (num, n, sc, got, expect)
+
+
+def test_round_div_long_or_dec_falls_back_past_long_bound(spark):
+    """Past the guard, rows must take the decimal path and stay EXACT —
+    never raise (unlike round_div_long), never mis-round. Mixed frame:
+    one in-guard row, one past-guard row whose scaled numerator exceeds
+    2^51 (round_div_long would raise on it)."""
+    rows = [
+        (1, 8),            # long path: 0.125 -> 0.13
+        ((1 << 50) + 1, 3),  # decimal path: would raise on the long path
+    ]
+    got = (
+        spark.createDataFrame(rows, "m long, n long")
+        .select(
+            F.col("m"),
+            round_div_long_or_dec(F.col("m"), F.col("n"), 2).alias("r"),
+        )
+        .orderBy("m")
+        .collect()
+    )
+    assert got[0]["r"] == _expected(Decimal(1), 8, 2)
+    assert got[1]["r"] == _expected(Decimal((1 << 50) + 1), 3, 2)
+
+
+def test_round_div_long_or_dec_guard_boundary(spark):
+    """Rows exactly at the guard limits route to the decimal path (strict
+    <) and still round exactly — the fallback must fire strictly before
+    round_div_long's raise could."""
+    num_lim = (1 << 50) // (10 ** 4)
+    rows = [(num_lim, 7), (num_lim - 1, 7), (-num_lim, 7)]
+    got = (
+        spark.createDataFrame(rows, "m long, n long")
+        .select(
+            F.col("m"),
+            round_div_long_or_dec(F.col("m"), F.col("n"), 4).alias("r"),
+        )
+        .collect()
+    )
+    for row in got:
+        assert row["r"] == _expected(Decimal(row["m"]), 7, 4), row
