@@ -96,53 +96,72 @@ def round_div_long(
     round_div's decimal(38) pipeline is exact to ~10^32 but measurably
     slow on per-row hot paths (the r16 calm-window bench showed the
     jaccard pair scorers regressing ~30% after conversion — five decimal
-    ops per candidate pair). Ratio-type sites have tiny operands, so the
-    same math fits comfortably in longs:
+    ops per candidate pair). The floor division is one long
+    IntegralDivide (exact on ALL longs), so the operating envelope is set
+    only by long-overflow safety and the final double cast:
 
-    - REQUIRES |num|·10^num_scale < 2^51 (~2.2e15): the floor division
-      runs through a double, which is exact only while the dividend
-      stays under 2^53. A per-row guard raises loudly past the bound —
-      never a silent wrong round. ANSI mode equally raises on any long
-      multiply overflow above that.
-    - The scaled quotient (|num/den|·10^scale) is far below 2^52 for
-      every share/ratio/rate call site by construction.
+    - REQUIRES |num| < 2^61 / 10^num_scale and
+      den < 2^61 / 10^(num_scale - scale): keeps the dividend
+      x = 2·|num|·10^ns + den_eff inside long range without relying on
+      ANSI overflow detection. Explicit per-row guards raise loudly past
+      either bound — never a silent wrong round.
+    - REQUIRES the scaled quotient round(|num/den|·10^scale) <= 2^52: the
+      result crosses one double cast, exact only under 2^53. Guarded on
+      the computed quotient itself, so the bound adapts to the data
+      rather than to a worst-case operand product.
 
-    Use for per-row ratios of bounded integers (shingle counts, set
-    sizes, ranks); keep :func:`round_div` for one-row aggregates and
-    anything near the magnitude ceiling. Semantics (half away from zero,
-    NULL on zero/NULL denominator) and the DuckDB mirror
+    Use for per-row ratios of integers up to ~2.3e18/10^ns (shingle
+    counts, set sizes, ranks, nano-scaled residuals); keep
+    :func:`round_div` for anything wider. Semantics (half away from
+    zero, NULL on zero/NULL denominator) and the DuckDB mirror
     (:func:`sql_round_div`) are identical.
     """
     if num_scale is None:
         num_scale = scale
     if num_scale < scale:
         raise ValueError("num_scale must be >= scale")
-    qn = F.abs(num.cast("long") * F.lit(10 ** num_scale))
-    den_eff = den.cast("long") * F.lit(10 ** (num_scale - scale))
-    d = den_eff * F.lit(2)
-    x = qn * F.lit(2) + den_eff
-    # guard unchanged (same raise at the same bound — callers and the
-    # pinning test see identical semantics); the division below is now
-    # IntegralDivide, exact on ALL longs, so the bound is no longer a
-    # correctness ceiling, just the documented operating envelope
-    x_ok = F.when(
-        x <= F.lit(1 << 52),
-        x,
-    ).otherwise(
+    # operand guards: qn = |num|·10^ns <= 2^61 and den_eff <= 2^61 give
+    # x = 2·qn + den_eff < 3·2^61 < 2^63 — no long overflow anywhere in
+    # the algebra, independent of ANSI mode
+    num_lim = (1 << 61) // (10 ** num_scale)
+    den_lim = (1 << 61) // (10 ** (num_scale - scale))
+    num_ok = F.when(F.abs(num) < F.lit(num_lim), num).otherwise(
         F.raise_error(
             F.lit(
-                "round_div_long: |num|*10^num_scale exceeds the 2^51 "
-                "long-exactness bound — use round_div (decimal path)"
+                "round_div_long: |num| exceeds the 2^61/10^num_scale "
+                "long-overflow bound — use round_div (decimal path)"
             )
         )
     )
+    den_ok = F.when(den < F.lit(den_lim), den).otherwise(
+        F.raise_error(
+            F.lit(
+                "round_div_long: den exceeds the 2^61/10^(ns-scale) "
+                "long-overflow bound — use round_div (decimal path)"
+            )
+        )
+    )
+    qn = F.abs(num_ok.cast("long") * F.lit(10 ** num_scale))
+    den_eff = den_ok.cast("long") * F.lit(10 ** (num_scale - scale))
+    d = den_eff * F.lit(2)
+    x = qn * F.lit(2) + den_eff
     # r16 optimization-round change (guide §4.1 "prefer built-ins",
     # measured on the million-pair jaccard frames): one long
     # IntegralDivide (`div`) replaces the pmod → subtract → double-divide
-    # → cast chain. x_ok, d > 0, so truncation == floor — bit-identical
-    # results with ~4 fewer per-row ops on every hot pair path.
-    scaled = F.call_function("div", x_ok, d)
-    signed = F.when(num < 0, -scaled).otherwise(scaled)
+    # → cast chain. x, d > 0, so truncation == floor — and exact on all
+    # longs, which is what lets the old 2^52 DIVIDEND guard relax into
+    # the wider operand guards above plus the result guard below.
+    scaled = F.call_function("div", x, d)
+    # result guard: the double cast below is exact only under 2^53
+    scaled_ok = F.when(scaled <= F.lit(1 << 52), scaled).otherwise(
+        F.raise_error(
+            F.lit(
+                "round_div_long: scaled quotient exceeds the 2^52 "
+                "double-exactness bound — use round_div (decimal path)"
+            )
+        )
+    )
+    signed = F.when(num < 0, -scaled_ok).otherwise(scaled_ok)
     return F.when(
         den > 0, signed.cast("double") / F.lit(float(10 ** scale))
     ).alias("round_div")
@@ -160,22 +179,35 @@ def round_div_long_or_dec(
     to the decimal path — never a raise, never a wrong round. The CASE
     branches evaluate lazily, so the common case pays long ops only.
 
-    Guard: |num| < 2^50 / 10^num_scale and den·10^(num_scale-scale) < 2^50
-    keep round_div_long's dividend x = 2·|num|·10^ns + den_eff under
-    2^51 + 2^50 < 2^52, inside its own exactness bound (so the fallback
-    fires strictly before the fast path's raise could).
+    Guard (all three overflow-free to EVALUATE, which is what lets the
+    guard itself run on arbitrarily wide rows):
+
+    - |num| < 2^60/10^ns and den < 2^60/10^(ns-sc): strictly inside
+      round_div_long's 2^61 operand bounds, so its operand raises can't
+      fire;
+    - |num|·10^sc < den·2^50, compared in DOUBLE (doubles can't
+      overflow; the 4x margin to round_div_long's 2^52 result guard
+      dwarfs double rounding error): bounds the scaled quotient at
+      ~2^50, so the result raise can't fire either. The double compare
+      is deterministic (IEEE) and Spark-side only — the oracle mirrors
+      the full integer formula, so which path a row takes never affects
+      parity.
     """
     if num_scale is None:
         num_scale = scale
     if num_scale < scale:
         raise ValueError("num_scale must be >= scale")
-    num_lim = (1 << 50) // (10 ** num_scale)
-    den_lim = (1 << 50) // (10 ** (num_scale - scale))
+    num_lim = (1 << 60) // (10 ** num_scale)
+    den_lim = (1 << 60) // (10 ** (num_scale - scale))
     fits = (
         num.isNotNull()
         & den.isNotNull()
         & (F.abs(num) < F.lit(num_lim))
         & (den < F.lit(den_lim))
+        & (
+            F.abs(num).cast("double") * F.lit(float(10 ** scale))
+            < den.cast("double") * F.lit(float(1 << 50))
+        )
     )
     return F.when(
         fits, round_div_long(num, den, scale, num_scale)

@@ -30,6 +30,8 @@ a key position).
 
 from __future__ import annotations
 
+from decimal import Decimal as PyDecimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1179,6 +1181,49 @@ def eval_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _residual_round_consts(df, s9c: str, cnc: str, pfx: str):
+    """Per-group constants for the half-away residual round: with
+    ``s9 = cn*q + rem`` (``q = floor(s9/cn)``, ``0 <= rem < cn``) emit
+    ``q`` plus the two tie flags ``2*rem > cn`` / ``2*rem >= cn``
+    (rewritten ``rem > cn - rem`` so the compare cannot overflow).
+    Group-level decimal work only — the per-row path never divides."""
+    qt = F.expr(f"{s9c} div {cnc}")
+    remt = (F.col(s9c) - qt.cast("decimal(38,0)") * F.col(cnc)).cast("long")
+    q = F.when(remt < 0, qt - F.lit(1)).otherwise(qt)
+    rem = F.when(remt < 0, remt + F.col(cnc)).otherwise(remt)
+    return df.select(
+        "*",
+        q.alias(f"{pfx}q"),
+        (rem > F.col(cnc) - rem).cast("long").alias(f"{pfx}adj_pos"),
+        (rem >= F.col(cnc) - rem).cast("long").alias(f"{pfx}adj_np"),
+    ).drop(s9c)
+
+
+def _residual_round(vnl, q, adj_pos, adj_np):
+    """``round_half_away(vnl - s9/cn)`` in nanos, as decimal(18,9), from
+    the :func:`_residual_round_consts` group constants:
+
+        I - adj_pos  if I >= 1    (positive residual: ties round up)
+        I - adj_np   if I <= 0    (ties round away from zero, i.e. down)
+
+    with ``I = vnl - q`` — exact on all longs (both operands bounded by
+    10^18 via the decimal(18,9) value domain). Pinned against
+    :func:`..exactmath.round_div` at engineered tie points by
+    tests/test_mleval_residual_decomp.py."""
+    i = vnl - q
+    s = i - F.when(i >= 1, adj_pos).otherwise(adj_np)
+    # exact nanos -> decimal(18,9): double fast path while the long
+    # round-trips a double (<= 2^52), exact decimal multiply beyond
+    return F.when(
+        F.abs(s) <= F.lit(1 << 52),
+        (s.cast("double") / F.lit(1.0e9)).cast("decimal(18,9)"),
+    ).otherwise(
+        (s.cast("decimal(28,0)") * F.lit(PyDecimal("0.000000001")))
+        .cast("decimal(18,9)")
+    )
+
+
+
 @register(
     "eval_regression_metrics",
     oracle=f"""
@@ -1243,40 +1288,68 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hod"),
         F.round(F.col("value"), 9).cast("decimal(18,9)").alias("v"),
     )
-    # integer NANOS throughout (r16 tie rework): the residual
-    # v - mean(v) is the rational (vn*cn - s9)/(cn*10^9), whose 9-dp
-    # round can tie engine-divergently through the double path; rounding
-    # it via the all-integer half-up makes r exact, and the SQUARED
-    # terms round(r*r, 9) are then tie-FREE by 2/5-adic parity (a 9-dp
-    # square would need odd 2-adic valuation to land on a half — see
-    # tools/round_audit.py), so decimal rounds of them are portable.
-    vn = (F.col("v") * F.lit(10 ** 9)).cast("decimal(38,0)")
-    model = base.groupBy("event_type", "hod").agg(
-        F.sum(vn).alias("s9"), F.count(F.lit(1)).alias("cn")
+
+    # Integer NANOS throughout (r16 tie rework): the residual v - mean(v)
+    # is the rational (vn*cn - s9)/(cn*10^9) whose 9-dp round can tie
+    # engine-divergently through the double path, so it must round via
+    # the all-integer half-away formula; the SQUARED terms round(r*r, 9)
+    # are then tie-FREE by 2/5-adic parity (see tools/round_audit.py),
+    # so decimal rounds of them stay portable.
+    #
+    # r16 optimization round (guide §4.1/§2.2): the denominator of every
+    # residual round is a GROUP-level constant (cn, or the corpus count
+    # n), so the half-away round decomposes into per-group constants and
+    # the per-row work collapses to long subtract + one branch — no
+    # per-row decimal(38,0) multiply, subtract, or division. With
+    # s9 = cn*q + rem, q = floor(s9/cn), 0 <= rem < cn, and
+    # I = vn - q (all exact longs: |vn|,|q| <= 10^18 by the
+    # decimal(18,9) domain, so I cannot overflow at ANY corpus size):
+    #
+    #   round_half_away(vn - s9/cn)
+    #     = I - (2*rem >  cn)   if I >= 1   (value > 0: ties round up)
+    #     = I - (2*rem >= cn)   if I <= 0   (ties round away, i.e. down;
+    #                                        rem == 0 gives adj 0 on
+    #                                        both branches)
+    #
+    # proven equal to round_div's decimal pipeline on all three fixture
+    # SFs and pinned at the tie points by
+    # tests/test_mleval_residual_decomp.py (which imports these module
+    # helpers, so the tested expressions ARE the query's).
+    model = _residual_round_consts(
+        base.groupBy("event_type", "hod")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("cn"))
+        .select(
+            "event_type", "hod", "cn",
+            # sum the compact decimal(18,9) and scale ONCE per group —
+            # not a per-row decimal(38,0) cast (sum envelope shrinks
+            # 10^38 -> 10^28 value-units, still 4 orders past 100 TB)
+            (F.col("sv") * F.lit(10 ** 9)).cast("decimal(38,0)").alias("s9"),
+        ),
+        "s9", "cn", "m_",
     )
+    tot = _residual_round_consts(
+        base.agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("svt"))
+        .select(
+            "n",
+            (F.col("svt") * F.lit(10 ** 9)).cast("decimal(38,0)").alias("s9t"),
+        ),
+        "s9t", "n", "t_",
+    )
+
+    vnl = (F.col("v") * F.lit(10 ** 9)).cast("long")
+
     scored = base.join(F.broadcast(model), ["event_type", "hod"]).select(
-        round_div(
-            vn * F.col("cn") - F.col("s9"),
-            F.col("cn") * F.lit(10 ** 9),
-            9,
-        )
-        .cast("decimal(18,9)")
-        .alias("r"),
-        vn.alias("vn"),
-    )
-    tot = base.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(vn).alias("s9t")
+        _residual_round(
+            vnl, F.col("m_q"), F.col("m_adj_pos"), F.col("m_adj_np")
+        ).alias("r"),
+        "v",
     )
     dtot = scored.crossJoin(F.broadcast(tot)).select(
         "r",
         "n",
-        round_div(
-            F.col("vn") * F.col("n") - F.col("s9t"),
-            F.col("n") * F.lit(10 ** 9),
-            9,
-        )
-        .cast("decimal(18,9)")
-        .alias("d"),
+        _residual_round(
+            vnl, F.col("t_q"), F.col("t_adj_pos"), F.col("t_adj_np")
+        ).alias("d"),
     )
     ss = dtot.agg(
         F.sum(F.round(F.col("r") * F.col("r"), 9)).alias("ss_res"),

@@ -181,8 +181,9 @@ def test_round_div_long_tie_points(spark, num, n, sc):
 
 
 def test_round_div_long_guard_raises_past_bound(spark):
-    """Past the 2^51 long-exactness bound the guard must raise loudly,
-    never return a silently mis-rounded value."""
+    """Past the operand bound (2^61/10^num_scale since the r16
+    IntegralDivide relaxation) the guard must raise loudly, never return
+    a silently mis-rounded value."""
     from pyspark.errors import PySparkException
 
     df = spark.createDataFrame([(1 << 50, 3)], "m long, n long").select(
@@ -190,6 +191,41 @@ def test_round_div_long_guard_raises_past_bound(spark):
     )
     with pytest.raises(PySparkException):
         df.collect()
+
+
+def test_round_div_long_result_guard_raises_past_double_bound(spark):
+    """Operands inside the long bounds but a scaled quotient past 2^52
+    (the double-cast exactness ceiling) must raise too — the r16
+    relaxation guards the RESULT, not just the operands."""
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [((1 << 53) + 1, 1)], "m long, n long"
+    ).select(round_div_long(F.col("m"), F.col("n"), 0).alias("r"))
+    with pytest.raises(PySparkException):
+        df.collect()
+
+
+def test_round_div_long_wide_operands_stay_exact(spark):
+    """The r16 relaxation's new domain — operands between the old 2^51
+    dividend bound and the new 2^61 operand bound — must round exactly
+    (this is the domain eval_regression_metrics' nano-residuals live in)."""
+    rows = [
+        ((1 << 55) + 7, 10 ** 5),
+        (-((1 << 55) + 7), 10 ** 5),
+        ((1 << 60) - 1, 10 ** 9),
+    ]
+    got = (
+        spark.createDataFrame(rows, "m long, n long")
+        .select(
+            F.col("m"),
+            F.col("n"),
+            round_div_long(F.col("m"), F.col("n"), 0).alias("r"),
+        )
+        .collect()
+    )
+    for row in got:
+        assert row["r"] == _expected(Decimal(row["m"]), row["n"], 0), row
 
 
 def test_round_div_long_zero_denominator_is_null(spark):
@@ -243,18 +279,28 @@ def test_round_div_long_or_dec_falls_back_past_long_bound(spark):
 
 
 def test_round_div_long_or_dec_guard_boundary(spark):
-    """Rows exactly at the guard limits route to the decimal path (strict
-    <) and still round exactly — the fallback must fire strictly before
-    round_div_long's raise could."""
-    num_lim = (1 << 50) // (10 ** 4)
-    rows = [(num_lim, 7), (num_lim - 1, 7), (-num_lim, 7)]
+    """Rows at and around the guard limits (operand limit 2^60/10^ns and
+    the double quotient bound) must round exactly on whichever path they
+    take — the fallback must fire strictly before round_div_long's
+    operand or result raise could."""
+    num_lim = (1 << 60) // (10 ** 4)
+    rows = [
+        # at/below the operand limit (strict <: the first routes decimal)
+        (num_lim, 10 ** 9),
+        (num_lim - 1, 10 ** 9),
+        (-num_lim, 10 ** 9),
+        # past the double-quotient guard (num·10^4/den >= 2^50): decimal
+        # path — round_div_long's result guard would raise on this row
+        ((1 << 48) + 1, 1000),
+    ]
     got = (
         spark.createDataFrame(rows, "m long, n long")
         .select(
             F.col("m"),
+            F.col("n"),
             round_div_long_or_dec(F.col("m"), F.col("n"), 4).alias("r"),
         )
         .collect()
     )
     for row in got:
-        assert row["r"] == _expected(Decimal(row["m"]), 7, 4), row
+        assert row["r"] == _expected(Decimal(row["m"]), row["n"], 4), row
