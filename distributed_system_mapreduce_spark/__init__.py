@@ -7,7 +7,11 @@ Importing this package registers every query into ``registry.QUERIES`` /
 ``registry.ORACLES``.
 """
 
-from . import registry  # noqa: F401
+from . import jvmfast
+
+jvmfast.install()
+
+from . import registry  # noqa: F401,E402
 from .functions import (  # noqa: F401
     jsonops,
     multimodal,

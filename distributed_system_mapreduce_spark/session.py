@@ -62,6 +62,17 @@ def get_spark(
         # On a real cluster the same conf ships to executors and has the
         # same effect for a resident multi-query engine.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # PySpark's DataFrame-debugging origin capture (default true)
+        # wraps EVERY Column/DataFrame op in call-site bookkeeping: one
+        # conf RTT + PySparkCurrentOrigin.set/clear RTTs on the gateway,
+        # a Python stack walk, and a retried-and-failed IPython import
+        # per op. Measured r16 (guide §4, plan construction): ~1.1-1.7 ms
+        # per Column op with it on vs ~0.1 ms off — ~41 s of pure
+        # plan-build time across one 237-query sweep. Diagnostic-only
+        # (error messages lose the user line number); results identical.
+        # Scale-independent: this is Python-driver overhead, the same on
+        # a laptop or a 1000-node cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
