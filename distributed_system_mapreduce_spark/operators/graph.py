@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import track
+from ..cache import checkpoint_generation, track
 from ..exactmath import (
     round_div,
     round_div_long,
@@ -701,6 +701,23 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_K = 2
 KCORE_MAX_ROUNDS = 50
 
+#: Local-tail handoff bound for the k-core peel (r16 optimization round,
+#: guide §5 "the driver should do almost no data work" — and its converse:
+#: work that is PROVABLY driver-small should not pay distributed fixed
+#: costs). When the surviving symmetric edge count — already on the driver
+#: as the loop's convergence scalar, no extra job — is <= this bound, the
+#: remaining rounds run as a plain in-memory peel: 100k (src, dst) longs is
+#: ~1.6 MB collected, the same bounded-collect class as the MMR pool and
+#: the CC convergence scalars. The payoff is the iterative-algorithm tail
+#: problem: each distributed round costs 3-4 AQE stage jobs of driver
+#: latency regardless of data size (measured at sf0.1: 0.3-0.7 s/round over
+#: a 7k-edge backbone shrinking to 6 edges — >95% fixed overhead), so the
+#: dwindling tail rounds dominate the peel. At 100 TB the early
+#: corpus-sized rounds stay fully distributed; the handoff fires only once
+#: the survivor set is provably tiny (the GraphX/Pregel "finish small
+#: frontiers locally" move).
+KCORE_LOCAL_TAIL_MAX = 100_000
+
 
 def kcore_round(edges: DataFrame, k: int, loop_parts: int = 0) -> DataFrame:
     """ONE peel round: degree rollup over the surviving symmetric edge
@@ -731,16 +748,51 @@ def kcore_round(edges: DataFrame, k: int, loop_parts: int = 0) -> DataFrame:
     )
 
 
+def _kcore_peel_local(
+    edges: list[tuple[int, int]],
+    k: int,
+    n_edges: int,
+    rounds: int,
+    max_rounds: int,
+) -> tuple[list[tuple[int, int]], int, int]:
+    """Finish the peel fixpoint on a driver-small SYMMETRIC edge list —
+    bit-identical loop semantics to the distributed rounds (degree = count
+    of rows with src == v; keep edges whose BOTH endpoints have degree >=
+    k; one round per recount; converged when the edge count repeats,
+    counting the confirming round), sharing the caller's round counter and
+    ``max_rounds`` budget so the reported ``rounds`` is the same number the
+    all-distributed loop would produce."""
+    from collections import Counter
+
+    while True:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"k-core peel did not converge in {max_rounds} rounds"
+            )
+        deg = Counter(s for s, _ in edges)
+        nxt = [(s, d) for s, d in edges if deg[s] >= k and deg[d] >= k]
+        rounds += 1
+        n_next = len(nxt)
+        edges = nxt
+        if n_next == n_edges:
+            return edges, n_edges, rounds
+        n_edges = n_next
+
+
 def kcore_peel(
-    edges_sym: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS
+    edges_sym: DataFrame,
+    k: int,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+    local_tail_max: int = KCORE_LOCAL_TAIL_MAX,
 ) -> tuple[DataFrame, int, int]:
     """Peel a SYMMETRIC edge list to its k-core fixpoint.
 
-    Returns (surviving symmetric edges as a live localCheckpoint — caller
-    releases, surviving directed-edge count, peel rounds). Shared by the
-    registered backbone queries (any k) and the randomized property test,
-    which pits it against a plain-Python reference peel on Erdos-Renyi
-    graphs.
+    Returns (surviving symmetric edges — a live localCheckpoint the caller
+    releases, or a driver-built local frame when the tail finished under
+    ``local_tail_max`` (release is then a no-op), surviving directed-edge
+    count, peel rounds). Shared by the registered backbone queries (any k)
+    and the randomized property test, which pits it against a
+    plain-Python reference peel on Erdos-Renyi graphs.
 
     Each round is one degree rollup over the surviving edge list plus a
     semi-join keeping edges with BOTH endpoints alive; the convergence
@@ -768,6 +820,21 @@ def kcore_peel(
     # upstream once before generation 0 is checkpointed.
     n_edges = edges_sym.count()
     spark = edges_sym.sparkSession
+    schema = edges_sym.schema
+    # Local-tail handoff (r16 optimization round, KCORE_LOCAL_TAIL_MAX
+    # note): the convergence count is already on the driver, so when it
+    # proves the survivor set driver-small the remaining rounds skip the
+    # per-round distributed fixed costs entirely — one bounded collect,
+    # then the same loop in memory. Measured at sf0.1 (7,146-edge
+    # backbone, 6 rounds): 3.8 s warm -> ~0.3 s, identical output
+    # including the round count (tests/test_kcore_local_tail.py pins
+    # local == forced-distributed on random graphs).
+    if n_edges <= local_tail_max:
+        rows = [(r[0], r[1]) for r in edges_sym.collect()]
+        out, n_edges, rounds = _kcore_peel_local(
+            rows, k, n_edges, 0, max_rounds
+        )
+        return spark.createDataFrame(out, schema), n_edges, rounds
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(1, min(default_parts, n_edges // 200_000 + 1))
     edges = edges_sym.repartition(loop_parts, "src").localCheckpoint(
@@ -792,6 +859,17 @@ def kcore_peel(
         if n_next == n_edges:
             break
         n_edges = n_next
+        # Mid-loop handoff: once the peel has shrunk the survivor set under
+        # the bound (proven by this round's convergence count — no extra
+        # job), the dwindling tail finishes locally with the shared round
+        # counter and max_rounds budget.
+        if n_next <= local_tail_max:
+            rows = [(r[0], r[1]) for r in edges.collect()]
+            _release_checkpoint(edges)
+            out, n_edges, rounds = _kcore_peel_local(
+                rows, k, n_edges, rounds, max_rounds
+            )
+            return spark.createDataFrame(out, schema), n_edges, rounds
     else:
         raise RuntimeError(
             f"k-core peel did not converge in {max_rounds} rounds"
@@ -916,6 +994,19 @@ def graph_kcore_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_HOPS = 3
 
 
+def bfs_level(edges: DataFrame, frontier: DataFrame, level_parts: int) -> DataFrame:
+    """ONE BFS expansion level (pre-checkpoint): neighbors of the frontier,
+    explicitly hash-placed on the node key at edge-proportional width, then
+    frontier-deduped. Exposed so the plan screen can audit the per-level
+    shape that runs at scale (the kcore_round pattern)."""
+    return (
+        edges.join(frontier.select(F.col("node").alias("src")), "src")
+        .select(F.col("dst").alias("node"))
+        .repartition(level_parts, "node")
+        .distinct()
+    )
+
+
 @register(
     "graph_bfs_hops",
     oracle=f"""
@@ -977,14 +1068,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = src0
     levels = [src0.select("node", F.lit(0).alias("hop"))]
     for hop in range(1, BFS_HOPS + 1):
-        frontier = (
-            edges.join(
-                frontier.select(F.col("node").alias("src")), "src"
-            )
-            .select(F.col("dst").alias("node"))
-            .repartition(level_parts, "node")
-            .distinct()
-        )
+        frontier = bfs_level(edges, frontier, level_parts)
+        if hop == BFS_HOPS - 1:
+            # r16 optimization round: the unrolled BFS references every
+            # intermediate frontier TWICE (next level's seed + min-hop
+            # union branch) and Spark recomputes diamond subtrees with no
+            # materialization point, so the lazy plan re-ran hops 1..k-1
+            # inside the final rollup. Checkpoint the PENULTIMATE frontier
+            # — the diamond whose recompute dominates (interleaved probe
+            # at sf0.1: lazy 2.08 s, this 1.66 s; checkpointing EVERY
+            # level measured worse, 1.83 s — barriers outweigh the cheap
+            # low-level dups). Single-generation slot lifecycle: see
+            # cache.checkpoint_generation (nothing reuses across runs).
+            frontier = checkpoint_generation("bfs_frontier", frontier)
         levels.append(frontier.select("node", F.lit(hop).alias("hop")))
     all_levels = levels[0]
     for lv in levels[1:]:
@@ -1124,6 +1220,13 @@ def capped_wedges(pairs: DataFrame, cap: int) -> DataFrame:
     C(cap, 2) regardless of hub size, so total work is O(V·cap²).
     Shared by the capped Adamic-Adar/common-neighbors scorer and the
     capped clustering coefficient."""
+    # NOT tracked (r16 optimization round, measured): caching this
+    # vertex-sized frame looks free, but the warm capped queries got
+    # 25-35% SLOWER reading it back (like-for-like 16-query subset A/B at
+    # sf0.1: +0.12/+0.35/+0.37 s on the capped trio against a -15% tide on
+    # untouched queries) — the InMemoryTableScan breaks whole-stage-codegen
+    # fusion of the agg -> explode chain, costing more than the rebuild it
+    # saves. Same conclusion as _oriented_with_adj's joined frame.
     capped = _symmetric(pairs).groupBy("src").agg(
         F.slice(F.sort_array(F.collect_list("dst")), 1, cap).alias("nbrs")
     )

@@ -591,10 +591,34 @@ def test_bfs_levels_keep_explicit_repartition(spark):
     AQE REBALANCE hint was within host noise. The explicit sizing is
     load-bearing, so pin that it stays in the plan: one REPARTITION_BY_NUM
     (or REPARTITION_BY_COL at wider fixtures) per unrolled level."""
-    from distributed_system_mapreduce_spark.operators.graph import BFS_HOPS
+    from pyspark.sql import functions as F
+
+    from distributed_system_mapreduce_spark.operators.graph import (
+        BFS_HOPS,
+        bfs_level,
+        copurchase_pairs,
+        _symmetric,
+    )
+
+    del BFS_HOPS  # depth no longer appears in the final plan's assertion
+
+    # r16 optimization round: the penultimate frontier is localCheckpointed
+    # (diamond dedup — see _BFS_CKPT_GEN), so the REGISTERED query's final
+    # plan shows the repartition only for the levels past the checkpoint;
+    # the per-level shape that runs at scale is screened on the exposed
+    # bfs_level builder (the kcore_round pattern).
+    pairs = copurchase_pairs(spark, SF_DIR)
+    frontier = _symmetric(pairs).agg(F.min("src").alias("node"))
+    lvl = explain_str(
+        bfs_level(_symmetric(pairs), frontier, 4), mode="simple"
+    )
+    assert (
+        lvl.count("REPARTITION_BY_NUM") + lvl.count("REPARTITION_BY_COL") >= 1
+    ), lvl
 
     plan = explain_str(QUERIES["graph_bfs_hops"](spark, SF_DIR), mode="simple")
     n_repart = plan.count("REPARTITION_BY_NUM") + plan.count(
         "REPARTITION_BY_COL"
     )
-    assert n_repart >= BFS_HOPS, plan
+    # levels AFTER the checkpointed hop (BFS_HOPS - 1) remain visible
+    assert n_repart >= 1, plan
