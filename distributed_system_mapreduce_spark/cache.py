@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
+_TRACKED_HASHES: dict[int, list[DataFrame]] = {}
 _MEMO_CLEARERS: list[Callable[[], None]] = []
 
 
@@ -45,14 +46,26 @@ def track(
     CacheManager already dedupes the storage, and deduping the registry
     keeps ``tracked_count``/``caches_released`` an honest count of real
     cache entries instead of call sites.
+
+    Dedup is ``semanticHash``-prefiltered (r16 optimization round, guide
+    §7.3 driver-side fixed costs): the old linear ``sameSemantics`` sweep
+    was one py4j round-trip + canonicalized-plan compare per tracked frame
+    per call — ~7 ms per track() against a 45-frame registry, paid on
+    EVERY builder invocation (bench rebuilds every query 3×). Equal
+    semantic hashes are necessary for ``sameSemantics``, so one hash RTT
+    narrows the exact compare to same-hash candidates (almost always 0 or
+    1) with identical dedup semantics.
     """
     df.persist(level)
     try:
-        if any(df.sameSemantics(t) for t in _TRACKED):
+        h = df.semanticHash()
+        if any(df.sameSemantics(t) for t in _TRACKED_HASHES.get(h, ())):
             return df
     except Exception:
-        pass  # cross-session comparison can fail; fall through and record
+        h = None  # cross-session comparison can fail; record anyway
     _TRACKED.append(df)
+    if h is not None:
+        _TRACKED_HASHES.setdefault(h, []).append(df)
     return df
 
 
@@ -88,6 +101,7 @@ def clear_tracked_caches() -> int:
         except Exception:
             pass  # session already stopped; nothing to release
     _TRACKED.clear()
+    _TRACKED_HASHES.clear()
     for fn in _MEMO_CLEARERS:
         dropped = fn()
         if isinstance(dropped, int):
@@ -110,6 +124,40 @@ def clear_tracked_caches() -> int:
 # management, not caching.
 
 _CKPT_GEN: dict[str, DataFrame] = {}
+
+# --- session-scoped sizing scalars (r16 optimization round) ---------------
+#
+# Several iterative/graph builders run a driver-side sizing job at BUILD
+# time — pairs.count() to pick edge-proportional loop partitioning,
+# deg.count() for the PageRank teleport constant — against frames that are
+# themselves tracked-persisted and immutable for the session. Re-running
+# those 1-row jobs on every plan build is pure fixed cost (bench rebuilds
+# each query's plan per sample). Memoize the scalar per (session, name):
+# the same class of session-lifetime intermediate as the CC-label /
+# centroid memos (computed from the parquet inputs on first use, dropped
+# by clear_tracked_caches, never persisted across sessions or runs of the
+# process).
+
+_SCALAR_MEMO: dict[tuple, object] = {}
+
+
+def scalar_memo(spark, name: str, compute: "Callable[[], object]"):
+    """Session-scoped memo of a driver sizing scalar: computed once per
+    (applicationId, ``name``) then reused; released with the tracked
+    caches. ``name`` must uniquely describe WHAT is being counted
+    (include the sf_dir for corpus-dependent scalars)."""
+    key = (spark.sparkContext.applicationId, name)
+    if key not in _SCALAR_MEMO:
+        _SCALAR_MEMO[key] = compute()
+    return _SCALAR_MEMO[key]
+
+
+def _clear_scalar_memo() -> None:
+    _SCALAR_MEMO.clear()
+    return None
+
+
+register_memo_clearer(_clear_scalar_memo)
 
 
 def _checkpoint_rdd(df: DataFrame):

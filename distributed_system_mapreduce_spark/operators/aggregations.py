@@ -713,10 +713,27 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.scan import chunked_running_sum
 
     li = load(spark, sf_dir, "lineitem")
+    # NOT checkpointed (r16 optimization round, measured and REJECTED):
+    # the plan references this rollup three times (chunk totals, the
+    # within-chunk window, the half-total scalar), which looks like the
+    # BFS/train-corpus diamond — but a checkpoint_generation slot here
+    # measured 1.495 s vs 1.369 s lazy in an interleaved same-session A/B
+    # at sf0.1: materializing ~583k (v, w) rows behind a barrier costs
+    # more than re-running the codegen-fused partial-agg scan, the
+    # opposite trade from the train-corpus funnel whose duplicated
+    # subtree held joins. Diamond checkpoints pay off when the duplicated
+    # subtree is join/shuffle-heavy, not when it is one fused rollup.
+    # r16 optimization round: weights accumulate as exact CENTI-UNIT longs
+    # (the flagship's money idiom — F.round(x*100).cast long): the rollup,
+    # the running sum and the half-total comparison all stay on the long
+    # codegen fast path instead of unsplittable 128-bit decimal sums,
+    # bit-identical because every 2-dp quantity is an exact integer of
+    # centi-units and long sums are order-independent. Headroom: the
+    # global total overflows only past ~9.2e16 quantity units — ~600x the
+    # 100 TB corpus. The one cast back to decimal happens on the single
+    # output row (exact: /100 of an integer at decimal scale 6).
     pv = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("w")
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("w")
     )
     cum = chunked_running_sum(
         pv,
@@ -733,7 +750,9 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") * 2 >= F.col("t"))
         .agg(
             F.min("v").cast("double").alias("weighted_median"),
-            F.first(F.col("t")).cast("double").alias("total_weight"),
+            (F.first(F.col("t")).cast("decimal(38,0)") / 100)
+            .cast("double")
+            .alias("total_weight"),
             F.first("n_distinct_values").cast("bigint").alias(
                 "n_distinct_values"
             ),

@@ -601,24 +601,44 @@ def pipeline_train_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row aggregate crossJoined into the summary — nothing wider than
     one row reaches the driver.
     """
+    from ..cache import checkpoint_generation
     from .dedup import funnel_cc_labels, funnel_counts, funnel_stages
 
     docs = load(spark, sf_dir, "documents")
     _, exact = funnel_stages(docs)
     labels = funnel_cc_labels(spark, sf_dir, exact)
     drop = labels.filter(F.col("label") != F.col("id")).select("id")
-    deduped = exact.join(drop, exact.doc_id == drop.id, "left_anti")
+    # r16 optimization round (guide §7.2 duplicated subtrees; the BFS/
+    # sketch diamond class): the five crossJoined 1-row count branches each
+    # re-executed the funnel tail — the CC-drop anti-join and text
+    # tokenization up to four times and the corpus-sized contamination join
+    # twice. Materialize the two narrow per-doc frames each fan-out reads
+    # — `deduped` and `clean`, both just (doc_id, n_tok) longs — under
+    # single-generation checkpoint slots (cache.checkpoint_generation:
+    # run-scoped, released next run / at cache clear; nothing persists
+    # across runs). The token count moves from `clean` to `deduped` —
+    # computed on the identical surviving text rows, so every downstream
+    # value is unchanged — which lets the checkpoints drop `text` entirely:
+    # at 100 TB the materialized frames hold two longs per surviving doc,
+    # never the corpus bytes.
+    deduped = checkpoint_generation(
+        "train_corpus_deduped",
+        exact.join(drop, exact.doc_id == drop.id, "left_anti").select(
+            "doc_id",
+            # kept_tokens / packing use the NON-EMPTY token count — the
+            # SAME metric pipeline_sequence_pack reports, so the composed
+            # pipeline and the standalone packer agree on any corpus (the
+            # funnel's own n_tokens stays the raw split count its
+            # thresholds are defined on).
+            F.expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("bigint")
+            .alias("n_tok"),
+        ),
+    )
     train = deduped.filter(F.col("doc_id") % _EVAL_MOD != 0)
     flagged = contamination_pairs(docs).select("doc_id").distinct()
-    # kept_tokens / packing use the NON-EMPTY token count — the SAME metric
-    # pipeline_sequence_pack reports, so the composed pipeline and the
-    # standalone packer agree on any corpus (the funnel's own n_tokens stays
-    # the raw split count its thresholds are defined on).
-    clean = train.join(flagged, "doc_id", "left_anti").select(
-        "doc_id",
-        F.expr("size(filter(split(text, ' '), w -> w != ''))")
-        .cast("bigint")
-        .alias("n_tok"),
+    clean = checkpoint_generation(
+        "train_corpus_clean", train.join(flagged, "doc_id", "left_anti")
     )
     # packing needs the source column: rejoin the scan (cheap projection).
     # Same chunked distributed prefix sum as the standalone packer.

@@ -547,6 +547,34 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_pair_scores(emb_d).filter(F.col("score") >= 0.35)
 
 
+def corpus_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs) for the WHOLE corpus, tracked-persisted — ONE
+    materialization of the shingle+hash pipeline per session serves every
+    batch MinHash consumer: dedup_near_minhash's banding and both its
+    verify joins, and dedup_minhash_est_error's 64-perm signature build
+    (r16 optimization round, VERDICT r15 #2's suggestion — previously the
+    estimator re-ran spread+shingle_hashes on its own semi-joined subset,
+    a plan CacheManager could never match against this one).
+
+    Shingles are HASHED immediately (xxhash64) and the strings discarded:
+    signatures, band keys, and the Jaccard verify all work on the 64-bit
+    hashes, so the cached footprint and every downstream shuffle carry
+    long arrays, never shingle text.
+    NOTE the filter inside shingle_hashes is on the CHEAP token count, not
+    on size(hs): a filter on hs would be pushed below the repartition
+    exchange and re-run the whole shingle+hash pipeline serially on the
+    pre-shuffle partition.
+    Lifecycle: the cache must outlive the builders (callers materialize
+    the returned lazy plans), so it cannot be unpersisted here; it is
+    tracked in the cache registry for bulk release between session phases.
+    """
+    from ..functions.vectors import spread
+
+    return track(
+        spread(load(spark, sf_dir, "documents")).transform(shingle_hashes)
+    )
+
+
 def shingle_hashes(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, hs): distinct xxhash64'd word-trigram shingles per doc.
 
@@ -623,21 +651,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic for a fixed corpus. Declared rows-only: DuckDB cannot
     reproduce Spark's xxhash64 (SURVEY.md §7.3.7).
     """
-    from ..functions.vectors import spread
-
     docs = load(spark, sf_dir, "documents")
-    # shingles are HASHED immediately (xxhash64) and the strings discarded:
-    # signatures, band keys, and the Jaccard verify all work on the 64-bit
-    # hashes, so the cached footprint and every downstream shuffle carry
-    # long arrays, never shingle text. persisted because the band self-join
-    # (x2) and both verify joins reference it.
-    # NOTE the filter is on the CHEAP token count, not on size(hs): a filter
-    # on hs would be pushed below the repartition exchange and re-run the
-    # whole shingle+hash pipeline serially on the pre-shuffle partition.
-    # Lifecycle: the cache must outlive this builder (the caller materializes
-    # the returned lazy plan), so it cannot be unpersisted here; it is
-    # tracked in the cache registry for bulk release between session phases.
-    hashed = track(spread(docs).transform(shingle_hashes))
+    hashed = corpus_shingle_hashes(spark, sf_dir)
     # the band join carries ONLY (band, key, id) — shingle arrays rejoin
     # after candidate dedup, so the shuffle stays O(docs x bands) ids.
     banded = banded_keys(hashed)
@@ -733,8 +748,6 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this runs on a sampled pair set; the fixture corpus IS the
     sample here.
     """
-    from ..functions.vectors import spread
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = (
         jaccard_pairs(docs, df_cap=2**31)
@@ -746,11 +759,20 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    hashed = shingle_hashes(
-        spread(docs.join(ids, "doc_id", "left_semi"))
+    # r16 optimization round: signatures build on the session-shared
+    # corpus_shingle_hashes cache (semi-joined down to paired docs — the
+    # per-row hs arrays are identical whether the semi-join runs before or
+    # after the per-doc shingle projection), and the (doc_id, 64-long)
+    # signature frame is itself tracked: the 64 seeded array_min
+    # permutations are the query's dominant per-row CPU, and the frame is
+    # two orders of magnitude narrower than the text it sketches.
+    hashed = corpus_shingle_hashes(spark, sf_dir).join(
+        ids, "doc_id", "left_semi"
     )
-    sigs = minhash_signature(
-        hashed, MINHASH_EST_N_PERMS, seed_base=MINHASH_EST_SEED_BASE
+    sigs = track(
+        minhash_signature(
+            hashed, MINHASH_EST_N_PERMS, seed_base=MINHASH_EST_SEED_BASE
+        )
     )
     sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))

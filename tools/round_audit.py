@@ -140,9 +140,6 @@ KNOWN_RATIONAL_SAFE: dict[tuple[str, str], str] = {
      "F.sum('revenue')"):
         "native-scale: additive aggregate/passthrough of fixed-scale values rounded at >= their native scale — the true value's decimal expansion terminates at or before the round scale, so a tie (digit 5 one place deeper) is unreachable",
     ('distributed_system_mapreduce_spark/operators/analytics.py',
-     "F.sum((F.col('l_extendedprice') * (1 - F.col('l_discount'))).cast('decimal(18,6)'))"):
-        'exact-decimal: round applied to an exact DECIMAL-typed sum — both engines round decimals HALF_UP away from zero (pinned by tests/test_round_audit.py), so even exact ties agree',
-    ('distributed_system_mapreduce_spark/operators/analytics.py',
      "F.sum(F.col('c_acctbal').cast('decimal(18,2)'))"):
         'exact-decimal: round applied to an exact DECIMAL-typed sum — both engines round decimals HALF_UP away from zero (pinned by tests/test_round_audit.py), so even exact ties agree',
     ('distributed_system_mapreduce_spark/operators/analytics.py',
