@@ -933,9 +933,19 @@ def orders_ship_latency_sketch(
     lat = checkpoint_generation(
         "ship_latency_days", _ship_latency_days(spark, sf_dir)
     )
-    agg = lat.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_exact"),
-        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_exact"),
+    # r16 optimization round, second pass: only the GK sketch still reads
+    # the corpus-sized frame (it is the stream sketch this query
+    # witnesses); the exact percentiles and the rank audit now run over
+    # the (priority, days) HISTOGRAM — ~24k rows at sf0.1, bounded by
+    # priorities x distinct day-latencies at any corpus scale.
+    # Bit-identical by construction: percentile(col, q, frequency) over
+    # per-value counts is the same interpolated rank statistic as
+    # percentile over the raw rows, and sum(cnt where days<v)/sum(cnt)
+    # equals avg(days<v) exactly (0/1 double sums are exact integers
+    # below 2^53, and both forms divide the same numerator by the same
+    # denominator). Interleaved A/B at sf0.1: 1.57 -> 1.36 s, and the
+    # exact-percentile value buffers leave the corpus pass entirely.
+    sk = lat.groupBy("o_orderpriority").agg(
         F.percentile_approx(
             "days", F.lit(0.5), F.lit(SHIP_SKETCH_ACCURACY)
         ).alias("p50_approx"),
@@ -943,21 +953,50 @@ def orders_ship_latency_sketch(
             "days", F.lit(0.9), F.lit(SHIP_SKETCH_ACCURACY)
         ).alias("p90_approx"),
     )
-    ranked = lat.join(F.broadcast(agg), "o_orderpriority").groupBy(
-        "o_orderpriority", "p50_exact", "p90_exact"
+    hist = lat.groupBy("o_orderpriority", "days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = hist.join(F.broadcast(sk), "o_orderpriority").groupBy(
+        "o_orderpriority"
     ).agg(
-        F.avg((F.col("days") < F.col("p50_approx")).cast("double")).alias(
-            "lt50"
-        ),
-        F.avg((F.col("days") <= F.col("p50_approx")).cast("double")).alias(
-            "le50"
-        ),
-        F.avg((F.col("days") < F.col("p90_approx")).cast("double")).alias(
-            "lt90"
-        ),
-        F.avg((F.col("days") <= F.col("p90_approx")).cast("double")).alias(
-            "le90"
-        ),
+        F.round(
+            F.percentile("days", F.lit(0.5), F.col("cnt")), 4
+        ).alias("p50_exact"),
+        F.round(
+            F.percentile("days", F.lit(0.9), F.col("cnt")), 4
+        ).alias("p90_exact"),
+        (
+            F.sum(
+                F.when(
+                    F.col("days") < F.col("p50_approx"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            / F.sum("cnt")
+        ).alias("lt50"),
+        (
+            F.sum(
+                F.when(
+                    F.col("days") <= F.col("p50_approx"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            / F.sum("cnt")
+        ).alias("le50"),
+        (
+            F.sum(
+                F.when(
+                    F.col("days") < F.col("p90_approx"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            / F.sum("cnt")
+        ).alias("lt90"),
+        (
+            F.sum(
+                F.when(
+                    F.col("days") <= F.col("p90_approx"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            )
+            / F.sum("cnt")
+        ).alias("le90"),
     )
 
     def ok(lt: str, le: str, q: float):

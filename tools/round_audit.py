@@ -137,6 +137,12 @@ KNOWN_RATIONAL_SAFE: dict[tuple[str, str], str] = {
      "F.percentile('days', F.lit(0.9))"):
         'bounded-interp: percentile interpolation a + f*(b-a) with a 1-2-dp fraction over fixed-scale data; the result terminates at native+2 dp <= the round scale — pass-through, tie-free (percentile_approx returns an actual element)',
     ('distributed_system_mapreduce_spark/operators/analytics.py',
+     "F.percentile('days', F.lit(0.5), F.col('cnt'))"):
+        'bounded-interp: percentile interpolation a + f*(b-a) with a 1-2-dp fraction over fixed-scale data; the result terminates at native+2 dp <= the round scale — pass-through, tie-free (percentile_approx returns an actual element)',
+    ('distributed_system_mapreduce_spark/operators/analytics.py',
+     "F.percentile('days', F.lit(0.9), F.col('cnt'))"):
+        'bounded-interp: percentile interpolation a + f*(b-a) with a 1-2-dp fraction over fixed-scale data; the result terminates at native+2 dp <= the round scale — pass-through, tie-free (percentile_approx returns an actual element)',
+    ('distributed_system_mapreduce_spark/operators/analytics.py',
      "F.sum('revenue')"):
         "native-scale: additive aggregate/passthrough of fixed-scale values rounded at >= their native scale — the true value's decimal expansion terminates at or before the round scale, so a tie (digit 5 one place deeper) is unreachable",
     ('distributed_system_mapreduce_spark/operators/analytics.py',
