@@ -105,6 +105,13 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+    # first-sweep (cold) seconds per query, kept alongside the min
+    # (VERDICT r16 #8): for memo/tracked-cache-backed queries the min is a
+    # warm replay, and the first sample is the honest cold cost — reported,
+    # not used in any total, so bench semantics are unchanged.
+    first_sample = {
+        name: round(samples[name][0], 3) for name in sorted(QUERIES)
+    }
     timings: dict[str, float] = {}
     total = 0.0
     baseline_suite_total = 0.0
@@ -216,8 +223,40 @@ def main() -> None:
         summary["per_query_delta_top"] = {
             q: per_query_delta[q] for q in top[:10]
         }
+        # Round-over-round verdict ON the summary line (VERDICT r16 #2):
+        # the driver keeps only a 2000-char stdout tail, so the per-query
+        # map on the detail line never survives — carry the host-normalized
+        # geomean speedup vs the committed detail plus improvement/
+        # regression counts (same normalization as per_query_delta; a
+        # query counts only past BOTH a 10% ratio and a 0.05 s absolute
+        # band, so scheduling jitter on the sub-0.1 s long tail can't
+        # inflate either count). Additive only: nothing existing moves.
+        import math
 
-    detail = {"detail": "per_query_min_seconds", "queries": timings, **summary}
+        logs = [
+            math.log((host_ratio * prev_queries[q]) / timings[q])
+            for q in common
+            if prev_queries[q] > 0 and timings[q] > 0
+        ]
+        if logs:
+            summary["geomean_speedup_vs_committed"] = round(
+                math.exp(sum(logs) / len(logs)), 4
+            )
+        summary["n_improved"] = sum(
+            1 for q in common
+            if prev_queries[q] > 0
+            and timings[q] < host_ratio * prev_queries[q] / 1.1
+            and host_ratio * prev_queries[q] - timings[q] > 0.05
+        )
+        summary["n_regressed"] = sum(
+            1 for q in common
+            if prev_queries[q] > 0
+            and timings[q] > 1.1 * host_ratio * prev_queries[q]
+            and timings[q] - host_ratio * prev_queries[q] > 0.05
+        )
+
+    detail = {"detail": "per_query_min_seconds", "queries": timings,
+              "first_sample": first_sample, **summary}
     if subset is None and common:
         detail["per_query_delta"] = per_query_delta
     if subset is None:

@@ -221,13 +221,21 @@ CONTRACT_ORDER: tuple[str, ...] = (
     #   r15 outcome: multimodal_media_features, multimodal_phash_dedup,
     #    graph_bfs_hops, eval_ndcg_at_k — all four driver-green
     #    (hash_match) in CORRECTNESS_r15; rotated out per VERDICT r15 #1.
-    # r16 active window (per VERDICT r15 #1): prototype-classifier eval,
-    # the range-join family's first driver row, the running-share window
-    # family, and average precision.
-    "eval_confusion_centroid",
-    "join_interval_overlap",
-    "orders_abc_pareto",
-    "eval_pr_auc",
+    #   r16 outcome: eval_confusion_centroid, join_interval_overlap,
+    #    orders_abc_pareto, eval_pr_auc — all four driver-green
+    #    (hash_match) in CORRECTNESS_r16; rotated out per VERDICT r16 #9
+    #    for the r17 queue planned above. Driver-verified coverage
+    #    122/237 -> 126/237.
+    # r17 active window (the queue planned at the r17 line above): the
+    # IVF quality/cost curve, the memorization-risk audit, the curriculum
+    # schedule manifest, and the date-math percentile rollup — the first
+    # two also carry this optimization round's sim-family and
+    # histogram-percentile rewrites, so the driver hash-verifies them in
+    # the same window the rewrites land.
+    "sim_ivf_nprobe_sweep",
+    "corpus_ngram_overlap",
+    "pipeline_curriculum_order",
+    "orders_ship_latency",
 )
 
 

@@ -272,11 +272,29 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus filter signals, all JVM-side expressions."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n_tok = F.size(toks)
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x in ({stop_list})))")
+    # r17 optimization round (guide §1.2 per-task work): name the token
+    # counts in their OWN projection, then round_div_long over plain
+    # attribute refs. Inlined, round_div_long's guard branches duplicated
+    # split()/filter() ~40x per row AND the huge lambda-bearing Project
+    # fell out of whole-stage codegen (plans/r17/text_quality_score_*).
+    # CollapseProject keeps the split because each count is expensive and
+    # multiply-referenced. Values are bit-identical: same arithmetic on
+    # the same intermediates.
+    counted = docs.select(
+        "doc_id", "n_chars", toks.alias("toks")
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tok"),
+        F.expr(
+            f"size(filter(toks, x -> x in ({stop_list})))"
+        ).alias("n_stop"),
+    )
+    n_tok = F.col("n_tok")
+    n_stop = F.col("n_stop")
     stop_ratio = n_stop / n_tok
-    return docs.select(
+    return counted.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
         round_div_long(F.col("n_chars") - n_tok + 1, n_tok, 4).alias(
@@ -590,15 +608,23 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tg"),
         )
     )
+    # r17 optimization round (guide §1.2): name the shingle counts before
+    # the round — inlined, round_div_long's branches re-ran
+    # array_distinct() (a per-row hash-set build) ~6x and size(tg) ~16x
+    # per row (plans/r17/text_repetition_score_before.txt). Same values,
+    # one distinct-build per row.
+    counted = shingled.select(
+        "doc_id",
+        (F.size("tg") - F.size(F.array_distinct("tg"))).alias("n_dup"),
+        F.size("tg").alias("n_sh"),
+    )
     return (
-        shingled.select(
+        counted.select(
             "doc_id",
-            round_div_long(
-                F.size("tg") - F.size(F.array_distinct("tg")),
-                F.size("tg"),
-                4,
-            ).alias("rep_ratio"),
-            F.size("tg").cast("bigint").alias("n_shingles"),
+            round_div_long(F.col("n_dup"), F.col("n_sh"), 4).alias(
+                "rep_ratio"
+            ),
+            F.col("n_sh").cast("bigint").alias("n_shingles"),
         )
         .orderBy(F.desc("rep_ratio"), F.asc("doc_id"))
         .limit(20)

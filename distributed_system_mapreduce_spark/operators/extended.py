@@ -523,14 +523,26 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("o_orderpriority")
     # percent_rank = (rank-1)/(n-1), cume_dist = rn/n (total order, so
     # no rank ties): both are integer ratios whose 6-dp double round can
-    # tie engine-divergently (1/128 -> 0.0078125) — all-integer half-up
-    n = F.count(F.lit(1)).over(wp)
-    return orders.select(
+    # tie engine-divergently (1/128 -> 0.0078125) — all-integer half-up.
+    # r17 optimization round (guide §2.4/§7.2): name the THREE window
+    # columns once, then round over attribute refs. Inlined, every
+    # reference inside round_div_long's guard branches became its OWN
+    # window expression — the Window operator computed 28 separate
+    # count(1) and 10 rank/row_number columns per partition
+    # (plans/r17/window_percent_rank_before.txt, _we0.._we52).
+    ranked = orders.select(
+        "o_orderkey",
+        (F.rank().over(w) - 1).alias("rk"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    n = F.col("n")
+    return ranked.select(
         "o_orderkey",
         F.when(n == 1, F.lit(0.0))
-        .otherwise(round_div_long(F.rank().over(w) - 1, n - 1, 6))
+        .otherwise(round_div_long(F.col("rk"), n - 1, 6))
         .alias("pr"),
-        round_div_long(F.row_number().over(w), n, 6).alias("cd"),
+        round_div_long(F.col("rn"), n, 6).alias("cd"),
     )
 
 

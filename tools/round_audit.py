@@ -131,12 +131,6 @@ KNOWN_RATIONAL_SAFE: dict[tuple[str, str], str] = {
      "F.avg(F.col('l_extendedprice') / F.col('l_quantity'))"):
         'hetero-mean: mean of per-row quotients with heterogeneous denominators (price/quantity) — a 2-dp tie requires the lcm-denominator rational to terminate one digit deeper, a measure-zero coincidence over the quantity mix; pinned at two SFs',
     ('distributed_system_mapreduce_spark/operators/analytics.py',
-     "F.percentile('days', F.lit(0.5))"):
-        'bounded-interp: percentile interpolation a + f*(b-a) with a 1-2-dp fraction over fixed-scale data; the result terminates at native+2 dp <= the round scale — pass-through, tie-free (percentile_approx returns an actual element)',
-    ('distributed_system_mapreduce_spark/operators/analytics.py',
-     "F.percentile('days', F.lit(0.9))"):
-        'bounded-interp: percentile interpolation a + f*(b-a) with a 1-2-dp fraction over fixed-scale data; the result terminates at native+2 dp <= the round scale — pass-through, tie-free (percentile_approx returns an actual element)',
-    ('distributed_system_mapreduce_spark/operators/analytics.py',
      "F.percentile('days', F.lit(0.5), F.col('cnt'))"):
         'bounded-interp: percentile interpolation a + f*(b-a) with a 1-2-dp fraction over fixed-scale data; the result terminates at native+2 dp <= the round scale — pass-through, tie-free (percentile_approx returns an actual element)',
     ('distributed_system_mapreduce_spark/operators/analytics.py',
