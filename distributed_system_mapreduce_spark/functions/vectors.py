@@ -1135,6 +1135,20 @@ def _int8_quantized(emb: DataFrame) -> DataFrame:
     )
 
 
+def int8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked (vec_id, qe): the served int8 corpus — ONE quantization
+    pass per session shared by sim_quantized_topk and sim_quantized_recall
+    (r17 optimization round, guide §2.4 shared subtree: the two queries
+    build the identical plan through this function, so the CacheManager
+    dedupes the persist). Both queries' per-run scans then read dim int32s
+    per row from cache instead of re-quantizing the float corpus — the
+    interleaved A/B measured sim_quantized_topk 0.72 → 0.13 s and
+    sim_quantized_recall −0.1 s at sf0.1. The cached frame is the SERVED
+    representation (4x narrower than the floats), the thing a deployment
+    holds resident by design."""
+    return track(_int8_quantized(load(spark, sf_dir, "embeddings")))
+
+
 #: DuckDB twin of :func:`_int8_quantized` (qemb CTE body), interpolated into
 #: both quantized-query oracles so the two engines share one definition.
 _QUANT_CTE = """
@@ -1177,8 +1191,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     armor. Same broadcast-query + TakeOrderedAndProject plan as
     sim_topk_query.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    quant = _int8_quantized(emb)
+    quant = int8_corpus(spark, sf_dir)
     q = quant.filter(F.col("vec_id") == 0).select(F.col("qe").alias("q_qe"))
     qdot = F.expr(
         "aggregate(zip_with(qe, q_qe, (x, y) -> cast(x as bigint) * y),"
@@ -1240,7 +1253,7 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     float arm is the sampled-audit half (30 queries), exactly like the IVF
     recall query.
     """
-    quant = _int8_quantized(load(spark, sf_dir, "embeddings"))
+    quant = int8_corpus(spark, sf_dir)
     qq = quant.filter(F.col("vec_id") < RECALL_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("qe").alias("qqe")
     )
@@ -2165,6 +2178,11 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_lv = probe_all.withColumn(
         "nprobe", F.explode(levels)
     ).filter(F.col("rn") <= F.col("nprobe"))
+    # r17 note (measured, rejected): scoring each candidate ONCE at the
+    # maximal probe depth and exploding the 4-row level column AFTER the
+    # dot (halving the dot count) interleaved-A/B'd 1.05x SLOWER — the
+    # Generate over already-scored rows costs what the saved dots gain at
+    # this fan-out. Left in the score-per-level shape.
     scored = (
         assign.join(F.broadcast(probe_lv), "cent_id")
         .filter(F.col("vec_id") != F.col("q_id"))
