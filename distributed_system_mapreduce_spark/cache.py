@@ -54,7 +54,13 @@ def track(
     EVERY builder invocation (bench rebuilds every query 3×). Equal
     semantic hashes are necessary for ``sameSemantics``, so one hash RTT
     narrows the exact compare to same-hash candidates (almost always 0 or
-    1) with identical dedup semantics.
+    1) with identical dedup semantics. Known limitation (ADVICE r16): a
+    frame recorded through the exception path (h = None) joins _TRACKED
+    but not the hash index, so LATER semantically-identical frames cannot
+    registry-dedup against it — that only inflates
+    tracked_count/caches_released by a few entries in degraded sessions
+    (CacheManager still dedupes the actual storage), so it is accepted
+    rather than retried.
     """
     df.persist(level)
     try:
@@ -145,7 +151,17 @@ def scalar_memo(spark, name: str, compute: "Callable[[], object]"):
     """Session-scoped memo of a driver sizing scalar: computed once per
     (applicationId, ``name``) then reused; released with the tracked
     caches. ``name`` must uniquely describe WHAT is being counted
-    (include the sf_dir for corpus-dependent scalars)."""
+    (include the sf_dir for corpus-dependent scalars).
+
+    CONTRACT (ADVICE r16): the corpus under a given sf_dir is immutable
+    for the lifetime of a session — the same assumption every tracked
+    persist and plan-matched cache in this module already makes. Values
+    seed convergence comparisons and local-tail handoff decisions
+    (kcore_peel's ``n_edges``), so mutating the data under sf_dir
+    mid-session without ``clear_tracked_caches`` yields stale counts the
+    same way it would yield stale cached frames; no call site does this
+    (the driver's fixtures are read-only), and the bench clears
+    everything between invocations."""
     key = (spark.sparkContext.applicationId, name)
     if key not in _SCALAR_MEMO:
         _SCALAR_MEMO[key] = compute()

@@ -705,10 +705,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup (chunk = price/1000 band, monotone along the value order), so
     no task ever sorts the full distinct-value frame — the same two-level
     scan as the ntile rework, applied to a threshold crossing instead of a
-    bucket assignment. Weights accumulate as decimal(38,2) (exact,
-    order-independent); the half-total comparison is ``2*cum >= total``
-    so no division ever happens. The one-row total joins back as a
-    broadcast scalar combine (whitelisted BNLJ).
+    bucket assignment. Weights accumulate as exact centi-unit LONGS
+    (order-independent; see the inline r16 note — the decimal(38,2)
+    accumulation this docstring used to describe measured 2-4x slower);
+    the half-total comparison is ``2*cum >= total`` so no division ever
+    happens. The one-row total joins back as a broadcast scalar combine
+    (whitelisted BNLJ).
     """
     from ..plans.scan import chunked_running_sum
 

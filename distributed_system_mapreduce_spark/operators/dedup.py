@@ -766,6 +766,12 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature frame is itself tracked: the 64 seeded array_min
     # permutations are the query's dominant per-row CPU, and the frame is
     # two orders of magnitude narrower than the text it sketches.
+    # Standalone-run cost (ADVICE r16): the shared cache shingles the
+    # WHOLE corpus even when this estimator runs alone — a win whenever
+    # the LSH pipeline shares the session (the bench/driver workload,
+    # where the cache is built exactly once), a deliberate overshoot when
+    # it does not; a 100 TB deployment running ONLY the estimator would
+    # shingle the sampled pair set directly (the pre-r16 shape).
     hashed = corpus_shingle_hashes(spark, sf_dir).join(
         ids, "doc_id", "left_semi"
     )

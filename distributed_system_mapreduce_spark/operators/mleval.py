@@ -807,20 +807,34 @@ def eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("order"), lambda s: s["cl"]), F.col("label")
     )
     ranked = ranked.select(pos.alias("pos"))
-    rows = [
-        ranked.agg(
-            F.lit(k).cast("int").alias("k"),
-            # all-integer half-up round (exactmath.py, r15 tie rework)
-            round_div(
-                F.sum((F.col("pos") <= k).cast("int")), F.count(F.lit(1)), 6
-            ).alias("topk_accuracy"),
-        )
-        for k in TOPK_ACC_KS
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    # r17 optimization round (guide §2.3 "aggregate before you shuffle",
+    # §7.2 duplicated subtrees): the old per-k unionAll of three scalar
+    # aggregates replayed the whole centroid-scores rollup once per k
+    # (before-plan: 6 parquet scans, 12 exchanges). ONE aggregate now
+    # carries all k hit-counts (same sums, same all-integer half-up
+    # round — identical rows), and the 3-row curve explodes from the
+    # single combined row.
+    counts = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("pos") <= k).cast("int")).alias(f"h{k}")
+            for k in TOPK_ACC_KS
+        ],
+    )
+    curve = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                round_div(F.col(f"h{k}"), F.col("n"), 6).alias(
+                    "topk_accuracy"
+                ),
+            )
+            for k in TOPK_ACC_KS
+        ]
+    )
+    return counts.select(F.explode(curve).alias("r")).select(
+        F.col("r.k").alias("k"), F.col("r.topk_accuracy").alias("topk_accuracy")
+    )
 
 
 # --------------------------------------------------------- r13 extensions
