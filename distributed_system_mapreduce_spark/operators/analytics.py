@@ -266,11 +266,21 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated "= (select min(..) ...)" subquery is expressed directly
     as its decorrelated form — one (part, supplier) rollup then a per-part
-    row_number argmin — which is exactly what Catalyst rewrites the
-    correlated form into; no per-part subquery execution ever happens.
-    Unit prices are rounded BEFORE ranking with a suppkey tiebreak, so the
-    argmin is total-ordered and engine-stable. Two shuffles total
-    (rollup, per-part window); the part/supplier lookups on the 20-row
+    argmin — which is exactly what Catalyst rewrites the correlated form
+    into; no per-part subquery execution ever happens. Unit prices are
+    rounded BEFORE ranking with a suppkey tiebreak, so the argmin is
+    total-ordered and engine-stable. r17 optimization round (guide §2.3
+    "aggregate before you shuffle"): the per-part argmin is
+    ``min(struct(unit_price, suppkey))`` — lexicographic struct order ==
+    the oracle's (unit_price, l_suppkey) row_number ordering, row-for-row.
+    Struct min plans as a SortAggregate (so per-partition sorts remain),
+    but it PARTIAL-aggregates map-side: the per-part exchange carries one
+    partial minimum per (part, upstream partition) instead of every
+    (part, supplier) offer row the rank window shuffled — neutral at
+    sf0.1 (interleaved A/B 1.18 vs 1.15 s), strictly fewer shuffled rows
+    as suppliers-per-part grows (plan diff:
+    plans/r17/sql_min_cost_supplier_{before,after}.txt). Two shuffles
+    total (rollup, per-part min); the part/supplier lookups on the
     result are broadcast.
     """
     li = load(spark, sf_dir, "lineitem")
@@ -285,9 +295,14 @@ def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unit_price")
         )
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
-    best = offers.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_price", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.unit_price").alias("unit_price"),
+            F.col("b.l_suppkey").alias("l_suppkey"),
+        )
     )
     return (
         best.join(part, best.l_partkey == part.p_partkey)
